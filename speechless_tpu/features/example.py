@@ -1,0 +1,275 @@
+"""Per-utterance data model: labeled examples, positional labels, feature cache.
+
+Re-provides the reference's example layer (`/root/reference/speechless/labeled_example.py`)
+on top of the TPU-native feature pipeline in ``spectrogram.py``:
+
+* ``LabeledSpectrogram`` — the contract the acoustic model consumes: id, label, and a
+  ``(time, mel)`` z-normalized feature matrix.
+* ``LabeledExample`` / ``LabeledExampleFromFile`` — lazy audio -> features.
+* ``PositionalLabel`` — word-level time spans with ``|``-separated serialization.
+* ``CachedLabeledSpectrogram`` — per-example ``.npy`` disk cache with corruption repair
+  (recompute on load failure; quarantine + re-save on 1-decimal mismatch).
+"""
+from enum import Enum
+from functools import cached_property
+from pathlib import Path
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.tools import log, mkdir, name_without_extension, write_text
+from . import audio_io, spectrogram as sg
+
+
+class SpectrogramFrequencyScale(Enum):
+    linear = "linear"
+    mel = "mel"
+
+
+class SpectrogramType(Enum):
+    power = "power"
+    amplitude = "amplitude"
+    power_level = "power level"
+
+
+def z_normalize(array: np.ndarray) -> np.ndarray:
+    return (array - np.mean(array)) / np.std(array)
+
+
+class PositionalLabel:
+    """Word-level (label, (start, end)) spans; ranges in samples or seconds."""
+
+    def __init__(self, labeled_sections: List[Tuple[str, Tuple[float, float]]]):
+        if not labeled_sections:
+            raise ValueError("Sections must be specified.")
+        if any(section_range is None for _, section_range in labeled_sections):
+            raise ValueError("Range must be specified.")
+        self.labeled_sections = labeled_sections
+        self.labels = [word for word, _ in labeled_sections]
+        self.label = " ".join(self.labels)
+
+    def convert_range_to_seconds(self, original_sample_rate: int) -> "PositionalLabel":
+        return PositionalLabel([(word, (start / original_sample_rate, end / original_sample_rate))
+                                for word, (start, end) in self.labeled_sections])
+
+    def with_corrected_labels(self, correction: Callable[[str], str]) -> "PositionalLabel":
+        return PositionalLabel([(correction(word), section_range)
+                                for word, section_range in self.labeled_sections])
+
+    def serialize(self) -> str:
+        return "\n".join("{}|{}|{}".format(word, start, end)
+                         for word, (start, end) in self.labeled_sections)
+
+    @staticmethod
+    def deserialize(serialized: str) -> "PositionalLabel":
+        sections = []
+        for line in serialized.splitlines():
+            word, start, end = line.split("|")
+            sections.append((word, (float(start), float(end))))
+        return PositionalLabel(sections)
+
+
+class LabeledSpectrogram:
+    """The feature contract consumed by the net (reference `labeled_example.py:63-71`)."""
+
+    def __init__(self, id: str, label: str):
+        self.id = id
+        self.label = label
+
+    def z_normalized_transposed_spectrogram(self) -> np.ndarray:
+        raise NotImplementedError
+
+
+class LabeledExample(LabeledSpectrogram):
+    """An utterance with lazily loaded raw audio and on-demand feature extraction."""
+
+    def __init__(self,
+                 get_raw_audio: Callable[[], np.ndarray],
+                 sample_rate: int = 16000,
+                 id: Optional[str] = None,
+                 label: Optional[str] = "nolabel",
+                 fourier_window_length: int = 512,
+                 hop_length: int = 128,
+                 mel_frequency_count: int = 128,
+                 label_with_tags: Optional[str] = None,
+                 positional_label: Optional[PositionalLabel] = None):
+        super().__init__(id=id, label=label)
+        self.get_raw_audio = get_raw_audio
+        self.sample_rate = sample_rate
+        self.fourier_window_length = fourier_window_length
+        self.hop_length = hop_length
+        self.mel_frequency_count = mel_frequency_count
+        self.label_with_tags = label_with_tags
+        self.positional_label = positional_label
+
+    def tag_count(self, tag: str) -> int:
+        return self.label_with_tags.count(tag)
+
+    # -- spectrogram variants (plotting / analysis) -----------------------
+
+    def spectrogram(self, type: SpectrogramType = SpectrogramType.power_level,
+                    frequency_scale: SpectrogramFrequencyScale = SpectrogramFrequencyScale.linear
+                    ) -> np.ndarray:
+        audio = self.get_raw_audio()
+        if type == SpectrogramType.power:
+            result = sg.power_spectrogram(audio)
+        elif type == SpectrogramType.amplitude:
+            result = sg.amplitude_spectrogram(audio)
+        elif type == SpectrogramType.power_level:
+            result = sg.power_level_spectrogram(audio)
+        else:
+            raise ValueError(type)
+        if frequency_scale == SpectrogramFrequencyScale.mel:
+            result = sg.to_mel_scale(result, self.sample_rate, self.fourier_window_length,
+                                     self.mel_frequency_count)
+        return result
+
+    def z_normalized_transposed_spectrogram(self) -> np.ndarray:
+        """(time, mel) float32 features via the fused JAX pipeline."""
+        return sg.z_normalized_transposed_spectrogram(self.get_raw_audio())
+
+    def mel_frequencies(self) -> List[float]:
+        return list(sg.mel_frequencies(self.mel_frequency_count + 2,
+                                       fmax=self.sample_rate / 2))
+
+    def highest_detectable_frequency(self) -> float:
+        return self.sample_rate / 2
+
+    def frequency_count_from_spectrogram(self, spec: np.ndarray) -> int:
+        return spec.shape[0]
+
+    def time_step_count(self) -> int:
+        return sg.frame_count(len(self.get_raw_audio()), self.hop_length)
+
+    def time_step_rate(self) -> float:
+        return self.time_step_count() / self.duration_in_s
+
+    def reconstructed_audio_from_spectrogram(self) -> np.ndarray:
+        """Inverse STFT (overlap-add) of the complex spectrogram, for the plotter."""
+        stft = sg.stft_numpy(self.get_raw_audio(), self.fourier_window_length, self.hop_length)
+        frames = np.fft.irfft(stft.T, n=self.fourier_window_length, axis=1)
+        window = np.asarray(sg._hann_window(self.fourier_window_length))
+        n = self.fourier_window_length + self.hop_length * (frames.shape[0] - 1)
+        out = np.zeros(n)
+        norm = np.zeros(n)
+        for i, frame in enumerate(frames):
+            start = i * self.hop_length
+            out[start:start + self.fourier_window_length] += frame * window
+            norm[start:start + self.fourier_window_length] += window ** 2
+        out = out / np.maximum(norm, 1e-10)
+        pad = self.fourier_window_length // 2
+        return out[pad:-pad].astype(np.float32)
+
+    @cached_property
+    def duration_in_s(self) -> float:
+        return len(self.get_raw_audio()) / self.sample_rate
+
+    def __str__(self) -> str:
+        return self.id + (": {}".format(self.label) if self.label else "")
+
+
+class LabeledExampleFromFile(LabeledExample):
+    """File-backed example: decode + resample to 16 kHz on first feature access."""
+
+    def __init__(self,
+                 audio_file: Path,
+                 id: Optional[str] = None,
+                 sample_rate_to_convert_to: int = 16000,
+                 label: Optional[str] = "nolabel",
+                 fourier_window_length: int = 512,
+                 hop_length: int = 128,
+                 mel_frequency_count: int = 128,
+                 label_with_tags: Optional[str] = None,
+                 positional_label: Optional[PositionalLabel] = None):
+        if id is None:
+            id = name_without_extension(audio_file)
+        self.audio_file = Path(audio_file)
+        super().__init__(
+            id=id,
+            get_raw_audio=lambda: audio_io.load_audio(self.audio_file, self.sample_rate),
+            label=label, sample_rate=sample_rate_to_convert_to,
+            fourier_window_length=fourier_window_length, hop_length=hop_length,
+            mel_frequency_count=mel_frequency_count,
+            label_with_tags=label_with_tags, positional_label=positional_label)
+
+    @property
+    def audio_directory(self) -> Path:
+        return self.audio_file.parent
+
+    @cached_property
+    def original_sample_rate(self) -> int:
+        return LabeledExampleFromFile.file_sample_rate(self.audio_file)
+
+    @staticmethod
+    def file_sample_rate(audio_file: Path) -> int:
+        return audio_io.file_sample_rate(audio_file)
+
+    @cached_property
+    def duration_in_s(self) -> float:
+        return audio_io.probe_duration_in_s(self.audio_file)
+
+    def sections(self) -> Optional[List[LabeledExample]]:
+        """Slice the audio into per-word examples using the positional label (seconds)."""
+        if self.positional_label is None:
+            return None
+        audio = self.get_raw_audio()
+
+        def section(word: str, start: float, end: float) -> LabeledExample:
+            return LabeledExample(
+                get_raw_audio=lambda: audio[int(start * self.sample_rate):int(end * self.sample_rate)],
+                label=word, sample_rate=self.sample_rate,
+                fourier_window_length=self.fourier_window_length, hop_length=self.hop_length,
+                mel_frequency_count=self.mel_frequency_count)
+
+        return [section(word, start, end)
+                for word, (start, end) in self.positional_label.labeled_sections]
+
+
+class CachedLabeledSpectrogram(LabeledSpectrogram):
+    """Disk-cached features keyed by example id, with the reference's repair semantics
+    (`labeled_example.py:236-287`)."""
+
+    def __init__(self, original: LabeledSpectrogram, spectrogram_cache_directory: Path):
+        super().__init__(id=original.id, label=original.label)
+        self.original = original
+        self.spectrogram_cache_file = Path(spectrogram_cache_directory) / "{}.npy".format(original.id)
+
+    def is_cached(self) -> bool:
+        return self.spectrogram_cache_file.exists()
+
+    def z_normalized_transposed_spectrogram(self) -> np.ndarray:
+        if not self.is_cached():
+            return self._calculate_and_save()
+        return self._load_from_cache()
+
+    def _load_from_cache(self) -> np.ndarray:
+        try:
+            return np.load(str(self.spectrogram_cache_file))
+        except ValueError:
+            log("Recalculating cached file {} because loading failed.".format(
+                self.spectrogram_cache_file))
+            return self._calculate_and_save()
+
+    def _calculate_and_save(self) -> np.ndarray:
+        result = self.original.z_normalized_transposed_spectrogram()
+        np.save(str(self.spectrogram_cache_file), result)
+        return result
+
+    def repair_cached_file_if_incorrect(self) -> None:
+        if not self.is_cached():
+            self._calculate_and_save()
+            return
+        from_cache = self._load_from_cache()
+        calculated = self.original.z_normalized_transposed_spectrogram()
+        try:
+            np.testing.assert_almost_equal(calculated, from_cache, decimal=1)
+        except AssertionError as e:
+            self._quarantine_incorrect_cache(str(e))
+            np.save(str(self.spectrogram_cache_file), calculated)
+
+    def _quarantine_incorrect_cache(self, error_text: str) -> None:
+        parent = self.spectrogram_cache_file.parent
+        backup_directory = parent.parent / (parent.name + "-incorrect")
+        mkdir(backup_directory)
+        write_text(backup_directory / (self.spectrogram_cache_file.stem + "-error.txt"), error_text)
+        self.spectrogram_cache_file.rename(backup_directory / self.spectrogram_cache_file.name)

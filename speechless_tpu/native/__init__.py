@@ -1,0 +1,60 @@
+"""Native (C++) host-side routines, loaded via ctypes.
+
+The TPU compute path is JAX/XLA/Pallas; this package holds the genuinely host-side native
+code (edit distance for eval, the KenLM-style n-gram scorer for beam decoding), matching the
+reference's use of native deps `editdistance` and the KenLM TF fork (SURVEY.md §2b).
+
+The shared library is compiled on demand with g++ (cached next to the sources). If compilation
+fails (no toolchain), callers fall back to pure-Python implementations.
+"""
+import ctypes
+import subprocess
+from pathlib import Path
+
+_HERE = Path(__file__).parent
+_LIB_PATH = _HERE / "_speechless_native.so"
+_SOURCES = sorted(_HERE.glob("*.cpp"))
+
+
+class _Native:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.sl_levenshtein.restype = ctypes.c_int64
+        lib.sl_levenshtein.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ]
+
+    def levenshtein(self, a: str, b: str) -> int:
+        a_buf = a.encode("utf-32-le")
+        b_buf = b.encode("utf-32-le")
+        a_arr = (ctypes.c_uint32 * len(a)).from_buffer_copy(a_buf) if a else (ctypes.c_uint32 * 1)()
+        b_arr = (ctypes.c_uint32 * len(b)).from_buffer_copy(b_buf) if b else (ctypes.c_uint32 * 1)()
+        return int(self._lib.sl_levenshtein(a_arr, len(a), b_arr, len(b)))
+
+
+def _needs_rebuild() -> bool:
+    if not _LIB_PATH.exists():
+        return True
+    lib_mtime = _LIB_PATH.stat().st_mtime
+    return any(src.stat().st_mtime > lib_mtime for src in _SOURCES)
+
+
+def build(force: bool = False) -> Path:
+    """Compile the shared library with g++ (O3, fPIC). Idempotent unless sources changed."""
+    if force or _needs_rebuild():
+        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+               "-o", str(_LIB_PATH)] + [str(s) for s in _SOURCES]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load():
+    try:
+        build()
+        return _Native(ctypes.CDLL(str(_LIB_PATH)))
+    except Exception:
+        return None
+
+
+_native = _load()

@@ -1,0 +1,37 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh (SURVEY.md §4d).
+
+Environment must be set before jax is imported anywhere, hence this happens at conftest
+import time (pytest loads conftest before test modules).
+"""
+import os
+import sys
+from pathlib import Path
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def make_test_wav(path: Path, duration_s: float = 1.0, sample_rate: int = 16000,
+                  seed: int = 0) -> np.ndarray:
+    """Write a deterministic synthetic test wav (tones + noise) and return its samples."""
+    rand = np.random.RandomState(seed)
+    t = np.arange(int(duration_s * sample_rate)) / sample_rate
+    audio = (0.4 * np.sin(2 * np.pi * 440.0 * t)
+             + 0.2 * np.sin(2 * np.pi * 1337.0 * t + 0.5)
+             + 0.05 * rand.randn(len(t))).astype(np.float32)
+    audio = np.clip(audio, -0.99, 0.99)
+    from speechless_tpu.features import audio_io
+    audio_io.write_wav(path, audio, sample_rate)
+    return audio
