@@ -1,0 +1,197 @@
+"""CTC loss, TPU-native.
+
+Replaces the reference's TF C++ `ctc_batch_cost` (`/root/reference/speechless/net.py:402-406`)
+with an on-device log-space forward-backward recursion:
+
+* forward: alpha recursion over time via ``lax.scan``, vectorized over (batch, 2U+1) states;
+* backward: custom VJP running the beta recursion and combining occupancies into
+  d(loss)/d(log_probs) — O(T) memory-light compared to autodiff through the scan;
+* conventions match TF/the reference: blank is the **last** class index, labels arrive as a
+  ``-1``-padded ``(batch, U)`` int32 matrix, per-example input/label lengths, loss is the
+  per-utterance negative log likelihood.
+
+All shapes are static (padded); variable lengths are handled by masking, so one XLA
+compilation serves a whole length bucket. A Pallas kernel (``ctc_pallas.py``) implements the
+same contract for peak single-chip performance; this module is the reference implementation
+it is parity-tested against.
+"""
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _logsumexp2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, NEG_INF)
+    return m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe))
+
+
+def _logsumexp3(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, NEG_INF)
+    return m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe))
+
+
+def _extended_labels(labels: jnp.ndarray, blank: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Interleave blanks: (B, U) -> (B, 2U+1) plus the 'can skip' mask.
+
+    extended[2s] = blank, extended[2s+1] = labels[s]. ``skip_allowed[s]`` is True where the
+    alpha recursion may jump from s-2 (a non-blank differing from the previous non-blank).
+    """
+    batch, label_max = labels.shape
+    s_count = 2 * label_max + 1
+    padded = jnp.where(labels < 0, blank, labels)  # padding never matches a real char
+    positions = jnp.arange(s_count)
+    is_char = positions % 2 == 1
+    char_index = jnp.clip(positions // 2, 0, label_max - 1)
+    extended = jnp.where(is_char[None, :], padded[:, char_index], blank)
+    prev_char = jnp.where(is_char[None, :] & (positions[None, :] >= 3),
+                          padded[:, jnp.clip(char_index - 1, 0, label_max - 1)], blank)
+    skip_allowed = is_char[None, :] & (extended != prev_char) & (positions[None, :] >= 2)
+    return extended, skip_allowed
+
+
+def _emissions(log_probs_t: jnp.ndarray, extended: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-state emission log-probs: (B, C) x (B, S) -> (B, S)."""
+    return jnp.take_along_axis(log_probs_t, extended, axis=1)
+
+
+def _alpha_step(alpha: jnp.ndarray, emit: jnp.ndarray, skip_allowed: jnp.ndarray) -> jnp.ndarray:
+    stay = alpha
+    advance = jnp.concatenate([jnp.full_like(alpha[:, :1], NEG_INF), alpha[:, :-1]], axis=1)
+    skip = jnp.concatenate([jnp.full((alpha.shape[0], 2), NEG_INF, alpha.dtype),
+                            alpha[:, :-2]], axis=1)
+    skip = jnp.where(skip_allowed, skip, NEG_INF)
+    return _logsumexp3(stay, advance, skip) + emit
+
+
+def _beta_step(beta_next: jnp.ndarray, emit_next: jnp.ndarray,
+               skip_allowed: jnp.ndarray) -> jnp.ndarray:
+    """beta[t, s] from beta[t+1, ·]: transitions mirror the alpha step (s -> s, s+1, s+2)."""
+    scored = beta_next + emit_next
+    stay = scored
+    advance = jnp.concatenate([scored[:, 1:], jnp.full_like(scored[:, :1], NEG_INF)], axis=1)
+    skip = jnp.concatenate([scored[:, 2:], jnp.full((scored.shape[0], 2), NEG_INF, scored.dtype)],
+                           axis=1)
+    skip_from = jnp.concatenate([skip_allowed[:, 2:],
+                                 jnp.zeros((scored.shape[0], 2), dtype=bool)], axis=1)
+    skip = jnp.where(skip_from, skip, NEG_INF)
+    return _logsumexp3(stay, advance, skip)
+
+
+def _forward(log_probs: jnp.ndarray, logit_lengths: jnp.ndarray, extended: jnp.ndarray,
+             skip_allowed: jnp.ndarray, s_counts: jnp.ndarray,
+             return_alphas: bool = False):
+    """Run the alpha recursion; returns per-example log P(label) (and alphas if requested)."""
+    batch, t_max, _ = log_probs.shape
+    s_count = extended.shape[1]
+    s_range = jnp.arange(s_count)[None, :]
+
+    emit0 = _emissions(log_probs[:, 0], extended)
+    alpha0 = jnp.where(s_range < 2, emit0, NEG_INF)
+    alpha0 = jnp.where(s_range < s_counts[:, None], alpha0, NEG_INF)
+
+    def final_log_prob(alpha: jnp.ndarray) -> jnp.ndarray:
+        last = jnp.take_along_axis(alpha, s_counts[:, None] - 1, axis=1)[:, 0]
+        second = jnp.take_along_axis(alpha, jnp.maximum(s_counts[:, None] - 2, 0), axis=1)[:, 0]
+        second = jnp.where(s_counts >= 2, second, NEG_INF)  # empty label: only the blank state
+        return _logsumexp2(last, second)
+
+    def step(carry, t):
+        alpha, final = carry
+        emit = _emissions(log_probs[:, t], extended)
+        new_alpha = _alpha_step(alpha, emit, skip_allowed)
+        new_alpha = jnp.where(s_range < s_counts[:, None], new_alpha, NEG_INF)
+        active = (t < logit_lengths)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        final = jnp.where(t == logit_lengths - 1, final_log_prob(alpha), final)
+        return (alpha, final), (alpha if return_alphas else 0)
+
+    final0 = jnp.where(logit_lengths == 1, final_log_prob(alpha0), jnp.full((batch,), NEG_INF))
+    (_, final), alphas = jax.lax.scan(step, (alpha0, final0), jnp.arange(1, t_max))
+    if return_alphas:
+        alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # (T, B, S)
+    return final, alphas
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ctc_loss(log_probs: jnp.ndarray, logit_lengths: jnp.ndarray, labels: jnp.ndarray,
+             label_lengths: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """Per-example CTC negative log likelihood.
+
+    Args:
+      log_probs: ``(batch, time, classes)`` log probabilities (log-softmax output).
+      logit_lengths: ``(batch,)`` valid frame counts.
+      labels: ``(batch, U)`` int32 grapheme indices, ``-1``-padded.
+      label_lengths: ``(batch,)`` valid label lengths.
+      blank: blank class index (the reference convention: last class).
+    Returns:
+      ``(batch,)`` float32 losses.
+    """
+    extended, skip_allowed = _extended_labels(labels, blank)
+    s_counts = 2 * label_lengths + 1
+    final, _ = _forward(log_probs, logit_lengths, extended, skip_allowed, s_counts)
+    return -final
+
+
+def _ctc_fwd(log_probs, logit_lengths, labels, label_lengths, blank):
+    extended, skip_allowed = _extended_labels(labels, blank)
+    s_counts = 2 * label_lengths + 1
+    final, alphas = _forward(log_probs, logit_lengths, extended, skip_allowed, s_counts,
+                             return_alphas=True)
+    return -final, (log_probs, logit_lengths, labels, label_lengths, final, alphas)
+
+
+def _ctc_bwd(blank, residuals, grad_out):
+    log_probs, logit_lengths, labels, label_lengths, final, alphas = residuals
+    batch, t_max, class_count = log_probs.shape
+    extended, skip_allowed = _extended_labels(labels, blank)
+    s_counts = 2 * label_lengths + 1
+    s_count = extended.shape[1]
+    s_range = jnp.arange(s_count)[None, :]
+
+    # Terminal beta: 0 at the last two states (indices S-1, S-2), -inf elsewhere.
+    beta_terminal = jnp.where((s_range == s_counts[:, None] - 1) |
+                              (s_range == jnp.maximum(s_counts[:, None] - 2, 0)), 0.0, NEG_INF)
+    beta_terminal = jnp.where(s_range < s_counts[:, None], beta_terminal, NEG_INF)
+
+    one_hot = jax.nn.one_hot(extended, class_count, dtype=log_probs.dtype)  # (B, S, C)
+
+    def grad_at(t, beta_t):
+        """d(-logP)/d log_probs[:, t, :] from occupancies alpha*beta at time t."""
+        gamma = alphas[t] + beta_t - final[:, None]  # (B, S), log-space
+        gamma = jnp.where(s_range < s_counts[:, None], gamma, NEG_INF)
+        occupancy = jnp.einsum("bs,bsc->bc", jnp.exp(gamma), one_hot)
+        valid = (t < logit_lengths)[:, None]
+        return jnp.where(valid, -occupancy, 0.0)
+
+    def step(beta_carry, t):
+        # Reverse scan: compute beta[t] from beta[t+1]; inject terminal condition at T_b-1.
+        emit_next = _emissions(log_probs[:, jnp.minimum(t + 1, t_max - 1)], extended)
+        computed = _beta_step(beta_carry, emit_next, skip_allowed)
+        beta_t = jnp.where((t == logit_lengths - 1)[:, None], beta_terminal, computed)
+        beta_t = jnp.where(s_range < s_counts[:, None], beta_t, NEG_INF)
+        return beta_t, grad_at(t, beta_t)
+
+    _, grads_rev = jax.lax.scan(step, beta_terminal, jnp.arange(t_max - 1, -1, -1))
+    grads = jnp.flip(grads_rev, axis=0).transpose(1, 0, 2)  # (B, T, C)
+    grads = grads * grad_out[:, None, None]
+    return (grads, None, None, None)
+
+
+ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
+
+
+def ctc_loss_from_logits(logits: jnp.ndarray, logit_lengths: jnp.ndarray, labels: jnp.ndarray,
+                         label_lengths: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """CTC loss on raw (pre-softmax) logits — the numerically preferred training entry point.
+
+    Equivalent to the reference's softmax -> log(p + eps) -> TF CTC chain
+    (`net.py:402-406` with Keras `ctc_batch_cost` semantics), but fused as log_softmax.
+    """
+    return ctc_loss(jax.nn.log_softmax(logits, axis=-1), logit_lengths, labels, label_lengths,
+                    blank)

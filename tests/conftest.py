@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+# The axon sitecustomize registers the tunneled-TPU backend on interpreter start and pins
+# JAX_PLATFORMS=axon; config.update after import is the reliable way to force CPU for tests.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() >= 8, "expected the 8-device virtual CPU mesh for sharding tests"
+
 import numpy as np
 import pytest
 
