@@ -1,0 +1,193 @@
+"""The wav2letter acoustic model (Collobert et al., arXiv:1609.03193) as a functional JAX
+conv stack.
+
+Geometry matches the reference net (`/root/reference/speechless/net.py:291-348`):
+
+* optional raw-wave frontend conv (250 filters, k=250, stride 160);
+* striding conv (250, k=48, stride 2);
+* 7 inner convs (250, k=7);
+* big_conv_1 (2000, k=32), big_conv_2 (2000, k=1);
+* output conv (grapheme_set_size, k=1) — **linear logits** here (softmax is applied at the
+  API boundary for parity; training consumes logits directly for numerics);
+* all convs 'SAME'-padded, ReLU by default, optional dropout before every non-"big" conv;
+* output/input length ratio = product of strides (2 for mel input, 320 for raw waves).
+
+TPU-first design notes: parameters are a plain list-of-dicts pytree (easy to shard, remap
+for transfer learning, and checkpoint); compute runs in a configurable dtype (bfloat16 on
+TPU) with float32 params and float32 logits; convs lower to XLA `conv_general_dilated`,
+which maps onto the MXU.
+"""
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = List[Dict[str, jnp.ndarray]]
+
+MAIN_FILTER_COUNT = 250
+BIG_FILTER_COUNT = 2000
+
+
+@dataclass(frozen=True)
+class ConvSpec:
+    name: str
+    filters: int
+    kernel_size: int
+    stride: int = 1
+    activation: str = "relu"
+    dropout_before: bool = False
+
+
+@dataclass(frozen=True)
+class Wav2LetterConfig:
+    """Architecture + precision configuration for one model instance."""
+    input_size_per_time_step: int
+    grapheme_set_size: int
+    use_raw_wave_input: bool = False
+    activation: str = "relu"
+    dropout: Optional[float] = None
+    compute_dtype: Any = jnp.float32  # bfloat16 on TPU for the fast path
+    layers: Tuple[ConvSpec, ...] = field(default=None)
+
+    def __post_init__(self):
+        if self.layers is None:
+            object.__setattr__(self, "layers", tuple(self._build_layers()))
+
+    def _build_layers(self) -> List[ConvSpec]:
+        act = self.activation
+        use_dropout = self.dropout is not None
+        layers = []
+        if self.use_raw_wave_input:
+            layers.append(ConvSpec("wave_conv", MAIN_FILTER_COUNT, 250, 160, act, use_dropout))
+        layers.append(ConvSpec("striding_conv", MAIN_FILTER_COUNT, 48, 2, act, use_dropout))
+        for i in range(1, 8):
+            layers.append(ConvSpec("inner_conv_{}".format(i), MAIN_FILTER_COUNT, 7, 1, act,
+                                   use_dropout))
+        layers.append(ConvSpec("big_conv_1", BIG_FILTER_COUNT, 32, 1, act, False))
+        layers.append(ConvSpec("big_conv_2", BIG_FILTER_COUNT, 1, 1, act, False))
+        # Linear logits; the reference's softmax output activation is applied by callers.
+        layers.append(ConvSpec("output_conv", self.grapheme_set_size, 1, 1, "linear", False))
+        return layers
+
+    @property
+    def layer_names(self) -> List[str]:
+        return [spec.name for spec in self.layers]
+
+    @property
+    def input_to_prediction_length_ratio(self) -> int:
+        """Striding shrink factor: frames in -> predictions out (`net.py:343-348`)."""
+        ratio = 1
+        for spec in self.layers:
+            ratio *= spec.stride
+        return ratio
+
+
+def init_params(config: Wav2LetterConfig, rng: jax.Array) -> Params:
+    """Glorot-uniform weights + zero biases (Keras Conv1D defaults, for init parity)."""
+    params = []
+    in_channels = config.input_size_per_time_step
+    for spec in config.layers:
+        rng, key = jax.random.split(rng)
+        fan_in = spec.kernel_size * in_channels
+        fan_out = spec.kernel_size * spec.filters
+        limit = np.sqrt(6.0 / (fan_in + fan_out))
+        w = jax.random.uniform(key, (spec.kernel_size, in_channels, spec.filters),
+                               minval=-limit, maxval=limit, dtype=jnp.float32)
+        params.append({"w": w, "b": jnp.zeros((spec.filters,), jnp.float32)})
+        in_channels = spec.filters
+    return params
+
+
+def _activate(x: jnp.ndarray, activation: str) -> jnp.ndarray:
+    if activation == "relu":
+        return jax.nn.relu(x)
+    if activation == "elu":
+        return jax.nn.elu(x)
+    if activation == "linear":
+        return x
+    if activation == "softmax":
+        return jax.nn.softmax(x, axis=-1)
+    raise ValueError("Unknown activation: {}".format(activation))
+
+
+def apply(config: Wav2LetterConfig, params: Params, inputs: jnp.ndarray, *,
+          train: bool = False, dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Forward pass: ``(batch, time, features) -> (batch, time/stride_ratio, graphemes)``
+    logits (float32)."""
+    x = inputs.astype(config.compute_dtype)
+    for spec, layer_params in zip(config.layers, params):
+        if train and spec.dropout_before and config.dropout:
+            if dropout_rng is None:
+                raise ValueError("dropout_rng required for training with dropout")
+            dropout_rng, key = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(key, 1.0 - config.dropout, x.shape)
+            x = jnp.where(keep, x / (1.0 - config.dropout), 0.0).astype(config.compute_dtype)
+        w = layer_params["w"].astype(config.compute_dtype)
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(spec.stride,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+        x = x + layer_params["b"].astype(jnp.float32)
+        is_output = spec is config.layers[-1]
+        x = _activate(x, spec.activation)
+        if not is_output:
+            x = x.astype(config.compute_dtype)
+    return x.astype(jnp.float32)
+
+
+def probabilities(config: Wav2LetterConfig, params: Params, inputs: jnp.ndarray) -> jnp.ndarray:
+    """Softmax grapheme probabilities — the reference `predictive_net` output surface."""
+    return jax.nn.softmax(apply(config, params, inputs), axis=-1)
+
+
+def prediction_lengths(config: Wav2LetterConfig, input_lengths: jnp.ndarray) -> jnp.ndarray:
+    """Valid output frames per example: ``input_length // stride_ratio`` (`net.py:582`)."""
+    return input_lengths // config.input_to_prediction_length_ratio
+
+
+# ---------------------------------------------------------------------------
+# Transfer learning: cross-charset output-layer remap + freezing support
+# (`/root/reference/speechless/net.py:184-269` semantics).
+# ---------------------------------------------------------------------------
+
+def character_remap_indices(source_characters: List[str],
+                            target_characters: List[str]) -> List[Optional[int]]:
+    """For each target character, the source index holding its filters (None if absent)."""
+    source_index = {}
+    for i, c in enumerate(source_characters):
+        if c in source_index:
+            raise ValueError("Duplicate character in source charset: {}".format(c))
+        source_index[c] = i
+    return [source_index.get(c) for c in target_characters]
+
+
+def remap_output_layer(output_params: Dict[str, jnp.ndarray],
+                       source_characters: List[str],
+                       target_characters: List[str]) -> Dict[str, jnp.ndarray]:
+    """Remap the final conv's per-grapheme filters between character sets.
+
+    Characters present in both keep their filters; new characters get zero weights/bias;
+    the CTC blank (last index on both sides) maps blank -> blank.
+    """
+    w = np.asarray(output_params["w"])  # (K, Cin, source_graphemes)
+    b = np.asarray(output_params["b"])
+    indices = character_remap_indices(source_characters, target_characters)
+    target_size = len(target_characters) + 1  # + blank
+    new_w = np.zeros(w.shape[:2] + (target_size,), dtype=w.dtype)
+    new_b = np.zeros((target_size,), dtype=b.dtype)
+    for target_idx, source_idx in enumerate(indices):
+        if source_idx is not None:
+            new_w[:, :, target_idx] = w[:, :, source_idx]
+            new_b[target_idx] = b[source_idx]
+    new_w[:, :, -1] = w[:, :, -1]  # blank -> blank
+    new_b[-1] = b[-1]
+    return {"w": jnp.asarray(new_w), "b": jnp.asarray(new_b)}
+
+
+def trainable_mask(config: Wav2LetterConfig, frozen_layer_count: int) -> List[bool]:
+    """Per-layer trainability flags: the first ``frozen_layer_count`` layers are frozen
+    (`net.py:335-339`)."""
+    return [i >= frozen_layer_count for i in range(len(config.layers))]

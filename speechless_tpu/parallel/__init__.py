@@ -1,0 +1,5 @@
+from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, batch_spec, make_mesh,
+                   param_shardings, param_specs, replicate, shard_params)
+
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_spec", "batch_sharding",
+           "param_specs", "param_shardings", "shard_params", "replicate"]

@@ -1,0 +1,109 @@
+"""Checkpointing: per-epoch weight files with optional optimizer state, plus the
+cross-charset transfer-learning load path.
+
+File naming keeps the reference's convention ``weights-epoch{n}`` (`net.py:558-560`) with an
+``.npz`` container instead of HDF5. Unlike the reference — which silently resets Adam moments
+on resume (SURVEY.md §5) — optimizer state is saved alongside the weights and restored when
+resuming, while transfer loads intentionally take weights only.
+"""
+from pathlib import Path
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import wav2letter as w2l
+from ..utils.tools import log, mkdir
+
+
+def model_file_name(epoch: int) -> str:
+    return "weights-epoch{}.npz".format(epoch)
+
+
+def save_checkpoint(directory: Path, epoch: int, params: w2l.Params,
+                    opt_state: Any = None) -> Path:
+    """Write params (and flattened optimizer state) to ``directory/weights-epoch{n}.npz``."""
+    directory = Path(directory)
+    mkdir(directory)
+    arrays = {}
+    for i, layer in enumerate(params):
+        for key, value in layer.items():
+            arrays["layer{}.{}".format(i, key)] = np.asarray(value)
+    if opt_state is not None:
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        for i, leaf in enumerate(leaves):
+            arrays["opt.{}".format(i)] = np.asarray(leaf)
+    path = directory / model_file_name(epoch)
+    np.savez(str(path), **arrays)
+    return path
+
+
+def load_params(directory: Path, epoch: int) -> w2l.Params:
+    """Load the parameter pytree from a checkpoint file."""
+    path = Path(directory) / model_file_name(epoch)
+    with np.load(str(path)) as data:
+        layer_count = 1 + max(int(k.split(".")[0][len("layer"):])
+                              for k in data.files if k.startswith("layer"))
+        return [{key: jnp.asarray(data["layer{}.{}".format(i, key)])
+                 for key in ("w", "b")} for i in range(layer_count)]
+
+
+def load_opt_state(directory: Path, epoch: int, opt_state_template: Any) -> Optional[Any]:
+    """Restore optimizer state by re-leafing a template structure; None if not present."""
+    path = Path(directory) / model_file_name(epoch)
+    with np.load(str(path)) as data:
+        opt_keys = sorted((k for k in data.files if k.startswith("opt.")),
+                          key=lambda k: int(k.split(".")[1]))
+        if not opt_keys:
+            return None
+        leaves = [jnp.asarray(data[k]) for k in opt_keys]
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    if treedef.num_leaves != len(leaves):
+        log("Checkpoint optimizer state has {} leaves, expected {}; ignoring it.".format(
+            len(leaves), treedef.num_leaves))
+        return None
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_params_with_character_remap(
+        directory: Path, epoch: int,
+        source_characters: List[str], target_characters: List[str],
+        target_config: w2l.Wav2LetterConfig,
+        loaded_first_layers_count: Optional[int] = None,
+        init_rng: Optional[jax.Array] = None) -> w2l.Params:
+    """Transfer-learning load (`/root/reference/speechless/net.py:209-269` semantics).
+
+    Loads the donor checkpoint, copies the first ``loaded_first_layers_count`` layers
+    (default: all), remaps the output layer's per-character filters to ``target_characters``
+    (missing characters zero-initialized, blank -> blank), and freshly initializes any
+    layers beyond ``loaded_first_layers_count``.
+    """
+    donor = load_params(directory, epoch)
+    layer_count = len(target_config.layers)
+    if loaded_first_layers_count is None:
+        loaded_first_layers_count = layer_count
+
+    if init_rng is None:
+        init_rng = jax.random.PRNGKey(0)
+    fresh = w2l.init_params(target_config, init_rng)
+
+    ignored = sorted(set(source_characters) - set(target_characters))
+    if ignored:
+        log("Ignoring characters {} from loaded model.".format(ignored))
+    extra = sorted(set(target_characters) - set(source_characters))
+    if extra:
+        log("Initializing extra characters {} not found in model.".format(extra))
+    log("Loading first {} layers of {}, epoch {}, reinitializing the last {}.".format(
+        loaded_first_layers_count, directory, epoch, layer_count - loaded_first_layers_count))
+
+    params: w2l.Params = []
+    for i in range(layer_count):
+        if i >= loaded_first_layers_count:
+            params.append(fresh[i])
+        elif i == layer_count - 1:
+            params.append(w2l.remap_output_layer(donor[i], source_characters,
+                                                 target_characters))
+        else:
+            params.append({k: jnp.asarray(v) for k, v in donor[i].items()})
+    return params

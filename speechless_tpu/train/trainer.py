@@ -1,0 +1,110 @@
+"""Jitted CTC training step with optional mesh sharding, Adam, and layer freezing.
+
+Replaces the reference's Keras `fit_generator` graph (`/root/reference/speechless/net.py:359-406,
+541-576`) with a functional train step:
+
+* loss = mean over the batch of per-utterance CTC NLL on logits (the reference's
+  `ctc_batch_cost` Lambda + mean reduction);
+* Adam(1e-4) by default (`net.py:132`), via optax;
+* frozen layers receive zero updates (`net.py:335-339` sets `trainable=False`; here a
+  per-layer mask on the optimizer updates, which also zeroes their Adam moments);
+* one `jax.jit` with donated state serves single-chip and mesh-sharded (DP+TP) execution —
+  sharding is carried by the input/param shardings, XLA inserts the ICI collectives.
+"""
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import wav2letter as w2l
+from ..ops.ctc import ctc_loss_from_logits
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    dropout_rng: jax.Array
+
+
+class Batch(NamedTuple):
+    """One statically-shaped training batch (padded within a length bucket)."""
+    inputs: jnp.ndarray          # (B, T, F) float32 features
+    input_lengths: jnp.ndarray   # (B,) int32 valid frame counts
+    labels: jnp.ndarray          # (B, U) int32, -1 padded
+    label_lengths: jnp.ndarray   # (B,) int32
+
+
+def make_optimizer(learning_rate: float = 1e-4,
+                   trainable: Optional[List[bool]] = None) -> optax.GradientTransformation:
+    """Adam with optional per-layer freezing mask."""
+    optimizer = optax.adam(learning_rate)
+    if trainable is not None and not all(trainable):
+        def labels(params):
+            return [jax.tree.map(lambda _: "train" if flag else "freeze", layer)
+                    for layer, flag in zip(params, trainable)]
+        # multi_transform + set_to_zero: frozen layers get exactly zero updates
+        # (optax.masked would pass raw gradients through instead).
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, labels)
+    return optimizer
+
+
+def init_train_state(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
+                     rng: jax.Array, params: Optional[Any] = None) -> TrainState:
+    param_rng, dropout_rng = jax.random.split(rng)
+    if params is None:
+        params = w2l.init_params(config, param_rng)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params), dropout_rng=dropout_rng)
+
+
+def loss_fn(config: w2l.Wav2LetterConfig, params: Any, batch: Batch,
+            dropout_rng: Optional[jax.Array] = None, train: bool = True
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean CTC loss over the batch; also returns per-example losses."""
+    logits = w2l.apply(config, params, batch.inputs, train=train, dropout_rng=dropout_rng)
+    logit_lengths = w2l.prediction_lengths(config, batch.input_lengths)
+    blank = config.grapheme_set_size - 1
+    per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
+                                       batch.label_lengths, blank)
+    return jnp.mean(per_example), per_example
+
+
+def make_train_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
+                    donate: bool = True):
+    """Build the jitted update step: ``(state, batch) -> (state, metrics)``."""
+
+    def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        dropout_rng, next_rng = jax.random.split(state.dropout_rng)
+        (loss, per_example), grads = jax.value_and_grad(
+            lambda p: loss_fn(config, p, batch, dropout_rng=dropout_rng), has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state,
+                               dropout_rng=next_rng)
+        return new_state, {"loss": loss, "per_example_loss": per_example}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(config: w2l.Wav2LetterConfig):
+    """Jitted eval: ``(params, batch) -> (log_probs, logit_lengths, per_example_loss)``.
+
+    Returns log-softmax outputs (for decoding) plus the per-utterance losses — the fused
+    equivalent of the reference's combined decoding_net + loss_net session run
+    (`net.py:456-459`)."""
+
+    def eval_step(params: Any, batch: Batch):
+        logits = w2l.apply(config, params, batch.inputs, train=False)
+        logit_lengths = w2l.prediction_lengths(config, batch.input_lengths)
+        blank = config.grapheme_set_size - 1
+        per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
+                                           batch.label_lengths, blank)
+        return jax.nn.log_softmax(logits, axis=-1), logit_lengths, per_example
+
+    return jax.jit(eval_step)

@@ -1,0 +1,120 @@
+"""Training-step tests: loss decreases, overfit a tiny batch (the reference's
+`TrainingTestSplit.overfit` hook existed but was untested — SURVEY.md §4c), freezing,
+checkpoint round-trip incl. optimizer state, and mesh-sharded DP+TP equivalence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speechless_tpu.models import wav2letter as w2l
+from speechless_tpu.ops.decode import greedy_decode
+from speechless_tpu.parallel import mesh as pmesh
+from speechless_tpu.train import (Batch, init_train_state, load_opt_state, load_params,
+                                  make_eval_step, make_optimizer, make_train_step,
+                                  save_checkpoint)
+
+
+def tiny_config(graphemes=5):
+    """A thin wav2letter (same topology, narrow filters) for fast CPU tests."""
+    layers = (
+        w2l.ConvSpec("striding_conv", 16, 48, 2, "relu", False),
+        w2l.ConvSpec("inner_conv_1", 16, 7, 1, "relu", False),
+        w2l.ConvSpec("big_conv_1", 32, 32, 1, "relu", False),
+        w2l.ConvSpec("big_conv_2", 32, 1, 1, "relu", False),
+        w2l.ConvSpec("output_conv", graphemes, 1, 1, "linear", False),
+    )
+    return w2l.Wav2LetterConfig(input_size_per_time_step=8, grapheme_set_size=graphemes,
+                                layers=layers)
+
+
+def synthetic_batch(rng, config, batch=4, t=40, u=5):
+    """Features correlated with labels so the task is learnable."""
+    labels = rng.randint(0, config.grapheme_set_size - 1, size=(batch, u)).astype(np.int32)
+    inputs = np.zeros((batch, t, config.input_size_per_time_step), np.float32)
+    for b in range(batch):
+        for i, lab in enumerate(labels[b]):
+            span = slice(i * (t // u), (i + 1) * (t // u))
+            inputs[b, span, lab % config.input_size_per_time_step] = 1.0
+    inputs += 0.01 * rng.randn(*inputs.shape).astype(np.float32)
+    return Batch(inputs=jnp.asarray(inputs),
+                 input_lengths=jnp.full((batch,), t, jnp.int32),
+                 labels=jnp.asarray(labels),
+                 label_lengths=jnp.full((batch,), u, jnp.int32))
+
+
+class TestTrainStep:
+    def test_overfit_tiny_batch(self, rng):
+        config = tiny_config()
+        optimizer = make_optimizer(3e-3)
+        state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+        step = make_train_step(config, optimizer, donate=False)
+        batch = synthetic_batch(rng, config)
+        losses = []
+        for _ in range(150):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.2, losses[::30]
+        # Greedy decode should now reproduce the labels.
+        eval_step = make_eval_step(config)
+        log_probs, logit_lengths, _ = eval_step(state.params, batch)
+        tokens, counts = greedy_decode(log_probs, logit_lengths,
+                                       config.grapheme_set_size - 1)
+        matches = sum(
+            list(np.asarray(tokens[b, :counts[b]])) == list(np.asarray(batch.labels[b]))
+            for b in range(4))
+        assert matches >= 3, (np.asarray(tokens), np.asarray(batch.labels))
+
+    def test_frozen_layers_do_not_move(self, rng):
+        config = tiny_config()
+        trainable = [False, False, True, True, True]
+        optimizer = make_optimizer(1e-2, trainable=trainable)
+        state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+        initial = jax.tree.map(np.asarray, state.params)
+        step = make_train_step(config, optimizer, donate=False)
+        for _ in range(3):
+            state, _ = step(state, synthetic_batch(rng, config))
+        for i, flag in enumerate(trainable):
+            moved = not np.allclose(np.asarray(state.params[i]["w"]), initial[i]["w"])
+            assert moved == flag, "layer {} trainable={} moved={}".format(i, flag, moved)
+
+    def test_checkpoint_roundtrip_with_opt_state(self, rng, tmp_path):
+        config = tiny_config()
+        optimizer = make_optimizer(1e-3)
+        state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+        step = make_train_step(config, optimizer, donate=False)
+        state, _ = step(state, synthetic_batch(rng, config))
+        save_checkpoint(tmp_path, 3, state.params, state.opt_state)
+        params = load_params(tmp_path, 3)
+        for a, b in zip(params, state.params):
+            np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+        template = optimizer.init(params)
+        opt_state = load_opt_state(tmp_path, 3, template)
+        assert opt_state is not None
+        for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                        jax.tree_util.tree_leaves(state.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMeshSharding:
+    def test_dp_tp_matches_single_device(self, rng):
+        config = tiny_config()
+        optimizer = make_optimizer(1e-3)
+        state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+        step = make_train_step(config, optimizer, donate=False)
+        batch = synthetic_batch(rng, config, batch=8)
+        single_state, single_metrics = step(state, batch)
+
+        mesh = pmesh.make_mesh(jax.devices()[:8], model_parallelism=2)
+        shardings = pmesh.param_shardings(mesh, config.layer_names)
+        sharded_params = pmesh.shard_params(state.params, shardings)
+        sharded_state = state._replace(params=sharded_params,
+                                       opt_state=optimizer.init(sharded_params))
+        sharded_batch = jax.tree.map(
+            lambda x: jax.device_put(x, pmesh.batch_sharding(mesh, x.ndim)), batch)
+        with jax.set_mesh(mesh):
+            sharded_out, sharded_metrics = step(sharded_state, sharded_batch)
+        np.testing.assert_allclose(float(sharded_metrics["loss"]),
+                                   float(single_metrics["loss"]), rtol=1e-5)
+        for a, b in zip(single_state.params, sharded_out.params):
+            np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]),
+                                       rtol=1e-4, atol=1e-6)
