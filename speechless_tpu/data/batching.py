@@ -1,0 +1,164 @@
+"""Batch generation: reference-compatible random batching plus TPU static-shape bucketing
+and asynchronous host->device prefetch.
+
+The reference generator (`/root/reference/speechless/corpus.py:205-245`) samples 64 random
+cached spectrograms per step and pads to the batch max — a dynamic shape per step, which
+would force an XLA recompile every step. Here:
+
+* `LabeledSpectrogramBatchGenerator` keeps the reference surface (preview/training/test
+  batches, multiprocessing cache fill);
+* `pad_to_bucket` rounds the padded time dimension up to a small set of bucket boundaries
+  (geometric progression) and label length to a multiple, so XLA compiles once per
+  (time-bucket, label-bucket) pair;
+* `Prefetcher` overlaps feature loading (host) with device compute via a background thread
+  and `jax.device_put`.
+"""
+import multiprocessing
+import random
+import threading
+from multiprocessing.pool import Pool
+from pathlib import Path
+from queue import Queue
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..features.example import CachedLabeledSpectrogram, LabeledSpectrogram
+from ..text.graphemes import GraphemeCodec
+from ..train.trainer import Batch
+from ..utils.tools import log, mkdir, paginate
+
+# Time buckets in frames: geometric ~1.3x progression keeps padding waste <~15% per batch
+# while bounding distinct compilations. Frame counts above the last bucket fall back to
+# exact-multiple-of-512 rounding.
+DEFAULT_TIME_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+LABEL_BUCKET_MULTIPLE = 64
+
+
+def _cache_spectrogram(labeled_spectrogram: CachedLabeledSpectrogram) -> None:
+    labeled_spectrogram.z_normalized_transposed_spectrogram()
+
+
+def _repair_spectrogram(labeled_spectrogram: CachedLabeledSpectrogram) -> None:
+    labeled_spectrogram.repair_cached_file_if_incorrect()
+
+
+class LabeledSpectrogramBatchGenerator:
+    """Reference-compatible batch source over disk-cached spectrograms."""
+
+    def __init__(self, corpus, spectrogram_cache_directory: Path, batch_size: int = 64):
+        mkdir(spectrogram_cache_directory)
+        self.batch_size = batch_size
+        self.spectrogram_cache_directory = Path(spectrogram_cache_directory)
+        self.labeled_training_spectrograms = [
+            CachedLabeledSpectrogram(e, spectrogram_cache_directory=spectrogram_cache_directory)
+            for e in corpus.training_examples]
+        self.labeled_test_spectrograms = [
+            CachedLabeledSpectrogram(e, spectrogram_cache_directory=spectrogram_cache_directory)
+            for e in corpus.test_examples]
+        self.labeled_spectrograms = (self.labeled_training_spectrograms +
+                                     self.labeled_test_spectrograms)
+
+    def preview_batch(self) -> List[LabeledSpectrogram]:
+        return self.labeled_spectrograms[:self.batch_size]
+
+    def training_batches(self) -> Iterator[List[LabeledSpectrogram]]:
+        while True:
+            yield random.sample(self.labeled_training_spectrograms, self.batch_size)
+
+    def test_batches(self) -> Iterable[List[LabeledSpectrogram]]:
+        return paginate(self.labeled_test_spectrograms, self.batch_size)
+
+    def fill_cache(self, repair_incorrect: bool = False) -> None:
+        """Parallel feature precompute across all host cores (`corpus.py:231-245`)."""
+        with Pool(processes=multiprocessing.cpu_count()) as pool:
+            total = len(self.labeled_spectrograms)
+            not_yet_cached = [s for s in self.labeled_spectrograms if not s.is_cached()]
+            to_calculate = self.labeled_spectrograms if repair_incorrect else not_yet_cached
+            log("Filling cache with {} spectrograms: {} already cached, {} to calculate.".format(
+                total, total - len(not_yet_cached), len(to_calculate)))
+            worker = _repair_spectrogram if repair_incorrect else _cache_spectrogram
+            results = [pool.apply_async(worker, (s,)) for s in to_calculate]
+            pool.close()
+            pool.join()
+            failures = sum(1 for r in results if not r.successful())
+            if failures:
+                log("Cache fill: {} examples failed.".format(failures))
+
+
+def bucket_length(length: int, buckets: Sequence[int] = DEFAULT_TIME_BUCKETS,
+                  fallback_multiple: int = 512) -> int:
+    """Smallest bucket >= length; beyond the table, round up to a multiple."""
+    for bucket in buckets:
+        if length <= bucket:
+            return bucket
+    return ((length + fallback_multiple - 1) // fallback_multiple) * fallback_multiple
+
+
+def pad_to_bucket(spectrograms: List[np.ndarray], labels: List[str], codec: GraphemeCodec,
+                  time_buckets: Sequence[int] = DEFAULT_TIME_BUCKETS,
+                  label_multiple: int = LABEL_BUCKET_MULTIPLE) -> Batch:
+    """Assemble a statically-shaped `Batch` from per-utterance (time, mel) features.
+
+    Zero-pads features to the time bucket, encodes labels -1-padded to a label bucket
+    (the reference's padding scheme, `net.py:578-587` + `grapheme_enconding.py:28`,
+    but with bucketed rather than exact-max shapes).
+    """
+    batch_size = len(spectrograms)
+    input_lengths = np.array([s.shape[0] for s in spectrograms], dtype=np.int32)
+    t_max = bucket_length(int(input_lengths.max()), time_buckets)
+    feature_dim = spectrograms[0].shape[1]
+    inputs = np.zeros((batch_size, t_max, feature_dim), dtype=np.float32)
+    for i, s in enumerate(spectrograms):
+        inputs[i, : s.shape[0]] = s
+
+    encoded = codec.encode_label_batch(labels)
+    label_lengths = np.array([len(codec.encode(label)) for label in labels], dtype=np.int32)
+    u_max = max(((encoded.shape[1] + label_multiple - 1) // label_multiple) * label_multiple,
+                label_multiple)
+    padded_labels = -np.ones((batch_size, u_max), dtype=np.int32)
+    padded_labels[:, : encoded.shape[1]] = encoded
+
+    return Batch(inputs=inputs, input_lengths=input_lengths,
+                 labels=padded_labels, label_lengths=label_lengths)
+
+
+def batch_from_spectrograms(batch: List[LabeledSpectrogram], codec: GraphemeCodec,
+                            **kwargs) -> Tuple[Batch, List[str]]:
+    """Load features for a list of `LabeledSpectrogram`s and bucket-pad them.
+
+    Returns the device-ready Batch plus the expected transcripts."""
+    spectrograms = [s.z_normalized_transposed_spectrogram() for s in batch]
+    labels = [s.label for s in batch]
+    return pad_to_bucket(spectrograms, labels, codec, **kwargs), labels
+
+
+class Prefetcher:
+    """Background-thread prefetch of prepared batches onto the device."""
+
+    def __init__(self, batch_iterator: Iterator, prepare, depth: int = 2):
+        self._iterator = batch_iterator
+        self._prepare = prepare
+        self._queue: Queue = Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for item in self._iterator:
+                self._queue.put(self._prepare(item))
+        except Exception as e:  # surface worker errors to the consumer
+            self._queue.put(e)
+        self._queue.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._done:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item

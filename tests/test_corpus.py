@@ -1,0 +1,153 @@
+"""Corpus layer tests: validation, splits (seed 42 determinism), CSV round-trip,
+LibriSpeech-format parsing from a synthetic on-disk corpus, batching + bucketing."""
+import numpy as np
+import pytest
+
+from speechless_tpu.data import (ComposedCorpus, Corpus, LabeledSpectrogramBatchGenerator,
+                                 LibriSpeechCorpus, Phase, TrainingTestSplit, bucket_length,
+                                 pad_to_bucket)
+from speechless_tpu.features import LabeledExample, LabeledExampleFromFile, PositionalLabel
+from speechless_tpu.text import CtcGraphemeCodec, english_frequent_characters
+
+from conftest import make_test_wav
+
+
+def example(id, label="some label"):
+    return LabeledExample(get_raw_audio=lambda: np.zeros(1600, np.float32), id=id, label=label)
+
+
+class TestCorpusValidation:
+    def test_duplicate_training_ids_raise(self):
+        with pytest.raises(ValueError, match="Duplicate"):
+            Corpus([example("a"), example("a")], [])
+
+    def test_overlap_raises(self):
+        with pytest.raises(ValueError, match="Overlapping"):
+            Corpus([example("a")], [example("a")])
+
+    def test_sampling_is_deterministic(self):
+        examples = [example("e{}".format(i)) for i in range(20)]
+        c1 = Corpus(list(examples), [], sampled_training_example_count=5)
+        c2 = Corpus(list(examples), [], sampled_training_example_count=5)
+        assert [e.id for e in c1.training_examples] == [e.id for e in c2.training_examples]
+        assert len(c1.training_examples) == 5
+
+    def test_grouped_by(self):
+        c = Corpus([example("a1"), example("b1")], [example("a2")])
+        grouped = c.grouped_by(lambda e: e.id[0])
+        assert set(grouped.keys()) == {"a", "b"}
+        assert [e.id for e in grouped["a"].test_examples] == ["a2"]
+        assert [e.id for e in grouped["b"].training_examples] == ["b1"]
+
+    def test_composed(self):
+        c = ComposedCorpus([Corpus([example("a")], []), Corpus([], [example("b")])])
+        assert [e.id for e in c.training_examples] == ["a"]
+        assert [e.id for e in c.test_examples] == ["b"]
+
+
+class TestSplits:
+    def test_training_and_test_only(self):
+        examples = [example(str(i)) for i in range(4)]
+        assert TrainingTestSplit.training_only(examples) == (examples, [])
+        assert TrainingTestSplit.test_only(examples) == ([], examples)
+
+    def test_randomly_is_deterministic_and_shares(self):
+        examples = [example("e{}".format(i)) for i in range(100)]
+        t1, v1 = TrainingTestSplit.randomly(0.9)(examples)
+        t2, v2 = TrainingTestSplit.randomly(0.9)(examples)
+        assert [e.id for e in t1] == [e.id for e in t2]
+        assert len(t1) == 90 and len(v1) == 10
+
+    def test_overfit(self):
+        examples = [example(str(i)) for i in range(5)]
+        train, test = TrainingTestSplit.overfit(2)(examples)
+        assert len(train) == 2 and len(test) == 3
+
+
+def make_librispeech_tree(root, utterances, depth_dirs=("dc", "11", "22")):
+    """Synthetic LibriSpeech layout (subdirectory_depth=3):
+    root/<name>/<split>/<speaker>/<chapter>/<files> + transcript."""
+    chapter = root.joinpath(*depth_dirs)
+    chapter.mkdir(parents=True)
+    lines = []
+    for i, text in enumerate(utterances):
+        stem = "{}-{}-{:04d}".format(depth_dirs[-2], depth_dirs[-1], i)
+        make_test_wav(chapter / (stem + ".wav"), duration_s=0.3, seed=i)
+        lines.append("{} {}".format(stem, text.upper()))
+    (chapter / "{}-{}.trans.txt".format(*depth_dirs[-2:])).write_text("\n".join(lines))
+
+
+class TestLibriSpeechParsing:
+    @pytest.fixture
+    def corpus(self, tmp_path):
+        corpus_dir = tmp_path / "mini"
+        make_librispeech_tree(corpus_dir, ["hello world", "it's a test", "third one"])
+        return LibriSpeechCorpus(base_directory=tmp_path, corpus_name="mini",
+                                 training_test_split=TrainingTestSplit.training_only)
+
+    def test_examples_parsed_and_lowercased(self, corpus):
+        assert len(corpus.training_examples) == 3
+        labels = sorted(e.label for e in corpus.examples)
+        assert labels == ["hello world", "it's a test", "third one"]
+
+    def test_summary_and_csv_rows(self, corpus):
+        text = corpus.summary()
+        assert "mini" in text and "3 training examples" in text
+        rows = corpus.csv_rows()
+        assert rows[0][0] == "mini"
+
+    def test_csv_roundtrip(self, corpus, tmp_path):
+        csv_file = tmp_path / "mini" / "corpus.csv"
+        corpus.save(csv_file)
+        loaded = Corpus.load(csv_file)
+        assert sorted(e.id for e in loaded.training_examples) == \
+            sorted(e.id for e in corpus.training_examples)
+        assert sorted(e.label for e in loaded.examples) == sorted(
+            e.label for e in corpus.examples)
+
+    def test_duration_filters(self, tmp_path):
+        corpus_dir = tmp_path / "filtered"
+        make_librispeech_tree(corpus_dir, ["ok", "a label far too long for a short clip " * 3])
+        corpus = LibriSpeechCorpus(base_directory=tmp_path, corpus_name="filtered",
+                                   training_test_split=TrainingTestSplit.training_only,
+                                   minimum_duration_per_character=0.02)
+        assert len(corpus.training_examples) == 1
+        assert len(corpus.too_short_examples) == 1
+
+
+class TestBatching:
+    def test_bucket_length(self):
+        assert bucket_length(1) == 128
+        assert bucket_length(128) == 128
+        assert bucket_length(129) == 192
+        assert bucket_length(5000) == 5120
+
+    def test_pad_to_bucket_shapes(self):
+        codec = CtcGraphemeCodec(english_frequent_characters)
+        specs = [np.ones((100, 8), np.float32), np.ones((130, 8), np.float32)]
+        batch = pad_to_bucket(specs, ["ab", "cde"], codec)
+        assert batch.inputs.shape == (2, 192, 8)
+        assert list(batch.input_lengths) == [100, 130]
+        assert batch.labels.shape == (2, 64)
+        assert list(batch.label_lengths) == [2, 3]
+        assert batch.labels[0, 0] == codec.encode_character("a")
+        assert batch.labels[0, 2] == -1
+        # zero padding beyond true length
+        assert np.all(batch.inputs[0, 100:] == 0)
+
+    def test_generator_over_synthetic_corpus(self, tmp_path):
+        corpus_dir = tmp_path / "gen"
+        make_librispeech_tree(corpus_dir, ["one", "two", "three", "four"])
+        corpus = LibriSpeechCorpus(base_directory=tmp_path, corpus_name="gen",
+                                   training_test_split=TrainingTestSplit.overfit(2))
+        generator = LabeledSpectrogramBatchGenerator(
+            corpus, tmp_path / "cache", batch_size=2)
+        preview = generator.preview_batch()
+        assert len(preview) == 2
+        spec = preview[0].z_normalized_transposed_spectrogram()
+        assert spec.shape[1] == 128
+        assert (tmp_path / "cache" / (preview[0].id + ".npy")).exists()  # cached on access
+        batches = list(generator.test_batches())
+        assert sum(len(b) for b in batches) == 2
+        train_iter = generator.training_batches()
+        assert len(next(train_iter)) == 2
