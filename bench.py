@@ -1,0 +1,96 @@
+"""Benchmark: wav2letter CTC training throughput (utterances/sec/chip) on real hardware.
+
+Measures the full jitted train step — fused on-device feature extraction (wav -> mel dB
+features) + 11-layer conv forward + CTC loss (alpha-beta custom VJP) + Adam update — on
+LibriSpeech-shaped synthetic batches: 64 utterances of ~8.2s 16kHz audio (the reference's
+batch size, `configuration.py:45`; dev-clean averages ~7-8s per utterance).
+
+Baseline: the reference (Keras/TF-1.x wav2letter, `/root/reference/README.md:31`) trained on
+"a strong consumer-grade GPU" (2017, GTX-1080-class). It publishes no utt/s number; from the
+architecture (~23M params, ~64-utt batches at ~1.5 s/step on that class of hardware) we
+anchor the baseline at 40 utterances/sec. BASELINE.json's target is >=10x that.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "utterances/sec/chip",
+"vs_baseline": N}.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_UTTERANCES_PER_SEC = 40.0
+
+BATCH_SIZE = 64
+AUDIO_SECONDS = 8.192          # -> 131072 samples -> 1024 frames @ hop 128
+SAMPLE_RATE = 16000
+LABEL_LENGTH = 192             # ~23 chars/s * 8.2s
+WARMUP_STEPS = 3
+MEASURE_STEPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speechless_tpu.features.spectrogram import features_batch
+    from speechless_tpu.models import wav2letter as w2l
+    from speechless_tpu.text.charsets import english_frequent_characters
+    from speechless_tpu.train import trainer as trainer_mod
+    from speechless_tpu.train.trainer import Batch, init_train_state, make_optimizer
+
+    platform = jax.devices()[0].platform
+    config = w2l.Wav2LetterConfig(
+        input_size_per_time_step=128,
+        grapheme_set_size=len(english_frequent_characters) + 1,
+        compute_dtype=jnp.bfloat16 if platform != "cpu" else jnp.float32)
+    optimizer = make_optimizer(1e-4)
+    state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    num_samples = int(AUDIO_SECONDS * SAMPLE_RATE)
+    wavs = jnp.asarray(rng.randn(BATCH_SIZE, num_samples).astype(np.float32) * 0.1)
+    wav_lengths = jnp.asarray(np.full(BATCH_SIZE, num_samples, np.int32))
+    labels = jnp.asarray(rng.randint(0, config.grapheme_set_size - 1,
+                                     size=(BATCH_SIZE, LABEL_LENGTH)).astype(np.int32))
+    label_lengths = jnp.asarray(np.full(BATCH_SIZE, LABEL_LENGTH, np.int32))
+
+    def step(state, wavs, wav_lengths, labels, label_lengths):
+        features, frame_counts = features_batch(wavs, wav_lengths)
+        batch = Batch(inputs=features, input_lengths=frame_counts,
+                      labels=labels, label_lengths=label_lengths)
+        dropout_rng, next_rng = jax.random.split(state.dropout_rng)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: trainer_mod.loss_fn(config, p, batch, dropout_rng=dropout_rng),
+            has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        import optax
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(step=state.step + 1, params=params, opt_state=opt_state,
+                              dropout_rng=next_rng), loss
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    for _ in range(WARMUP_STEPS):
+        state, loss = jitted(state, wavs, wav_lengths, labels, label_lengths)
+    float(loss)  # value transfer: the only reliable sync over the tunneled backend
+
+    start = time.time()
+    for _ in range(MEASURE_STEPS):
+        state, loss = jitted(state, wavs, wav_lengths, labels, label_lengths)
+    final_loss = float(loss)  # steps chain through `state`, so this waits for all of them
+    elapsed = time.time() - start
+    assert np.isfinite(final_loss)
+
+    utterances_per_sec = BATCH_SIZE * MEASURE_STEPS / elapsed
+    print(json.dumps({
+        "metric": "wav2letter CTC train throughput (fused features + fwd/bwd + Adam, "
+                  "B=64 x 8.2s audio, {} on {})".format(
+                      "bf16" if platform != "cpu" else "f32", platform),
+        "value": round(utterances_per_sec, 2),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(utterances_per_sec / BASELINE_UTTERANCES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,16 +125,15 @@ def apply(config: Wav2LetterConfig, params: Params, inputs: jnp.ndarray, *,
             dropout_rng, key = jax.random.split(dropout_rng)
             keep = jax.random.bernoulli(key, 1.0 - config.dropout, x.shape)
             x = jnp.where(keep, x / (1.0 - config.dropout), 0.0).astype(config.compute_dtype)
+        # Conv runs natively in the compute dtype: on TPU the MXU accumulates bf16 inputs
+        # in f32 internally; keeping in/out dtypes equal also keeps the transposed
+        # (backward) convs dtype-consistent.
         w = layer_params["w"].astype(config.compute_dtype)
         x = jax.lax.conv_general_dilated(
             x, w, window_strides=(spec.stride,), padding="SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32)
-        x = x + layer_params["b"].astype(jnp.float32)
-        is_output = spec is config.layers[-1]
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        x = x + layer_params["b"].astype(config.compute_dtype)
         x = _activate(x, spec.activation)
-        if not is_output:
-            x = x.astype(config.compute_dtype)
     return x.astype(jnp.float32)
 
 

@@ -1,0 +1,307 @@
+"""The `Wav2Letter` system facade: the reference's public model API
+(`/root/reference/speechless/net.py:117-607`) on top of the TPU-native stack.
+
+Maps the reference surface onto the new design:
+
+* three lazy Keras graphs (predictive/loss/decoding) -> one jitted train step, one jitted
+  eval step (loss + log-probs in a single device call), and an on-device greedy decoder /
+  host beam decoder with LM fusion;
+* `fit_generator` + callbacks -> an explicit epoch loop with preview predictions, per-epoch
+  ``weights-epoch{n}`` checkpoints (including optimizer state — the reference dropped Adam
+  moments on resume), CSV scalar logs, and optional `jax.profiler` traces;
+* h5 weight load + cross-charset transfer (`net.py:209-269`) -> pytree checkpoint load with
+  output-layer character remap, layer freezing, and optional reinitialization;
+* KenLM vocabulary-consistency check (`net.py:171-177`) preserved verbatim in behavior.
+"""
+import csv
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from collections import OrderedDict
+
+from .data.batching import batch_from_spectrograms, pad_to_bucket
+from .features.example import LabeledSpectrogram
+from .models import wav2letter as w2l
+from .ops.decode import beam_search_decode, greedy_decode
+from .text.graphemes import AsgGraphemeCodec, CtcGraphemeCodec
+from .text.metrics import (ExpectationsVsPredictions, ExpectationsVsPredictionsInBatches,
+                           ExpectationsVsPredictionsInGroupedBatches, ExpectationVsPrediction)
+from .train import checkpoint as ckpt
+from .train.trainer import (Batch, TrainState, init_train_state, make_eval_step,
+                            make_optimizer, make_train_step)
+from .utils.tools import log, mkdir, read_text, single
+
+DEFAULT_BEAM_WIDTH = 100
+KENLM_WEIGHT = 0.8
+WORD_COUNT_WEIGHT = 0.0
+VALID_WORD_COUNT_WEIGHT = 2.3
+
+
+class Wav2Letter:
+    """Speech-recognition system based on wav2letter (arXiv:1609.03193)."""
+
+    class InputNames:
+        """Kept for API parity with the reference's named Keras inputs (`net.py:120-124`)."""
+        input_batch = "input_batch"
+        label_batch = "label_batch"
+        prediction_lengths = "prediction_lenghts"  # (sic — reference spelling)
+        label_lengths = "label_lenghts"
+
+    def __init__(self,
+                 input_size_per_time_step: int,
+                 allowed_characters: List[str],
+                 use_raw_wave_input: bool = False,
+                 activation: str = "relu",
+                 output_activation: str = "softmax",
+                 learning_rate: float = 1e-4,
+                 dropout: Optional[float] = None,
+                 load_model_from_directory: Optional[Path] = None,
+                 load_epoch: Optional[int] = None,
+                 allowed_characters_for_loaded_model: Optional[List[str]] = None,
+                 frozen_layer_count: int = 0,
+                 reinitialize_trainable_loaded_layers: bool = False,
+                 use_asg: bool = False,
+                 asg_transition_probabilities: Optional[np.ndarray] = None,
+                 asg_initial_probabilities: Optional[np.ndarray] = None,
+                 kenlm_directory: Optional[Path] = None,
+                 beam_width: int = DEFAULT_BEAM_WIDTH,
+                 compute_dtype: Any = jnp.float32,
+                 seed: int = 0):
+        if frozen_layer_count > 0 and load_model_from_directory is None:
+            raise ValueError("Layers cannot be frozen if model is trained from scratch.")
+
+        self.use_asg = use_asg
+        self.grapheme_encoding = (AsgGraphemeCodec(allowed_characters) if use_asg
+                                  else CtcGraphemeCodec(allowed_characters))
+        self.asg_transition_probabilities = asg_transition_probabilities
+        self.asg_initial_probabilities = asg_initial_probabilities
+        self.kenlm_directory = Path(kenlm_directory) if kenlm_directory else None
+        self.beam_width = beam_width
+        self.frozen_layer_count = frozen_layer_count
+        self.load_epoch = load_epoch
+        self.input_size_per_time_step = input_size_per_time_step
+        self.output_activation = output_activation
+
+        self.config = w2l.Wav2LetterConfig(
+            input_size_per_time_step=input_size_per_time_step,
+            grapheme_set_size=self.grapheme_encoding.grapheme_set_size,
+            use_raw_wave_input=use_raw_wave_input,
+            activation=activation,
+            dropout=dropout,
+            compute_dtype=compute_dtype)
+
+        if self.kenlm_directory is not None:
+            expected_characters = list(single(
+                read_text(self.kenlm_directory / "vocabulary",
+                          encoding="utf8").splitlines()).lower())
+            if list(allowed_characters) != expected_characters:
+                raise ValueError(
+                    "Allowed characters {} differ from those expected by kenlm decoder: {}"
+                    .format(allowed_characters, expected_characters))
+            from .lm.ngram import load_language_model
+            self.language_model = load_language_model(self.kenlm_directory)
+        else:
+            self.language_model = None
+
+        self.optimizer = make_optimizer(
+            learning_rate,
+            trainable=w2l.trainable_mask(self.config, frozen_layer_count))
+
+        rng = jax.random.PRNGKey(seed)
+        params = None
+        if load_model_from_directory is not None:
+            load_model_from_directory = Path(load_model_from_directory)
+            if allowed_characters_for_loaded_model is None:
+                params = ckpt.load_params(load_model_from_directory, load_epoch)
+            else:
+                params = ckpt.load_params_with_character_remap(
+                    load_model_from_directory, load_epoch,
+                    source_characters=allowed_characters_for_loaded_model,
+                    target_characters=allowed_characters,
+                    target_config=self.config,
+                    loaded_first_layers_count=(frozen_layer_count
+                                               if reinitialize_trainable_loaded_layers
+                                               else None),
+                    init_rng=rng)
+        self.state = init_train_state(self.config, self.optimizer, rng, params=params)
+        if load_model_from_directory is not None and load_epoch is not None:
+            restored = ckpt.load_opt_state(load_model_from_directory, load_epoch,
+                                           self.state.opt_state)
+            if restored is not None and allowed_characters_for_loaded_model is None:
+                self.state = self.state._replace(opt_state=restored)
+
+        self._train_step = None
+        self._eval_step = make_eval_step(self.config)
+
+    # -- core model surface ----------------------------------------------
+
+    @property
+    def params(self) -> w2l.Params:
+        return self.state.params
+
+    @property
+    def input_to_prediction_length_ratio(self) -> int:
+        return self.config.input_to_prediction_length_ratio
+
+    def prediction_batch(self, input_batch: np.ndarray) -> np.ndarray:
+        """Softmax grapheme probabilities for a padded spectrogram batch
+        (the reference `predictive_net` output, `net.py:350-353`)."""
+        return np.asarray(w2l.probabilities(self.config, self.state.params,
+                                            jnp.asarray(input_batch)))
+
+    def _prepare_batch(self, labeled_spectrogram_batch: List[LabeledSpectrogram]):
+        batch, labels = batch_from_spectrograms(labeled_spectrogram_batch,
+                                                self.grapheme_encoding)
+        return Batch(*map(jnp.asarray, batch)), labels
+
+    # -- decoding / evaluation -------------------------------------------
+
+    def _decode_tokens(self, log_probs, prediction_lengths) -> List[str]:
+        blank = self.grapheme_encoding.grapheme_set_size - 1
+        if self.kenlm_directory is not None:
+            tokens, counts = beam_search_decode(
+                np.asarray(log_probs), list(np.asarray(prediction_lengths)), blank=blank,
+                beam_width=self.beam_width,
+                alphabet=self.grapheme_encoding.allowed_characters,
+                lm=self.language_model,
+                lm_weight=KENLM_WEIGHT, word_count_weight=WORD_COUNT_WEIGHT,
+                valid_word_count_weight=VALID_WORD_COUNT_WEIGHT)
+        else:
+            tokens, counts = map(np.asarray, greedy_decode(log_probs, prediction_lengths,
+                                                           blank))
+        # Dense -1 padding -> blank, then decode without re-merging (merging already done),
+        # mirroring the reference's post-processing (`net.py:467-475`).
+        tokens = np.where(tokens < 0, blank, tokens)
+        return self.grapheme_encoding.decode_grapheme_batch(tokens, list(counts),
+                                                            merge_repeated=False)
+
+    def test_and_predict_batch(self, labeled_spectrogram_batch: List[LabeledSpectrogram]
+                               ) -> ExpectationsVsPredictions:
+        batch, expected_labels = self._prepare_batch(labeled_spectrogram_batch)
+        log_probs, lengths, losses = self._eval_step(self.state.params, batch)
+        predictions = self._decode_tokens(log_probs, lengths)
+        return ExpectationsVsPredictions(
+            [ExpectationVsPrediction(predicted=predicted, expected=expected, loss=float(loss))
+             for predicted, expected, loss in zip(predictions, expected_labels,
+                                                  np.asarray(losses))])
+
+    def predict_batch_greedily(self, spectrograms: List[np.ndarray]) -> List[str]:
+        batch = pad_to_bucket(spectrograms, [""] * len(spectrograms), self.grapheme_encoding)
+        logits = w2l.apply(self.config, self.state.params, jnp.asarray(batch.inputs))
+        lengths = w2l.prediction_lengths(self.config, jnp.asarray(batch.input_lengths))
+        blank = self.grapheme_encoding.grapheme_set_size - 1
+        tokens, counts = map(np.asarray, greedy_decode(jax.nn.log_softmax(logits, axis=-1),
+                                                       lengths, blank))
+        tokens = np.where(tokens < 0, blank, tokens)
+        return self.grapheme_encoding.decode_grapheme_batch(tokens, list(counts),
+                                                            merge_repeated=False)
+
+    def test_and_predict(self, labeled_spectrogram: LabeledSpectrogram
+                         ) -> ExpectationVsPrediction:
+        # No batch-of-1 workaround needed (the reference duplicated the example to dodge a
+        # TF slicing bug, `net.py:491-495`).
+        return self.test_and_predict_batch([labeled_spectrogram]).results[0]
+
+    def predict(self, labeled_spectrogram: LabeledSpectrogram) -> str:
+        return self.test_and_predict(labeled_spectrogram).predicted
+
+    def test_and_predict_batch_with_log(self, index: int, batch: List[LabeledSpectrogram]
+                                        ) -> ExpectationsVsPredictions:
+        result = self.test_and_predict_batch(batch)
+        log(str(result) + " (batch {})".format(index))
+        return result
+
+    def test_and_predict_batches(self, labeled_spectrogram_batches:
+                                 Iterable[List[LabeledSpectrogram]]
+                                 ) -> ExpectationsVsPredictionsInBatches:
+        return ExpectationsVsPredictionsInBatches(
+            [self.test_and_predict_batch_with_log(i, batch)
+             for i, batch in enumerate(labeled_spectrogram_batches)])
+
+    def test_and_predict_batches_with_log(self, corpus_name: str,
+                                          batches: Iterable[List[LabeledSpectrogram]]
+                                          ) -> ExpectationsVsPredictionsInBatches:
+        result = self.test_and_predict_batches(batches)
+        log("{}: {}".format(corpus_name, result))
+        return result
+
+    def test_and_predict_grouped_batches(self, grouped_batches: Dict[str, Iterable[
+            List[LabeledSpectrogram]]]) -> ExpectationsVsPredictionsInGroupedBatches:
+        return ExpectationsVsPredictionsInGroupedBatches(OrderedDict(
+            (name, self.test_and_predict_batches_with_log(corpus_name=name, batches=batches))
+            for name, batches in grouped_batches.items()))
+
+    # -- training ---------------------------------------------------------
+
+    @staticmethod
+    def model_file_name(epoch: int) -> str:
+        return ckpt.model_file_name(epoch)
+
+    def train(self,
+              labeled_spectrogram_batches: Iterable[List[LabeledSpectrogram]],
+              preview_labeled_spectrogram_batch: List[LabeledSpectrogram],
+              tensor_board_log_directory: Path,
+              net_directory: Path,
+              batches_per_epoch: int,
+              epoch_limit: Optional[int] = None,
+              save_step: int = 1,
+              callback_step: int = 1,
+              profile_first_epoch_to: Optional[Path] = None) -> None:
+        """Train until interrupted (or ``epoch_limit``): an explicit epoch loop replacing
+        `fit_generator` (`net.py:541-576`). Per epoch: preview predictions, checkpoint
+        (weights + optimizer state), scalar CSV log with utterances/sec."""
+        if self.use_asg:
+            raise NotImplementedError("ASG is not yet implemented.")
+        if self._train_step is None:
+            self._train_step = make_train_step(self.config, self.optimizer, donate=True)
+
+        def print_preview_batch():
+            log(self.test_and_predict_batch(preview_labeled_spectrogram_batch))
+
+        print_preview_batch()
+
+        mkdir(tensor_board_log_directory)
+        scalar_log = Path(tensor_board_log_directory) / "scalars.csv"
+        new_log = not scalar_log.exists()
+        batches = iter(labeled_spectrogram_batches)
+        initial_epoch = self.load_epoch if self.load_epoch is not None else 0
+        epoch = initial_epoch
+        with scalar_log.open("a", newline="") as scalar_file:
+            writer = csv.writer(scalar_file)
+            if new_log:
+                writer.writerow(["epoch", "step", "loss", "utterances_per_second",
+                                 "seconds_per_batch"])
+            while epoch_limit is None or epoch < epoch_limit:
+                if profile_first_epoch_to is not None and epoch == initial_epoch:
+                    jax.profiler.start_trace(str(profile_first_epoch_to))
+                epoch_start = time.time()
+                losses = []
+                utterances = 0
+                for _ in range(batches_per_epoch):
+                    batch, _labels = self._prepare_batch(next(batches))
+                    self.state, metrics = self._train_step(self.state, batch)
+                    losses.append(metrics["loss"])
+                    utterances += batch.inputs.shape[0]
+                mean_loss = float(np.mean([float(l) for l in losses]))
+                elapsed = time.time() - epoch_start
+                epoch += 1
+                if profile_first_epoch_to is not None and epoch == initial_epoch + 1:
+                    jax.profiler.stop_trace()
+                log("Epoch {}: loss {:.2f}, {:.1f} utterances/s".format(
+                    epoch, mean_loss, utterances / elapsed))
+                writer.writerow([epoch, int(self.state.step), mean_loss,
+                                 utterances / elapsed, elapsed / batches_per_epoch])
+                scalar_file.flush()
+                if epoch % callback_step == 0:
+                    print_preview_batch()
+                if epoch % save_step == 0 and epoch > 0:
+                    ckpt.save_checkpoint(net_directory, epoch, self.state.params,
+                                         self.state.opt_state)
+
+    def save(self, net_directory: Path, epoch: int) -> Path:
+        return ckpt.save_checkpoint(net_directory, epoch, self.state.params,
+                                    self.state.opt_state)

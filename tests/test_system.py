@@ -1,0 +1,124 @@
+"""System/API tests: the Wav2Letter facade and Configuration workflows end-to-end over a
+synthetic on-disk corpus (the reference's `minimal_english().train_from_beginning()` flow,
+scaled down)."""
+import numpy as np
+import pytest
+
+from speechless_tpu.configuration import Configuration, DataDirectories, LoggedRun
+from speechless_tpu.data import LibriSpeechCorpus, TrainingTestSplit
+from speechless_tpu.system import Wav2Letter
+from speechless_tpu.text import english_frequent_characters, german_frequent_characters
+from speechless_tpu.utils import log
+
+from conftest import make_test_wav
+from test_corpus import make_librispeech_tree
+
+
+@pytest.fixture
+def config(tmp_path):
+    corpus_root = tmp_path / "data" / "corpus" / "English"
+    make_librispeech_tree(corpus_root / "mini", ["hey there", "what's up", "all good", "yes"])
+
+    def corpus_factory(corpus_directory):
+        return LibriSpeechCorpus(base_directory=corpus_directory, corpus_name="mini",
+                                 training_test_split=TrainingTestSplit.overfit(3))
+
+    return Configuration(name="English", corpus_from_directory=corpus_factory,
+                         directories=DataDirectories(tmp_path / "data"),
+                         batch_size=2, training_batches_per_epoch=2)
+
+
+class TestWav2LetterFacade:
+    def test_constructor_guards(self):
+        with pytest.raises(ValueError, match="frozen"):
+            Wav2Letter(128, english_frequent_characters, frozen_layer_count=3)
+
+    def test_kenlm_vocabulary_check(self, tmp_path):
+        kenlm_dir = tmp_path / "kenlm"
+        kenlm_dir.mkdir()
+        (kenlm_dir / "vocabulary").write_text("".join(german_frequent_characters).upper())
+        with pytest.raises(ValueError, match="differ"):
+            Wav2Letter(128, english_frequent_characters, kenlm_directory=kenlm_dir)
+        # Matching vocabulary constructs fine (no ARPA file -> no LM fusion).
+        (kenlm_dir / "vocabulary").write_text("".join(english_frequent_characters))
+        w = Wav2Letter(128, english_frequent_characters, kenlm_directory=kenlm_dir)
+        assert w.language_model is None
+
+    def test_asg_train_not_implemented(self):
+        w = Wav2Letter(128, english_frequent_characters, use_asg=True)
+        assert w.grapheme_encoding.grapheme_set_size == len(english_frequent_characters) + 2
+        with pytest.raises(NotImplementedError):
+            w.train([], [], tensor_board_log_directory=None, net_directory=None,
+                    batches_per_epoch=1)
+
+    def test_stride_ratio(self):
+        assert Wav2Letter(128, english_frequent_characters) \
+            .input_to_prediction_length_ratio == 2
+
+
+class TestConfigurationWorkflows:
+    def test_train_checkpoint_resume_and_eval(self, config, tmp_path):
+        wav2letter = Wav2Letter(config.mel_frequency_count,
+                                allowed_characters=config.allowed_characters)
+        config.train(wav2letter, run_name="testrun", epoch_limit=2)
+
+        net_dir = config.directories.nets_base_directory / "testrun"
+        assert (net_dir / Wav2Letter.model_file_name(1)).exists()
+        assert (net_dir / Wav2Letter.model_file_name(2)).exists()
+        scalars = (config.directories.tensorboard_log_base_directory / "testrun" /
+                   "scalars.csv").read_text()
+        assert "utterances_per_second" in scalars
+        assert len(scalars.strip().splitlines()) == 3  # header + 2 epochs
+
+    def test_load_model_and_grouped_eval(self, config):
+        wav2letter = Wav2Letter(config.mel_frequency_count,
+                                allowed_characters=config.allowed_characters)
+        wav2letter.save(config.directories.nets_base_directory / "saved", epoch=7)
+
+        loaded = config.load_model(load_name="saved", load_epoch=7,
+                                   allowed_characters_for_loaded_model=None)
+        for a, b in zip(loaded.params, wav2letter.params):
+            np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+
+        result = config.test_model_grouped_by_loaded_corpus_name(loaded)
+        assert "mini" in result.result_batches_by_group_name
+        assert len(result.results) == 1  # one test example in the overfit(3) split
+
+    def test_transfer_load_german_from_english(self, config):
+        english = Wav2Letter(config.mel_frequency_count,
+                             allowed_characters=english_frequent_characters)
+        english.save(config.directories.nets_base_directory / "eng", epoch=1)
+        german = Wav2Letter(
+            config.mel_frequency_count, allowed_characters=german_frequent_characters,
+            load_model_from_directory=config.directories.nets_base_directory / "eng",
+            load_epoch=1, allowed_characters_for_loaded_model=english_frequent_characters,
+            frozen_layer_count=8)
+        assert german.config.grapheme_set_size == len(german_frequent_characters) + 1
+        # Shared trunk layers copied verbatim.
+        np.testing.assert_array_equal(np.asarray(german.params[0]["w"]),
+                                      np.asarray(english.params[0]["w"]))
+        # Output layer: shared chars kept, umlauts zero-initialized.
+        umlaut_index = german_frequent_characters.index("ä")
+        assert np.all(np.asarray(german.params[-1]["w"][:, :, umlaut_index]) == 0)
+
+    def test_predict_single_example(self, config):
+        wav2letter = Wav2Letter(config.mel_frequency_count,
+                                allowed_characters=config.allowed_characters)
+        example = config.batch_generator.preview_batch()[0]
+        prediction = wav2letter.predict(example)
+        assert isinstance(prediction, str)
+
+    def test_summarize_and_save_corpus(self, config):
+        config.summarize_and_save_corpus()
+        assert (config.corpus_directory / "corpus.csv").exists()
+        assert (config.corpus_directory / "summary.csv").exists()
+
+
+class TestLoggedRun:
+    def test_isolated_log_files(self, tmp_path):
+        r1 = LoggedRun(lambda: log("first"), "run1", tmp_path)
+        r2 = LoggedRun(lambda: log("second"), "run2", tmp_path)
+        r1()
+        r2()
+        assert (tmp_path / "run1").read_text() == "first\n"
+        assert (tmp_path / "run2").read_text() == "second\n"
