@@ -118,16 +118,72 @@ def frame_count(num_samples: int, hop_length: int = HOP_LENGTH) -> int:
     return 1 + num_samples // hop_length
 
 
-def _reflect_indices(padded_length: int, length, pad: int):
-    """Gather indices implementing centered reflect padding for a signal of dynamic ``length``.
+def _reflect_pad_batch(wavs: jnp.ndarray, lengths: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Centered reflect padding with per-example dynamic lengths, gather-free on the hot path.
 
-    For output position p in [0, padded_length): i = p - pad, mirrored without edge repetition
-    at 0 and ``length - 1``. ``length`` may be a traced scalar.
+    The left mirror is static (flip of the first ``pad`` samples). The right mirror depends
+    on each example's true length, but only ``pad`` samples per row: a tiny gather for the
+    mirrored values plus one `dynamic_update_slice` per row (vmapped). This replaces a
+    full-signal gather that dominated the feature time on TPU (~100ms at B=64 x 8.2s).
     """
-    i = jnp.arange(padded_length) - pad
-    i = jnp.abs(i)  # mirror at 0
-    i = jnp.where(i >= length, 2 * (length - 1) - i, i)  # mirror at length-1
-    return jnp.clip(i, 0, length - 1)
+    batch, max_len = wavs.shape
+    left = jnp.flip(wavs[:, 1:pad + 1], axis=1)
+    body = jnp.concatenate([left, wavs, jnp.zeros((batch, pad), wavs.dtype)], axis=1)
+
+    k = jnp.arange(pad)
+    mirror_src = jnp.clip(lengths[:, None] - 2 - k[None, :], 0, max_len - 1)
+    mirror_vals = jnp.take_along_axis(wavs, mirror_src, axis=1)  # (B, pad): cheap gather
+
+    def place(row, vals, length):
+        return jax.lax.dynamic_update_slice(row, vals, (length + pad,))
+
+    return jax.vmap(place)(body, mirror_vals, lengths)
+
+
+@lru_cache(maxsize=None)
+def _dft_conv_kernel(n_fft: int) -> np.ndarray:
+    """Windowed DFT bases as a conv kernel (n_fft, 1, 2*(1+n_fft//2)): [cos | sin]."""
+    cos_m, sin_m = _dft_matrices(n_fft)
+    return np.concatenate([cos_m, sin_m], axis=1)[:, None, :].astype(np.float32)
+
+
+def _features_core(wavs: jnp.ndarray, lengths: jnp.ndarray, n_fft: int, hop_length: int,
+                   n_mels: int, sample_rate: int) -> jnp.ndarray:
+    """Batched fused pipeline: reflect pad -> strided DFT conv (MXU) -> power -> dB ->
+    mel matmul -> masked per-example z-norm. All f32 with HIGHEST matmul precision (TPU
+    f32 matmuls otherwise run reduced-precision, breaking librosa parity)."""
+    batch, max_len = wavs.shape
+    pad = n_fft // 2
+    max_frames = frame_count(max_len, hop_length)
+
+    padded = _reflect_pad_batch(wavs.astype(jnp.float32), lengths, pad)
+
+    kernel = jnp.asarray(_dft_conv_kernel(n_fft))  # (n_fft, 1, 2*n_freq)
+    spectrum = jax.lax.conv_general_dilated(
+        padded[:, :, None], kernel, window_strides=(hop_length,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (B, T, 2*n_freq)
+    n_freq = 1 + n_fft // 2
+    power = spectrum[..., :n_freq] ** 2 + spectrum[..., n_freq:] ** 2
+
+    decibel = jnp.where(power > 0.0,
+                        jnp.maximum(10.0 * jnp.log10(jnp.maximum(power, 1e-45)), MIN_DECIBEL),
+                        MIN_DECIBEL)
+
+    mel_w = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels).T, dtype=jnp.float32)
+    mel_db = jnp.dot(decibel, mel_w, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # (B, T, n_mels)
+
+    valid_frames = (1 + lengths // hop_length)[:, None, None]
+    frame_mask = jnp.arange(max_frames)[None, :, None] < valid_frames  # (B, T, 1)
+    count = (valid_frames * n_mels).astype(jnp.float32)
+    masked = jnp.where(frame_mask, mel_db, 0.0)
+    mean = jnp.sum(masked, axis=(1, 2), keepdims=True) / count
+    var = jnp.sum(jnp.where(frame_mask, (mel_db - mean) ** 2, 0.0),
+                  axis=(1, 2), keepdims=True) / count
+    normalized = (mel_db - mean) * jax.lax.rsqrt(var)
+    return jnp.where(frame_mask, normalized, 0.0)
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "n_mels", "sample_rate", "max_frames"))
@@ -142,44 +198,11 @@ def features_from_padded(wav: jnp.ndarray, length: jnp.ndarray,
     valid region is identical to the unpadded computation.
     """
     wav = jnp.asarray(wav, dtype=jnp.float32)
-    padded_samples = wav.shape[0]
-    if max_frames is None:
-        max_frames = frame_count(padded_samples, hop_length)
-    pad = n_fft // 2
-
-    padded = wav[_reflect_indices(padded_samples + 2 * pad, length, pad)]
-
-    starts = jnp.arange(max_frames) * hop_length
-    frame_idx = starts[:, None] + jnp.arange(n_fft)[None, :]
-    frames = padded[jnp.clip(frame_idx, 0, padded_samples + 2 * pad - 1)]  # (T, n_fft)
-
-    # Precision.HIGHEST: TPU f32 matmuls otherwise run in reduced (bf16-pass) precision,
-    # which breaks the librosa-parity contract for the cached features.
-    cos_m, sin_m = _dft_matrices(n_fft)
-    cos_m = jnp.asarray(cos_m, dtype=jnp.float32)
-    sin_m = jnp.asarray(sin_m, dtype=jnp.float32)
-    real = jnp.dot(frames, cos_m, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    imag = jnp.dot(frames, sin_m, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    power = real * real + imag * imag  # (T, n_freq)
-
-    decibel = jnp.where(power > 0.0,
-                        jnp.maximum(10.0 * jnp.log10(jnp.maximum(power, 1e-45)), MIN_DECIBEL),
-                        MIN_DECIBEL)
-
-    mel_w = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels).T, dtype=jnp.float32)
-    mel_db = jnp.dot(decibel, mel_w, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # (T, n_mels)
-
-    valid_frames = 1 + length // hop_length
-    frame_mask = (jnp.arange(max_frames) < valid_frames)[:, None]  # (T, 1)
-    count = valid_frames * n_mels
-    masked = jnp.where(frame_mask, mel_db, 0.0)
-    mean = jnp.sum(masked) / count
-    var = jnp.sum(jnp.where(frame_mask, (mel_db - mean) ** 2, 0.0)) / count
-    normalized = (mel_db - mean) * jax.lax.rsqrt(var)
-    return jnp.where(frame_mask, normalized, 0.0)
+    result = _features_core(wav[None], jnp.asarray(length)[None].astype(jnp.int32),
+                            n_fft, hop_length, n_mels, sample_rate)[0]
+    if max_frames is not None and result.shape[0] != max_frames:
+        result = result[:max_frames]
+    return result
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "n_mels", "sample_rate"))
@@ -195,11 +218,8 @@ def features_batch(wavs: jnp.ndarray, lengths: jnp.ndarray,
     Returns:
       ``(features (batch, max_frames, n_mels) float32, frame_counts (batch,) int32)``.
     """
-    max_frames = frame_count(wavs.shape[1], hop_length)
-    feats = jax.vmap(
-        lambda w, l: features_from_padded(w, l, n_fft=n_fft, hop_length=hop_length,
-                                          n_mels=n_mels, sample_rate=sample_rate,
-                                          max_frames=max_frames))(wavs, lengths)
+    lengths = lengths.astype(jnp.int32)
+    feats = _features_core(wavs, lengths, n_fft, hop_length, n_mels, sample_rate)
     return feats, (1 + lengths // hop_length).astype(jnp.int32)
 
 

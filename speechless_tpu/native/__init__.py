@@ -24,6 +24,13 @@ class _Native:
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ]
+        lib.sl_decode_flac.restype = ctypes.c_int
+        lib.sl_decode_flac.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sl_free_buffer.restype = None
+        lib.sl_free_buffer.argtypes = [ctypes.POINTER(ctypes.c_float)]
 
     def levenshtein(self, a: str, b: str) -> int:
         a_buf = a.encode("utf-32-le")
@@ -31,6 +38,23 @@ class _Native:
         a_arr = (ctypes.c_uint32 * len(a)).from_buffer_copy(a_buf) if a else (ctypes.c_uint32 * 1)()
         b_arr = (ctypes.c_uint32 * len(b)).from_buffer_copy(b_buf) if b else (ctypes.c_uint32 * 1)()
         return int(self._lib.sl_levenshtein(a_arr, len(a), b_arr, len(b)))
+
+    def decode_flac(self, path: str):
+        """Decode a FLAC file to (mono float32 numpy array, sample_rate)."""
+        import numpy as np
+
+        samples = ctypes.POINTER(ctypes.c_float)()
+        count = ctypes.c_int64()
+        sample_rate = ctypes.c_int32()
+        status = self._lib.sl_decode_flac(path.encode(), ctypes.byref(samples),
+                                          ctypes.byref(count), ctypes.byref(sample_rate))
+        if status != 0:
+            raise ValueError("FLAC decode failed for {} (error {})".format(path, status))
+        try:
+            audio = np.ctypeslib.as_array(samples, shape=(count.value,)).copy()
+        finally:
+            self._lib.sl_free_buffer(samples)
+        return audio, int(sample_rate.value)
 
 
 def _needs_rebuild() -> bool:
