@@ -77,6 +77,15 @@ class Wav2Letter:
         self.use_asg = use_asg
         self.grapheme_encoding = (AsgGraphemeCodec(allowed_characters) if use_asg
                                   else CtcGraphemeCodec(allowed_characters))
+        if use_asg:
+            from .ops.asg import (default_asg_initial_probabilities,
+                                  default_asg_transition_probabilities)
+            if asg_transition_probabilities is None:
+                asg_transition_probabilities = default_asg_transition_probabilities(
+                    self.grapheme_encoding.grapheme_set_size)
+            if asg_initial_probabilities is None:
+                asg_initial_probabilities = default_asg_initial_probabilities(
+                    self.grapheme_encoding.grapheme_set_size)
         self.asg_transition_probabilities = asg_transition_probabilities
         self.asg_initial_probabilities = asg_initial_probabilities
         self.kenlm_directory = Path(kenlm_directory) if kenlm_directory else None
@@ -134,8 +143,14 @@ class Wav2Letter:
             if restored is not None and allowed_characters_for_loaded_model is None:
                 self.state = self.state._replace(opt_state=restored)
 
+        self._criterion = "asg" if use_asg else "ctc"
+        self._asg_tables = ((jnp.asarray(self.asg_transition_probabilities),
+                             jnp.asarray(self.asg_initial_probabilities))
+                            if use_asg else (None, None))
         self._train_step = None
-        self._eval_step = make_eval_step(self.config)
+        self._eval_step = make_eval_step(self.config, criterion=self._criterion,
+                                         asg_transitions=self._asg_tables[0],
+                                         asg_initials=self._asg_tables[1])
 
     # -- core model surface ----------------------------------------------
 
@@ -161,6 +176,11 @@ class Wav2Letter:
     # -- decoding / evaluation -------------------------------------------
 
     def _decode_tokens(self, log_probs, prediction_lengths) -> List[str]:
+        if self.use_asg:
+            # ASG: no blank; argmax + repeat-merge, repetition graphemes decoded by the codec.
+            tokens = np.argmax(np.asarray(log_probs), axis=2)
+            return self.grapheme_encoding.decode_grapheme_batch(
+                tokens, list(np.asarray(prediction_lengths)), merge_repeated=True)
         blank = self.grapheme_encoding.grapheme_set_size - 1
         if self.kenlm_directory is not None:
             tokens, counts = beam_search_decode(
@@ -253,11 +273,15 @@ class Wav2Letter:
               profile_first_epoch_to: Optional[Path] = None) -> None:
         """Train until interrupted (or ``epoch_limit``): an explicit epoch loop replacing
         `fit_generator` (`net.py:541-576`). Per epoch: preview predictions, checkpoint
-        (weights + optimizer state), scalar CSV log with utterances/sec."""
-        if self.use_asg:
-            raise NotImplementedError("ASG is not yet implemented.")
+        (weights + optimizer state), scalar CSV log with utterances/sec.
+
+        Supports both CTC and ASG criteria (the reference raises NotImplementedError for
+        ASG, `net.py:396-399`; here it is implemented — see ops/asg.py)."""
         if self._train_step is None:
-            self._train_step = make_train_step(self.config, self.optimizer, donate=True)
+            self._train_step = make_train_step(self.config, self.optimizer, donate=True,
+                                               criterion=self._criterion,
+                                               asg_transitions=self._asg_tables[0],
+                                               asg_initials=self._asg_tables[1])
 
         def print_preview_batch():
             log(self.test_and_predict_batch(preview_labeled_spectrogram_batch))

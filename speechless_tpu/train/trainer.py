@@ -63,25 +63,39 @@ def init_train_state(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTran
 
 
 def loss_fn(config: w2l.Wav2LetterConfig, params: Any, batch: Batch,
-            dropout_rng: Optional[jax.Array] = None, train: bool = True
+            dropout_rng: Optional[jax.Array] = None, train: bool = True,
+            criterion: str = "ctc", asg_transitions: Optional[jnp.ndarray] = None,
+            asg_initials: Optional[jnp.ndarray] = None
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Mean CTC loss over the batch; also returns per-example losses."""
+    """Mean CTC (or ASG) loss over the batch; also returns per-example losses."""
     logits = w2l.apply(config, params, batch.inputs, train=train, dropout_rng=dropout_rng)
     logit_lengths = w2l.prediction_lengths(config, batch.input_lengths)
-    blank = config.grapheme_set_size - 1
-    per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
-                                       batch.label_lengths, blank)
+    if criterion == "ctc":
+        blank = config.grapheme_set_size - 1
+        per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
+                                           batch.label_lengths, blank)
+    elif criterion == "asg":
+        from ..ops.asg import asg_loss
+        per_example = asg_loss(logits, logit_lengths, batch.labels, batch.label_lengths,
+                               transition_probabilities=asg_transitions,
+                               initial_probabilities=asg_initials)
+    else:
+        raise ValueError("Unknown criterion: {}".format(criterion))
     return jnp.mean(per_example), per_example
 
 
 def make_train_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
-                    donate: bool = True):
+                    donate: bool = True, criterion: str = "ctc",
+                    asg_transitions: Optional[jnp.ndarray] = None,
+                    asg_initials: Optional[jnp.ndarray] = None):
     """Build the jitted update step: ``(state, batch) -> (state, metrics)``."""
 
     def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         dropout_rng, next_rng = jax.random.split(state.dropout_rng)
         (loss, per_example), grads = jax.value_and_grad(
-            lambda p: loss_fn(config, p, batch, dropout_rng=dropout_rng), has_aux=True
+            lambda p: loss_fn(config, p, batch, dropout_rng=dropout_rng,
+                              criterion=criterion, asg_transitions=asg_transitions,
+                              asg_initials=asg_initials), has_aux=True
         )(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -92,7 +106,9 @@ def make_train_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTrans
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(config: w2l.Wav2LetterConfig):
+def make_eval_step(config: w2l.Wav2LetterConfig, criterion: str = "ctc",
+                   asg_transitions: Optional[jnp.ndarray] = None,
+                   asg_initials: Optional[jnp.ndarray] = None):
     """Jitted eval: ``(params, batch) -> (log_probs, logit_lengths, per_example_loss)``.
 
     Returns log-softmax outputs (for decoding) plus the per-utterance losses — the fused
@@ -102,9 +118,15 @@ def make_eval_step(config: w2l.Wav2LetterConfig):
     def eval_step(params: Any, batch: Batch):
         logits = w2l.apply(config, params, batch.inputs, train=False)
         logit_lengths = w2l.prediction_lengths(config, batch.input_lengths)
-        blank = config.grapheme_set_size - 1
-        per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
-                                           batch.label_lengths, blank)
+        if criterion == "ctc":
+            blank = config.grapheme_set_size - 1
+            per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
+                                               batch.label_lengths, blank)
+        else:
+            from ..ops.asg import asg_loss
+            per_example = asg_loss(logits, logit_lengths, batch.labels, batch.label_lengths,
+                                   transition_probabilities=asg_transitions,
+                                   initial_probabilities=asg_initials)
         return jax.nn.log_softmax(logits, axis=-1), logit_lengths, per_example
 
     return jax.jit(eval_step)

@@ -44,12 +44,18 @@ class TestWav2LetterFacade:
         w = Wav2Letter(128, english_frequent_characters, kenlm_directory=kenlm_dir)
         assert w.language_model is None
 
-    def test_asg_train_not_implemented(self):
+    def test_asg_system(self, config):
+        # The reference stubs ASG training with NotImplementedError (`net.py:396-399`);
+        # here the criterion is implemented end-to-end.
         w = Wav2Letter(128, english_frequent_characters, use_asg=True)
         assert w.grapheme_encoding.grapheme_set_size == len(english_frequent_characters) + 2
-        with pytest.raises(NotImplementedError):
-            w.train([], [], tensor_board_log_directory=None, net_directory=None,
-                    batches_per_epoch=1)
+        example = config.batch_generator.preview_batch()[0]
+        result = w.test_and_predict(example)
+        assert np.isfinite(result.loss)
+        assert isinstance(result.predicted, str)
+        config.train(w, run_name="asgrun", epoch_limit=1)
+        assert (config.directories.nets_base_directory / "asgrun" /
+                Wav2Letter.model_file_name(1)).exists()
 
     def test_stride_ratio(self):
         assert Wav2Letter(128, english_frequent_characters) \
