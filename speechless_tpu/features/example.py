@@ -184,13 +184,18 @@ class LabeledExampleFromFile(LabeledExample):
         if id is None:
             id = name_without_extension(audio_file)
         self.audio_file = Path(audio_file)
+        # A bound method rather than a lambda keeps instances picklable, which the
+        # multiprocessing cache fill requires (the reference's lambda-based design made its
+        # pool workers fail silently).
         super().__init__(
-            id=id,
-            get_raw_audio=lambda: audio_io.load_audio(self.audio_file, self.sample_rate),
+            id=id, get_raw_audio=self._load_audio,
             label=label, sample_rate=sample_rate_to_convert_to,
             fourier_window_length=fourier_window_length, hop_length=hop_length,
             mel_frequency_count=mel_frequency_count,
             label_with_tags=label_with_tags, positional_label=positional_label)
+
+    def _load_audio(self) -> np.ndarray:
+        return audio_io.load_audio(self.audio_file, self.sample_rate)
 
     @property
     def audio_directory(self) -> Path:

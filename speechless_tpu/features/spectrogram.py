@@ -225,10 +225,17 @@ def features_batch(wavs: jnp.ndarray, lengths: jnp.ndarray,
 
 def z_normalized_transposed_spectrogram(wav: np.ndarray) -> np.ndarray:
     """Single-utterance feature extraction (the `LabeledSpectrogram` contract,
-    `labeled_example.py:136-140`): returns ``(time, mel)`` float array."""
-    wav = np.asarray(wav, dtype=np.float32)
-    result = features_from_padded(jnp.asarray(wav), jnp.asarray(len(wav)))
-    return np.asarray(result)
+    `labeled_example.py:136-140`): returns ``(time, mel)`` float32 array.
+
+    Runs in pure numpy: this is the host path (disk-cache fill uses forked worker
+    processes, which must not touch the JAX backend; it also avoids competing with
+    training for the device). The batched on-device path (`features_batch`) is
+    parity-tested against this implementation.
+    """
+    level = power_level_spectrogram(np.asarray(wav, dtype=np.float32))
+    mel_db = mel_filterbank() @ level
+    normalized = (mel_db - mel_db.mean()) / mel_db.std()
+    return normalized.T.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -151,3 +151,25 @@ class TestBatching:
         assert sum(len(b) for b in batches) == 2
         train_iter = generator.training_batches()
         assert len(next(train_iter)) == 2
+
+
+class TestFillCache:
+    def test_fill_cache_multiprocessing(self, tmp_path):
+        # Exercises the forked-worker cache fill: the single-example feature path must be
+        # pure numpy (fork-safe, no JAX backend use in children).
+        corpus_dir = tmp_path / "fc"
+        make_librispeech_tree(corpus_dir, ["alpha", "beta", "gamma"])
+        corpus = LibriSpeechCorpus(base_directory=tmp_path, corpus_name="fc",
+                                   training_test_split=TrainingTestSplit.training_only)
+        generator = LabeledSpectrogramBatchGenerator(corpus, tmp_path / "cache", batch_size=2)
+        generator.fill_cache()
+        cached = list((tmp_path / "cache").glob("*.npy"))
+        assert len(cached) == 3
+        # Repair path: corrupt one cache entry, then repair quarantines + fixes it.
+        target = generator.labeled_spectrograms[0]
+        np.save(str(target.spectrogram_cache_file),
+                np.zeros_like(target.z_normalized_transposed_spectrogram()))
+        generator.fill_cache(repair_incorrect=True)
+        assert (tmp_path / "cache-incorrect").exists()
+        restored = target.z_normalized_transposed_spectrogram()
+        assert not np.allclose(restored, 0)

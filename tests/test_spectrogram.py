@@ -97,7 +97,8 @@ class TestFusedFeatures:
         padded = np.asarray(sg.features_from_padded(jnp.asarray(padded_wav),
                                                     jnp.asarray(len(wav))))
         valid = sg.frame_count(len(wav))
-        np.testing.assert_allclose(padded[:valid], unpadded, atol=1e-4)
+        # numpy-f64 host path vs fp32 DFT-conv device path
+        np.testing.assert_allclose(padded[:valid], unpadded, atol=2e-3)
         assert np.all(padded[valid:] == 0.0)
 
     def test_batch_matches_single(self, wav):
@@ -112,7 +113,7 @@ class TestFusedFeatures:
         for i in range(2):
             single = sg.z_normalized_transposed_spectrogram(wav[:lengths[i]])
             assert counts[i] == single.shape[0]
-            np.testing.assert_allclose(features[i, :counts[i]], single, atol=1e-4)
+            np.testing.assert_allclose(features[i, :counts[i]], single, atol=2e-3)
 
     def test_all_zero_audio_does_not_nan(self):
         import jax.numpy as jnp
