@@ -1,4 +1,8 @@
+from .asg import asg_loss
 from .ctc import ctc_loss, ctc_loss_from_logits
+from .ctc_pallas import ctc_loss_from_logits_pallas, ctc_loss_pallas
 from .decode import beam_search_decode, greedy_decode
+from .decode_jax import beam_search_decode_jax
 
-__all__ = ["ctc_loss", "ctc_loss_from_logits", "greedy_decode", "beam_search_decode"]
+__all__ = ["ctc_loss", "ctc_loss_from_logits", "ctc_loss_pallas", "ctc_loss_from_logits_pallas",
+           "asg_loss", "greedy_decode", "beam_search_decode", "beam_search_decode_jax"]
