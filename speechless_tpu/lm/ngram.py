@@ -113,17 +113,61 @@ class ArpaLanguageModel(LanguageModelScorer):
         return word in self.vocabulary
 
 
-def load_language_model(directory_or_file: Path) -> Optional[ArpaLanguageModel]:
+class NativeArpaLanguageModel(LanguageModelScorer):
+    """C++-backed ARPA scorer (``speechless_tpu/native/ngram_lm.cpp``) with the same
+    interface as `ArpaLanguageModel`; preferred for large models (fast load, compact)."""
+
+    def __init__(self, path: Path):
+        from ..native import _native
+
+        if _native is None:
+            raise RuntimeError("native extension unavailable")
+        self._native = _native
+        self._handle = _native.ngram_load(str(path))
+        self.order = _native.ngram_order(self._handle)
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._native.ngram_free(self._handle)
+            self._handle = None
+
+    def score_word(self, context: Sequence[str], word: str) -> float:
+        return self._native.ngram_score_word(self._handle, " ".join(context), word)
+
+    def is_valid_word(self, word: str) -> bool:
+        return self._native.ngram_is_valid_word(self._handle, word)
+
+    def score_sentence(self, words: Sequence[str], include_eos: bool = True) -> float:
+        total = 0.0
+        for i, word in enumerate(words):
+            total += self.score_word(words[:i], word)
+        if include_eos:
+            total += self.score_word(words, EOS)
+        return total
+
+
+def load_language_model(directory_or_file: Path,
+                        prefer_native: bool = True) -> Optional[LanguageModelScorer]:
     """Find and load an ARPA LM: accepts a file path or a KenLM-style directory containing
-    ``lm.arpa`` / ``*.arpa`` / ``*.arpa.gz``."""
+    ``lm.arpa`` / ``*.arpa`` / ``*.arpa.gz``. Uses the C++ scorer when available (Python
+    fallback, and always Python for gzip files)."""
     path = Path(directory_or_file)
+    candidate: Optional[Path] = None
     if path.is_file():
-        return ArpaLanguageModel.load(path)
-    if path.is_dir():
+        candidate = path
+    elif path.is_dir():
         candidates = (sorted(path.glob("lm.arpa")) + sorted(path.glob("*.arpa")) +
                       sorted(path.glob("*.arpa.gz")))
         if candidates:
-            return ArpaLanguageModel.load(candidates[0])
-        log("No ARPA language model found in {}; beam search runs without LM fusion.".format(
-            path))
-    return None
+            candidate = candidates[0]
+        else:
+            log("No ARPA language model found in {}; beam search runs without LM fusion."
+                .format(path))
+    if candidate is None:
+        return None
+    if prefer_native and candidate.suffix != ".gz":
+        try:
+            return NativeArpaLanguageModel(candidate)
+        except Exception as e:
+            log("Native n-gram scorer unavailable ({}); using Python scorer.".format(e))
+    return ArpaLanguageModel.load(candidate)

@@ -39,6 +39,39 @@ class _Native:
         b_arr = (ctypes.c_uint32 * len(b)).from_buffer_copy(b_buf) if b else (ctypes.c_uint32 * 1)()
         return int(self._lib.sl_levenshtein(a_arr, len(a), b_arr, len(b)))
 
+    def _bind_ngram(self):
+        lib = self._lib
+        lib.sl_ngram_load.restype = ctypes.c_void_p
+        lib.sl_ngram_load.argtypes = [ctypes.c_char_p]
+        lib.sl_ngram_free.restype = None
+        lib.sl_ngram_free.argtypes = [ctypes.c_void_p]
+        lib.sl_ngram_order.restype = ctypes.c_int
+        lib.sl_ngram_order.argtypes = [ctypes.c_void_p]
+        lib.sl_ngram_score_word.restype = ctypes.c_float
+        lib.sl_ngram_score_word.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                            ctypes.c_char_p]
+        lib.sl_ngram_is_valid_word.restype = ctypes.c_int
+        lib.sl_ngram_is_valid_word.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+
+    def ngram_load(self, path: str) -> int:
+        self._bind_ngram()
+        handle = self._lib.sl_ngram_load(path.encode())
+        if not handle:
+            raise ValueError("Failed to load ARPA language model from {}".format(path))
+        return handle
+
+    def ngram_free(self, handle: int) -> None:
+        self._lib.sl_ngram_free(handle)
+
+    def ngram_order(self, handle: int) -> int:
+        return int(self._lib.sl_ngram_order(handle))
+
+    def ngram_score_word(self, handle: int, context: str, word: str) -> float:
+        return float(self._lib.sl_ngram_score_word(handle, context.encode(), word.encode()))
+
+    def ngram_is_valid_word(self, handle: int, word: str) -> bool:
+        return bool(self._lib.sl_ngram_is_valid_word(handle, word.encode()))
+
     def decode_flac(self, path: str):
         """Decode a FLAC file to (mono float32 numpy array, sample_rate)."""
         import numpy as np
