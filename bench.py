@@ -29,6 +29,9 @@ MEASURE_STEPS = 10
 
 
 def main():
+    from speechless_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -128,3 +128,45 @@ class TestLoggedRun:
         r2()
         assert (tmp_path / "run1").read_text() == "first\n"
         assert (tmp_path / "run2").read_text() == "second\n"
+
+
+class TestResume:
+    def test_resume_continues_epoch_numbering_and_optimizer(self, config):
+        wav2letter = Wav2Letter(config.mel_frequency_count,
+                                allowed_characters=config.allowed_characters)
+        config.train(wav2letter, run_name="resumable", epoch_limit=2)
+        net_dir = config.directories.nets_base_directory / "resumable"
+
+        resumed = Wav2Letter(config.mel_frequency_count,
+                             allowed_characters=config.allowed_characters,
+                             load_model_from_directory=net_dir, load_epoch=2,
+                             allowed_characters_for_loaded_model=None)
+        # Optimizer state restored (the reference reset Adam moments on resume).
+        import jax
+        mu_leaves = [l for l in jax.tree_util.tree_leaves(resumed.state.opt_state)
+                     if hasattr(l, "shape") and l.ndim > 0]
+        assert any(np.abs(np.asarray(l)).sum() > 0 for l in mu_leaves)
+        config.train(resumed, run_name="resumable", epoch_limit=3)
+        assert (net_dir / Wav2Letter.model_file_name(3)).exists()
+        scalars = (config.directories.tensorboard_log_base_directory / "resumable" /
+                   "scalars.csv").read_text()
+        epochs = [int(line.split(",")[0]) for line in scalars.strip().splitlines()[1:]]
+        assert epochs == [1, 2, 3]
+
+
+class TestPrefetcher:
+    def test_prefetcher_orders_and_propagates_errors(self):
+        from speechless_tpu.data import Prefetcher
+
+        items = list(range(5))
+        out = list(Prefetcher(iter(items), prepare=lambda x: x * 2, depth=2))
+        assert out == [0, 2, 4, 6, 8]
+
+        def bad_iter():
+            yield 1
+            raise RuntimeError("source failed")
+
+        prefetcher = Prefetcher(bad_iter(), prepare=lambda x: x)
+        assert next(prefetcher) == 1
+        with pytest.raises(RuntimeError, match="source failed"):
+            list(prefetcher)
