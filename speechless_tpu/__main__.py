@@ -1,0 +1,105 @@
+"""Command-line interface: ``python -m speechless_tpu <command>``.
+
+Replaces the reference's `main.py` script (whose "CLI" was a single integer argv index into
+a hardcoded list, `/root/reference/main.py:147-148`) with explicit subcommands over the same
+workflows.
+"""
+import argparse
+import sys
+from pathlib import Path
+
+
+def _configuration(name: str):
+    from .configuration import Configuration
+
+    factories = {
+        "english": Configuration.english,
+        "minimal_english": Configuration.minimal_english,
+        "german": Configuration.german,
+        "mixed_german_english": Configuration.mixed_german_english,
+    }
+    if name not in factories:
+        raise SystemExit("Unknown configuration '{}'. Available: {}".format(
+            name, ", ".join(sorted(factories))))
+    return factories[name]()
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="speechless_tpu",
+                                     description="TPU-native wav2letter speech recognition")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def add_config_arg(p):
+        p.add_argument("--config", default="minimal_english",
+                       help="named configuration (english, minimal_english, german, "
+                            "mixed_german_english)")
+
+    p_train = sub.add_parser("train", help="train from scratch")
+    add_config_arg(p_train)
+    p_train.add_argument("--epochs", type=int, default=None, help="epoch limit")
+
+    p_transfer = sub.add_parser("transfer", help="transfer-train from the best English model")
+    add_config_arg(p_transfer)
+    p_transfer.add_argument("--freeze", type=int, default=0, help="frozen layer count")
+    p_transfer.add_argument("--reinitialize", action="store_true")
+    p_transfer.add_argument("--epochs", type=int, default=None)
+
+    p_test = sub.add_parser("test", help="evaluate a checkpoint grouped by sub-corpus")
+    add_config_arg(p_test)
+    p_test.add_argument("--run", required=True, help="run name under nets/")
+    p_test.add_argument("--epoch", type=int, required=True)
+    p_test.add_argument("--kenlm", action="store_true", help="beam search with LM fusion")
+
+    p_validate = sub.add_parser("validate", help="epoch-sweep evaluation to CSV")
+    add_config_arg(p_validate)
+    p_validate.add_argument("--run", required=True)
+    p_validate.add_argument("--csv", required=True)
+
+    p_summarize = sub.add_parser("summarize", help="summarize + save the corpus CSV")
+    add_config_arg(p_summarize)
+
+    p_cache = sub.add_parser("fill-cache", help="precompute the spectrogram cache")
+    add_config_arg(p_cache)
+    p_cache.add_argument("--repair", action="store_true", help="verify + repair entries")
+
+    p_record = sub.add_parser("record", help="record from the microphone and transcribe")
+    add_config_arg(p_record)
+    p_record.add_argument("--run", default=None, help="run name to load (default: best)")
+    p_record.add_argument("--epoch", type=int, default=None)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "train":
+        _configuration(args.config).train_from_beginning(epoch_limit=args.epochs)
+    elif args.command == "transfer":
+        _configuration(args.config).train_transfer_from_best_english_model(
+            frozen_layer_count=args.freeze,
+            reinitialize_trainable_loaded_layers=args.reinitialize,
+            epoch_limit=args.epochs)
+    elif args.command == "test":
+        configuration = _configuration(args.config)
+        wav2letter = configuration.load_model(
+            load_name=args.run, load_epoch=args.epoch,
+            allowed_characters_for_loaded_model=None, use_kenlm=args.kenlm)
+        configuration.test_model_grouped_by_loaded_corpus_name(wav2letter)
+    elif args.command == "validate":
+        from .experiments import validate_to_csv
+        validate_to_csv(_configuration(args.config), args.run, Path(args.csv))
+    elif args.command == "summarize":
+        _configuration(args.config).summarize_and_save_corpus()
+    elif args.command == "fill-cache":
+        _configuration(args.config).fill_cache(repair_incorrect=args.repair)
+    elif args.command == "record":
+        from .io import record_plot_and_save
+        configuration = _configuration(args.config)
+        example = record_plot_and_save()
+        if args.run is not None:
+            wav2letter = configuration.load_model(load_name=args.run, load_epoch=args.epoch,
+                                                  allowed_characters_for_loaded_model=None)
+        else:
+            wav2letter = configuration.load_best_english_model()
+        print(wav2letter.predict(example))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Low-latency inference: a compiled transcriber for production serving.
+
+The reference's predict path rebuilt host-side batches through Keras session runs; here a
+`Transcriber` holds one jitted wav -> tokens function per length bucket (feature extraction,
+acoustic model, and greedy decode fused into a single device program), so a transcription
+request costs one host->device transfer + one program + one small fetch. Covers the
+BASELINE.json "p50 predict latency" axis.
+"""
+import time
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .data.batching import DEFAULT_TIME_BUCKETS
+from .features import audio_io
+from .models import wav2letter as w2l
+from .ops.decode import greedy_decode
+from .text.graphemes import CtcGraphemeCodec
+
+
+class Transcriber:
+    """Serve transcriptions from a trained wav2letter checkpoint."""
+
+    def __init__(self, config: w2l.Wav2LetterConfig, params: w2l.Params,
+                 allowed_characters: List[str],
+                 sample_buckets: Sequence[int] = tuple(b * 128 for b in DEFAULT_TIME_BUCKETS)):
+        import jax
+        import jax.numpy as jnp
+
+        self.config = config
+        self.params = params
+        self.codec = CtcGraphemeCodec(allowed_characters)
+        self.sample_buckets = tuple(sorted(sample_buckets))
+        self._jax = jax
+        self._jnp = jnp
+
+        def transcribe_fn(params, wav, length):
+            from .features.spectrogram import features_batch
+
+            features, frame_counts = features_batch(wav[None], length[None])
+            logits = w2l.apply(config, params, features)
+            logit_lengths = w2l.prediction_lengths(config, frame_counts)
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
+            tokens, counts = greedy_decode(log_probs, logit_lengths,
+                                           config.grapheme_set_size - 1)
+            return tokens[0], counts[0]
+
+        self._transcribe = jax.jit(transcribe_fn)
+
+    @staticmethod
+    def from_checkpoint(net_directory: Path, epoch: int, allowed_characters: List[str],
+                        mel_frequency_count: int = 128, **config_kwargs) -> "Transcriber":
+        from .train.checkpoint import load_params
+
+        config = w2l.Wav2LetterConfig(
+            input_size_per_time_step=mel_frequency_count,
+            grapheme_set_size=len(allowed_characters) + 1, **config_kwargs)
+        return Transcriber(config, load_params(net_directory, epoch), allowed_characters)
+
+    def _bucket(self, num_samples: int) -> int:
+        for bucket in self.sample_buckets:
+            if num_samples <= bucket:
+                return bucket
+        return ((num_samples + 65535) // 65536) * 65536
+
+    def transcribe_audio(self, audio: np.ndarray) -> str:
+        """Transcribe a mono 16 kHz float32 waveform."""
+        jnp = self._jnp
+        length = len(audio)
+        bucket = self._bucket(length)
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[:length] = audio
+        tokens, count = self._transcribe(self.params, jnp.asarray(padded),
+                                         jnp.asarray(length, jnp.int32))
+        tokens = np.asarray(tokens)[: int(count)]
+        return self.codec.decode_graphemes(tokens.tolist(), merge_repeated=False)
+
+    def transcribe_file(self, path: Path, sample_rate: int = 16000) -> str:
+        return self.transcribe_audio(audio_io.load_audio(path, sample_rate))
+
+    def warm_up(self, durations_s: Sequence[float] = (1.0, 4.0, 8.0)) -> None:
+        """Compile the per-bucket programs ahead of serving."""
+        for duration in durations_s:
+            self.transcribe_audio(np.zeros(int(duration * 16000), np.float32))
+
+    def measure_latency(self, duration_s: float = 4.0, iterations: int = 20
+                        ) -> Tuple[float, float]:
+        """Returns (p50, p95) seconds for a single-utterance transcription request."""
+        audio = (0.1 * np.random.RandomState(0).randn(int(duration_s * 16000))
+                 ).astype(np.float32)
+        self.transcribe_audio(audio)  # compile
+        times = []
+        for _ in range(iterations):
+            start = time.time()
+            self.transcribe_audio(audio)
+            times.append(time.time() - start)
+        return float(np.percentile(times, 50)), float(np.percentile(times, 95))

@@ -170,3 +170,23 @@ class TestPrefetcher:
         assert next(prefetcher) == 1
         with pytest.raises(RuntimeError, match="source failed"):
             list(prefetcher)
+
+
+class TestServing:
+    def test_transcriber_from_checkpoint(self, config, tmp_path):
+        wav2letter = Wav2Letter(config.mel_frequency_count,
+                                allowed_characters=config.allowed_characters)
+        wav2letter.save(tmp_path / "net", epoch=1)
+        from speechless_tpu.serving import Transcriber
+        transcriber = Transcriber.from_checkpoint(tmp_path / "net", 1,
+                                                  config.allowed_characters)
+        audio = np.random.RandomState(0).randn(12345).astype(np.float32) * 0.1
+        text = transcriber.transcribe_audio(audio)
+        assert isinstance(text, str)
+        # Same audio, different padding bucket boundary -> same result (masking correct).
+        text2 = transcriber.transcribe_audio(audio)
+        assert text == text2
+        wav_path = tmp_path / "t.wav"
+        from speechless_tpu.features.audio_io import write_wav
+        write_wav(wav_path, audio, 16000)
+        assert isinstance(transcriber.transcribe_file(wav_path), str)
