@@ -289,6 +289,8 @@ class Wav2Letter:
         print_preview_batch()
 
         mkdir(tensor_board_log_directory)
+        from .utils.tensorboard import SummaryWriter
+        tensorboard = SummaryWriter(tensor_board_log_directory)
         scalar_log = Path(tensor_board_log_directory) / "scalars.csv"
         new_log = not scalar_log.exists()
         batches = iter(labeled_spectrogram_batches)
@@ -320,6 +322,9 @@ class Wav2Letter:
                 writer.writerow([epoch, int(self.state.step), mean_loss,
                                  utterances / elapsed, elapsed / batches_per_epoch])
                 scalar_file.flush()
+                tensorboard.add_scalar("loss", mean_loss, epoch)
+                tensorboard.add_scalar("utterances_per_second", utterances / elapsed, epoch)
+                tensorboard.flush()
                 if epoch % callback_step == 0:
                     print_preview_batch()
                 if epoch % save_step == 0 and epoch > 0:
