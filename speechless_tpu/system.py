@@ -289,11 +289,15 @@ class Wav2Letter:
         print_preview_batch()
 
         mkdir(tensor_board_log_directory)
+        from .data.batching import Prefetcher
         from .utils.tensorboard import SummaryWriter
         tensorboard = SummaryWriter(tensor_board_log_directory)
         scalar_log = Path(tensor_board_log_directory) / "scalars.csv"
         new_log = not scalar_log.exists()
-        batches = iter(labeled_spectrogram_batches)
+        # Host-side batch preparation (cache reads + padding + transfer) overlaps device
+        # compute via a background prefetch thread.
+        batches = Prefetcher(iter(labeled_spectrogram_batches),
+                             prepare=self._prepare_batch, depth=2)
         initial_epoch = self.load_epoch if self.load_epoch is not None else 0
         epoch = initial_epoch
         with scalar_log.open("a", newline="") as scalar_file:
@@ -308,11 +312,13 @@ class Wav2Letter:
                 losses = []
                 utterances = 0
                 for _ in range(batches_per_epoch):
-                    batch, _labels = self._prepare_batch(next(batches))
+                    batch, _labels = next(batches)
                     self.state, metrics = self._train_step(self.state, batch)
                     losses.append(metrics["loss"])
                     utterances += batch.inputs.shape[0]
-                mean_loss = float(np.mean([float(l) for l in losses]))
+                # One device->host fetch per epoch (per-step fetches would serialize on the
+                # dispatch round-trip).
+                mean_loss = float(jnp.mean(jnp.stack(losses)))
                 elapsed = time.time() - epoch_start
                 epoch += 1
                 if profile_first_epoch_to is not None and epoch == initial_epoch + 1:
