@@ -35,11 +35,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from speechless_tpu.features.spectrogram import features_batch
     from speechless_tpu.models import wav2letter as w2l
     from speechless_tpu.text.charsets import english_frequent_characters
-    from speechless_tpu.train import trainer as trainer_mod
-    from speechless_tpu.train.trainer import Batch, init_train_state, make_optimizer
+    from speechless_tpu.train.trainer import (WavBatch, init_train_state, make_optimizer,
+                                              make_wav_train_step)
 
     platform = jax.devices()[0].platform
     config = w2l.Wav2LetterConfig(
@@ -57,30 +56,18 @@ def main():
                                      size=(BATCH_SIZE, LABEL_LENGTH)).astype(np.int32))
     label_lengths = jnp.asarray(np.full(BATCH_SIZE, LABEL_LENGTH, np.int32))
 
-    def step(state, wavs, wav_lengths, labels, label_lengths):
-        features, frame_counts = features_batch(wavs, wav_lengths)
-        batch = Batch(inputs=features, input_lengths=frame_counts,
-                      labels=labels, label_lengths=label_lengths)
-        dropout_rng, next_rng = jax.random.split(state.dropout_rng)
-        (loss, _), grads = jax.value_and_grad(
-            lambda p: trainer_mod.loss_fn(config, p, batch, dropout_rng=dropout_rng),
-            has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        import optax
-        params = optax.apply_updates(state.params, updates)
-        return state._replace(step=state.step + 1, params=params, opt_state=opt_state,
-                              dropout_rng=next_rng), loss
-
-    jitted = jax.jit(step, donate_argnums=(0,))
+    jitted = make_wav_train_step(config, optimizer, donate=True)
+    batch = WavBatch(wavs=wavs, wav_lengths=wav_lengths, labels=labels,
+                     label_lengths=label_lengths)
 
     for _ in range(WARMUP_STEPS):
-        state, loss = jitted(state, wavs, wav_lengths, labels, label_lengths)
-    float(loss)  # value transfer: the only reliable sync over the tunneled backend
+        state, metrics = jitted(state, batch)
+    float(metrics["loss"])  # value transfer: the only reliable sync over this backend
 
     start = time.time()
     for _ in range(MEASURE_STEPS):
-        state, loss = jitted(state, wavs, wav_lengths, labels, label_lengths)
-    final_loss = float(loss)  # steps chain through `state`, so this waits for all of them
+        state, metrics = jitted(state, batch)
+    final_loss = float(metrics["loss"])  # steps chain through `state`: waits for all
     elapsed = time.time() - start
     assert np.isfinite(final_loss)
 

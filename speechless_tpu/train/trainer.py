@@ -38,6 +38,14 @@ class Batch(NamedTuple):
     label_lengths: jnp.ndarray   # (B,) int32
 
 
+class WavBatch(NamedTuple):
+    """A raw-audio batch for the fully-fused (features-on-device) training path."""
+    wavs: jnp.ndarray            # (B, samples) float32 zero-padded 16 kHz audio
+    wav_lengths: jnp.ndarray     # (B,) int32 true sample counts
+    labels: jnp.ndarray          # (B, U) int32, -1 padded
+    label_lengths: jnp.ndarray   # (B,) int32
+
+
 def make_optimizer(learning_rate: float = 1e-4,
                    trainable: Optional[List[bool]] = None) -> optax.GradientTransformation:
     """Adam with optional per-layer freezing mask."""
@@ -94,6 +102,38 @@ def make_train_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTrans
         dropout_rng, next_rng = jax.random.split(state.dropout_rng)
         (loss, per_example), grads = jax.value_and_grad(
             lambda p: loss_fn(config, p, batch, dropout_rng=dropout_rng,
+                              criterion=criterion, asg_transitions=asg_transitions,
+                              asg_initials=asg_initials), has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state,
+                               dropout_rng=next_rng)
+        return new_state, {"loss": loss, "per_example_loss": per_example}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_wav_train_step(config: w2l.Wav2LetterConfig,
+                        optimizer: optax.GradientTransformation,
+                        donate: bool = True, criterion: str = "ctc",
+                        asg_transitions: Optional[jnp.ndarray] = None,
+                        asg_initials: Optional[jnp.ndarray] = None):
+    """Fully-fused update step from raw audio: feature extraction runs on device inside the
+    same XLA program as forward/backward/Adam (the bench and multichip-dryrun path).
+
+    ``(state, WavBatch) -> (state, metrics)``; sharding carried by input/param shardings.
+    """
+    from ..features.spectrogram import features_batch
+
+    def train_step(state: TrainState, batch: WavBatch
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        features, frame_counts = features_batch(batch.wavs, batch.wav_lengths)
+        feature_batch = Batch(inputs=features, input_lengths=frame_counts,
+                              labels=batch.labels, label_lengths=batch.label_lengths)
+        dropout_rng, next_rng = jax.random.split(state.dropout_rng)
+        (loss, per_example), grads = jax.value_and_grad(
+            lambda p: loss_fn(config, p, feature_batch, dropout_rng=dropout_rng,
                               criterion=criterion, asg_transitions=asg_transitions,
                               asg_initials=asg_initials), has_aux=True
         )(state.params)
