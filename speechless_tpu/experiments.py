@@ -61,7 +61,8 @@ class ExperimentRegistry:
     def run(self, index: int) -> None:
         name, action = self._runs[index]
         log("Dispatching evaluation {} ({} of {}).".format(name, index + 1, len(self._runs)))
-        LoggedRun(action, name + ".txt")()
+        results_directory = self.configuration_factory().directories.test_results_directory
+        LoggedRun(action, name + ".txt", results_directory)()
 
     def run_all(self) -> None:
         for index in range(len(self._runs)):
