@@ -1,5 +1,5 @@
-from .batching import (LabeledSpectrogramBatchGenerator, Prefetcher, batch_from_spectrograms,
-                       bucket_length, pad_to_bucket)
+from .batching import (LabeledSpectrogramBatchGenerator, Prefetcher, ShardedBatchGenerator,
+                       batch_from_spectrograms, bucket_length, pad_to_bucket)
 from .corpus import ComposedCorpus, Corpus, ParsingException, Phase, TrainingTestSplit
 from .german import (GermanClarinCorpus, GermanVoxforgeCorpus, UmlautDecoder,
                      clarin_corpora_sorted_by_size, german_corpus, german_frequent_characters)
@@ -7,7 +7,8 @@ from .librispeech import (LibriSpeechCorpus, dev_clean, english_corpus,
                           english_frequent_characters, minimal_english_corpus)
 
 __all__ = ["Corpus", "ComposedCorpus", "TrainingTestSplit", "Phase", "ParsingException",
-           "LabeledSpectrogramBatchGenerator", "Prefetcher", "pad_to_bucket", "bucket_length",
+           "LabeledSpectrogramBatchGenerator", "ShardedBatchGenerator", "Prefetcher",
+           "pad_to_bucket", "bucket_length",
            "batch_from_spectrograms", "LibriSpeechCorpus", "dev_clean", "english_corpus",
            "minimal_english_corpus", "english_frequent_characters", "GermanClarinCorpus",
            "GermanVoxforgeCorpus", "UmlautDecoder", "clarin_corpora_sorted_by_size",

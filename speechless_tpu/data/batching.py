@@ -86,6 +86,40 @@ class LabeledSpectrogramBatchGenerator:
                 log("Cache fill: {} examples failed.".format(failures))
 
 
+class ShardedBatchGenerator(LabeledSpectrogramBatchGenerator):
+    """Per-host input sharding for multi-host training (SURVEY.md §2c).
+
+    Every host draws the *same* deterministic global batch per step (seeded by step index)
+    and keeps its own disjoint slice, so the per-host batches concatenate to exactly the
+    global batch regardless of host count — the standard JAX multi-host feeding pattern.
+    """
+
+    def __init__(self, corpus, spectrogram_cache_directory: Path, batch_size: int = 64,
+                 host_id: Optional[int] = None, host_count: Optional[int] = None,
+                 seed: int = 42):
+        super().__init__(corpus, spectrogram_cache_directory, batch_size)
+        if host_id is None or host_count is None:
+            import jax
+
+            host_id = jax.process_index()
+            host_count = jax.process_count()
+        if batch_size % host_count != 0:
+            raise ValueError("batch_size {} must divide evenly across {} hosts".format(
+                batch_size, host_count))
+        self.host_id = host_id
+        self.host_count = host_count
+        self.seed = seed
+
+    def training_batches(self) -> Iterator[List[LabeledSpectrogram]]:
+        per_host = self.batch_size // self.host_count
+        step = 0
+        while True:
+            rand = random.Random("{}:{}".format(self.seed, step))
+            global_batch = rand.sample(self.labeled_training_spectrograms, self.batch_size)
+            yield global_batch[self.host_id * per_host:(self.host_id + 1) * per_host]
+            step += 1
+
+
 def bucket_length(length: int, buckets: Sequence[int] = DEFAULT_TIME_BUCKETS,
                   fallback_multiple: int = 512) -> int:
     """Smallest bucket >= length; beyond the table, round up to a multiple."""

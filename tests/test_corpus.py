@@ -173,3 +173,39 @@ class TestFillCache:
         assert (tmp_path / "cache-incorrect").exists()
         restored = target.z_normalized_transposed_spectrogram()
         assert not np.allclose(restored, 0)
+
+
+class TestShardedBatchGenerator:
+    def test_hosts_get_disjoint_slices_of_same_global_batch(self, tmp_path):
+        from speechless_tpu.data.batching import ShardedBatchGenerator
+        corpus_dir = tmp_path / "shard"
+        make_librispeech_tree(corpus_dir, ["a b", "c d", "e f", "g h", "i j", "k l"])
+        corpus = LibriSpeechCorpus(base_directory=tmp_path, corpus_name="shard",
+                                   training_test_split=TrainingTestSplit.training_only)
+        g0 = ShardedBatchGenerator(corpus, tmp_path / "c0", batch_size=4,
+                                   host_id=0, host_count=2)
+        g1 = ShardedBatchGenerator(corpus, tmp_path / "c1", batch_size=4,
+                                   host_id=1, host_count=2)
+        it0, it1 = g0.training_batches(), g1.training_batches()
+        for _ in range(3):
+            b0 = [s.id for s in next(it0)]
+            b1 = [s.id for s in next(it1)]
+            assert len(b0) == len(b1) == 2
+            assert not set(b0) & set(b1)  # disjoint
+        # Deterministic: a fresh generator replays the same sequence.
+        g0b = ShardedBatchGenerator(corpus, tmp_path / "c0", batch_size=4,
+                                    host_id=0, host_count=2)
+        assert [s.id for s in next(g0b.training_batches())] == \
+            [s.id for s in next(ShardedBatchGenerator(corpus, tmp_path / "c0", batch_size=4,
+                                                      host_id=0, host_count=2)
+                                .training_batches())]
+
+    def test_batch_size_must_divide(self, tmp_path):
+        from speechless_tpu.data.batching import ShardedBatchGenerator
+        corpus_dir = tmp_path / "shard2"
+        make_librispeech_tree(corpus_dir, ["x y"])
+        corpus = LibriSpeechCorpus(base_directory=tmp_path, corpus_name="shard2",
+                                   training_test_split=TrainingTestSplit.training_only)
+        with pytest.raises(ValueError, match="divide"):
+            ShardedBatchGenerator(corpus, tmp_path / "c", batch_size=3,
+                                  host_id=0, host_count=2)
