@@ -122,6 +122,24 @@ class Configuration:
                    .format(self.name, self.sampled_training_example_count_extension()),
                    **train_kwargs)
 
+    def train_or_resume(self, run_name: str, **train_kwargs) -> None:
+        """Crash recovery workflow: resume ``run_name`` from its latest checkpoint (weights
+        + optimizer state) or start it from scratch if none exists. The reference required
+        manually picking ``load_epoch`` (SURVEY.md §5); here recovery is automatic."""
+        from .experiments import available_epochs
+
+        net_directory = self.directories.nets_base_directory / run_name
+        epochs = available_epochs(net_directory)
+        if epochs:
+            log("Resuming run {} from epoch {}.".format(run_name, epochs[-1]))
+            wav2letter = self.load_model(load_name=run_name, load_epoch=epochs[-1],
+                                         allowed_characters_for_loaded_model=None)
+        else:
+            log("Starting run {} from scratch.".format(run_name))
+            wav2letter = Wav2Letter(self.mel_frequency_count,
+                                    allowed_characters=self.allowed_characters)
+        self.train(wav2letter, run_name=run_name, **train_kwargs)
+
     def train_transfer_from_best_english_model(
             self, frozen_layer_count: int,
             reinitialize_trainable_loaded_layers: bool = False, **train_kwargs) -> None:

@@ -190,3 +190,17 @@ class TestServing:
         from speechless_tpu.features.audio_io import write_wav
         write_wav(wav_path, audio, 16000)
         assert isinstance(transcriber.transcribe_file(wav_path), str)
+
+
+class TestTrainOrResume:
+    def test_auto_resume_from_latest(self, config):
+        config.train_or_resume("auto", epoch_limit=1)
+        net_dir = config.directories.nets_base_directory / "auto"
+        assert (net_dir / Wav2Letter.model_file_name(1)).exists()
+        # Second invocation resumes from epoch 1 and continues to 2.
+        config.train_or_resume("auto", epoch_limit=2)
+        assert (net_dir / Wav2Letter.model_file_name(2)).exists()
+        scalars = (config.directories.tensorboard_log_base_directory / "auto" /
+                   "scalars.csv").read_text()
+        epochs = [int(line.split(",")[0]) for line in scalars.strip().splitlines()[1:]]
+        assert epochs == [1, 2]
