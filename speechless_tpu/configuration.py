@@ -129,12 +129,19 @@ class Configuration:
         from .experiments import available_epochs
 
         net_directory = self.directories.nets_base_directory / run_name
-        epochs = available_epochs(net_directory)
-        if epochs:
-            log("Resuming run {} from epoch {}.".format(run_name, epochs[-1]))
-            wav2letter = self.load_model(load_name=run_name, load_epoch=epochs[-1],
-                                         allowed_characters_for_loaded_model=None)
-        else:
+        wav2letter = None
+        # Walk back past unreadable checkpoints (e.g. truncated by the crash being
+        # recovered from; writes are atomic, but belt and braces).
+        for epoch in reversed(available_epochs(net_directory)):
+            try:
+                wav2letter = self.load_model(load_name=run_name, load_epoch=epoch,
+                                             allowed_characters_for_loaded_model=None)
+                log("Resuming run {} from epoch {}.".format(run_name, epoch))
+                break
+            except Exception as e:
+                log("Checkpoint epoch {} of run {} unreadable ({}); trying earlier.".format(
+                    epoch, run_name, e))
+        if wav2letter is None:
             log("Starting run {} from scratch.".format(run_name))
             wav2letter = Wav2Letter(self.mel_frequency_count,
                                     allowed_characters=self.allowed_characters)

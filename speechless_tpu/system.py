@@ -142,6 +142,10 @@ class Wav2Letter:
                                            self.state.opt_state)
             if restored is not None and allowed_characters_for_loaded_model is None:
                 self.state = self.state._replace(opt_state=restored)
+            saved_step = ckpt.load_step(load_model_from_directory, load_epoch)
+            if saved_step is not None and allowed_characters_for_loaded_model is None:
+                self.state = self.state._replace(
+                    step=jnp.asarray(saved_step, jnp.int32))
 
         self._criterion = "asg" if use_asg else "ctc"
         self._asg_tables = ((jnp.asarray(self.asg_transition_probabilities),
@@ -335,8 +339,8 @@ class Wav2Letter:
                     print_preview_batch()
                 if epoch % save_step == 0 and epoch > 0:
                     ckpt.save_checkpoint(net_directory, epoch, self.state.params,
-                                         self.state.opt_state)
+                                         self.state.opt_state, step=int(self.state.step))
 
     def save(self, net_directory: Path, epoch: int) -> Path:
         return ckpt.save_checkpoint(net_directory, epoch, self.state.params,
-                                    self.state.opt_state)
+                                    self.state.opt_state, step=int(self.state.step))

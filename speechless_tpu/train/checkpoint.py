@@ -6,6 +6,7 @@ File naming keeps the reference's convention ``weights-epoch{n}`` (`net.py:558-5
 on resume (SURVEY.md §5) — optimizer state is saved alongside the weights and restored when
 resuming, while transfer loads intentionally take weights only.
 """
+import os
 from pathlib import Path
 from typing import Any, List, Optional, Tuple
 
@@ -22,8 +23,10 @@ def model_file_name(epoch: int) -> str:
 
 
 def save_checkpoint(directory: Path, epoch: int, params: w2l.Params,
-                    opt_state: Any = None) -> Path:
-    """Write params (and flattened optimizer state) to ``directory/weights-epoch{n}.npz``."""
+                    opt_state: Any = None, step: Optional[int] = None) -> Path:
+    """Write params (plus flattened optimizer state and the global step counter) to
+    ``directory/weights-epoch{n}.npz``. The write is atomic (temp file + rename) so a crash
+    mid-save never leaves a truncated checkpoint for ``train_or_resume`` to trip on."""
     directory = Path(directory)
     mkdir(directory)
     arrays = {}
@@ -34,8 +37,13 @@ def save_checkpoint(directory: Path, epoch: int, params: w2l.Params,
         leaves = jax.tree_util.tree_leaves(opt_state)
         for i, leaf in enumerate(leaves):
             arrays["opt.{}".format(i)] = np.asarray(leaf)
+    if step is not None:
+        arrays["step"] = np.asarray(int(step))
     path = directory / model_file_name(epoch)
-    np.savez(str(path), **arrays)
+    temp_path = directory / (model_file_name(epoch) + ".tmp")
+    with temp_path.open("wb") as f:  # file object: np.savez won't append a suffix
+        np.savez(f, **arrays)
+    os.replace(str(temp_path), str(path))
     return path
 
 
@@ -47,6 +55,13 @@ def load_params(directory: Path, epoch: int) -> w2l.Params:
                               for k in data.files if k.startswith("layer"))
         return [{key: jnp.asarray(data["layer{}.{}".format(i, key)])
                  for key in ("w", "b")} for i in range(layer_count)]
+
+
+def load_step(directory: Path, epoch: int) -> Optional[int]:
+    """Restore the global step counter saved alongside the weights (None if absent)."""
+    path = Path(directory) / model_file_name(epoch)
+    with np.load(str(path)) as data:
+        return int(data["step"]) if "step" in data.files else None
 
 
 def load_opt_state(directory: Path, epoch: int, opt_state_template: Any) -> Optional[Any]:

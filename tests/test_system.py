@@ -204,3 +204,21 @@ class TestTrainOrResume:
                    "scalars.csv").read_text()
         epochs = [int(line.split(",")[0]) for line in scalars.strip().splitlines()[1:]]
         assert epochs == [1, 2]
+
+
+class TestCrashRecovery:
+    def test_resume_skips_truncated_checkpoint_and_restores_step(self, config):
+        config.train_or_resume("crashy", epoch_limit=1)
+        net_dir = config.directories.nets_base_directory / "crashy"
+        # Simulate a crash mid-save of epoch 2: a truncated npz.
+        (net_dir / Wav2Letter.model_file_name(2)).write_bytes(b"PK\x03\x04 truncated")
+        config.train_or_resume("crashy", epoch_limit=2)  # must fall back to epoch 1
+        import numpy as np_
+        loaded = np_.load(str(net_dir / Wav2Letter.model_file_name(2)))
+        assert "layer0.w" in loaded.files  # epoch 2 rewritten as a valid checkpoint
+        # Step counter carries across resume (2 batches/epoch in this config).
+        resumed = Wav2Letter(config.mel_frequency_count,
+                             allowed_characters=config.allowed_characters,
+                             load_model_from_directory=net_dir, load_epoch=2,
+                             allowed_characters_for_loaded_model=None)
+        assert int(resumed.state.step) == 4
