@@ -94,7 +94,15 @@ def main(argv=None) -> None:
         configuration = _configuration(args.config)
         example = record_plot_and_save()
         if args.run is not None:
-            wav2letter = configuration.load_model(load_name=args.run, load_epoch=args.epoch,
+            epoch = args.epoch
+            if epoch is None:
+                from .experiments import available_epochs
+                epochs = available_epochs(
+                    configuration.directories.nets_base_directory / args.run)
+                if not epochs:
+                    raise SystemExit("No checkpoints found for run '{}'.".format(args.run))
+                epoch = epochs[-1]
+            wav2letter = configuration.load_model(load_name=args.run, load_epoch=epoch,
                                                   allowed_characters_for_loaded_model=None)
         else:
             wav2letter = configuration.load_best_english_model()

@@ -119,6 +119,27 @@ class ShardedBatchGenerator(LabeledSpectrogramBatchGenerator):
             yield global_batch[self.host_id * per_host:(self.host_id + 1) * per_host]
             step += 1
 
+    def training_batches_with_hints(self, hop_length: int = 128,
+                                    sample_rate: int = 16000):
+        """Yield ``(host_slice, (min_frames, min_label_length))`` where the hints are
+        computed from the *global* batch, so every host pads to the same bucket —
+        independently bucketing the per-host slices would let hosts pick different static
+        shapes for the same step and break SPMD. Frame hints come from duration probes
+        (upper bound, padding-only error); label hints from raw label lengths (an upper
+        bound for both CTC and ASG encodings)."""
+        per_host = self.batch_size // self.host_count
+        step = 0
+        while True:
+            rand = random.Random("{}:{}".format(self.seed, step))
+            global_batch = rand.sample(self.labeled_training_spectrograms, self.batch_size)
+            min_frames = max(
+                1 + (int(s.original.duration_in_s * sample_rate) + hop_length) // hop_length
+                for s in global_batch)
+            min_label_length = max(len(s.label) for s in global_batch)
+            yield (global_batch[self.host_id * per_host:(self.host_id + 1) * per_host],
+                   (min_frames, min_label_length))
+            step += 1
+
 
 def bucket_length(length: int, buckets: Sequence[int] = DEFAULT_TIME_BUCKETS,
                   fallback_multiple: int = 512) -> int:
@@ -131,24 +152,29 @@ def bucket_length(length: int, buckets: Sequence[int] = DEFAULT_TIME_BUCKETS,
 
 def pad_to_bucket(spectrograms: List[np.ndarray], labels: List[str], codec: GraphemeCodec,
                   time_buckets: Sequence[int] = DEFAULT_TIME_BUCKETS,
-                  label_multiple: int = LABEL_BUCKET_MULTIPLE) -> Batch:
+                  label_multiple: int = LABEL_BUCKET_MULTIPLE,
+                  min_frames: int = 0, min_label_length: int = 0) -> Batch:
     """Assemble a statically-shaped `Batch` from per-utterance (time, mel) features.
 
     Zero-pads features to the time bucket, encodes labels -1-padded to a label bucket
     (the reference's padding scheme, `net.py:578-587` + `grapheme_enconding.py:28`,
-    but with bucketed rather than exact-max shapes).
+    but with bucketed rather than exact-max shapes). ``min_frames``/``min_label_length``
+    floor the bucket choice — multi-host feeding passes global-batch hints here so all
+    hosts pick identical static shapes.
     """
     batch_size = len(spectrograms)
     input_lengths = np.array([s.shape[0] for s in spectrograms], dtype=np.int32)
-    t_max = bucket_length(int(input_lengths.max()), time_buckets)
+    t_max = bucket_length(max(int(input_lengths.max()), min_frames), time_buckets)
     feature_dim = spectrograms[0].shape[1]
     inputs = np.zeros((batch_size, t_max, feature_dim), dtype=np.float32)
     for i, s in enumerate(spectrograms):
         inputs[i, : s.shape[0]] = s
 
     encoded = codec.encode_label_batch(labels)
-    label_lengths = np.array([len(codec.encode(label)) for label in labels], dtype=np.int32)
-    u_max = max(((encoded.shape[1] + label_multiple - 1) // label_multiple) * label_multiple,
+    label_lengths = (encoded >= 0).sum(axis=1).astype(np.int32) if encoded.size \
+        else np.zeros(batch_size, np.int32)
+    label_extent = max(encoded.shape[1], min_label_length)
+    u_max = max(((label_extent + label_multiple - 1) // label_multiple) * label_multiple,
                 label_multiple)
     padded_labels = -np.ones((batch_size, u_max), dtype=np.int32)
     padded_labels[:, : encoded.shape[1]] = encoded
@@ -168,23 +194,54 @@ def batch_from_spectrograms(batch: List[LabeledSpectrogram], codec: GraphemeCode
 
 
 class Prefetcher:
-    """Background-thread prefetch of prepared batches onto the device."""
+    """Background-thread prefetch of prepared batches onto the device.
+
+    Close (or use as a context manager) when done: with an infinite source iterator the
+    worker would otherwise keep preparing and holding ``depth`` device batches alive for
+    the life of the process."""
 
     def __init__(self, batch_iterator: Iterator, prepare, depth: int = 2):
         self._iterator = batch_iterator
         self._prepare = prepare
         self._queue: Queue = Queue(maxsize=depth)
         self._done = object()
+        self._stopped = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         try:
             for item in self._iterator:
-                self._queue.put(self._prepare(item))
+                if self._stopped.is_set():
+                    return
+                prepared = self._prepare(item)
+                while not self._stopped.is_set():
+                    try:
+                        self._queue.put(prepared, timeout=0.1)
+                        break
+                    except Exception:  # queue.Full
+                        continue
+                if self._stopped.is_set():
+                    return
         except Exception as e:  # surface worker errors to the consumer
             self._queue.put(e)
         self._queue.put(self._done)
+
+    def close(self):
+        """Stop the worker and drop any buffered batches."""
+        self._stopped.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except Exception:  # queue.Empty
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc_info):
+        self.close()
 
     def __iter__(self):
         return self

@@ -111,22 +111,26 @@ class LabeledExample(LabeledSpectrogram):
                     frequency_scale: SpectrogramFrequencyScale = SpectrogramFrequencyScale.linear
                     ) -> np.ndarray:
         audio = self.get_raw_audio()
+        n_fft, hop = self.fourier_window_length, self.hop_length
         if type == SpectrogramType.power:
-            result = sg.power_spectrogram(audio)
+            result = sg.power_spectrogram(audio, n_fft, hop)
         elif type == SpectrogramType.amplitude:
-            result = sg.amplitude_spectrogram(audio)
+            result = sg.amplitude_spectrogram(audio, n_fft, hop)
         elif type == SpectrogramType.power_level:
-            result = sg.power_level_spectrogram(audio)
+            result = sg.power_level_spectrogram(audio, n_fft, hop)
         else:
             raise ValueError(type)
         if frequency_scale == SpectrogramFrequencyScale.mel:
-            result = sg.to_mel_scale(result, self.sample_rate, self.fourier_window_length,
+            result = sg.to_mel_scale(result, self.sample_rate, n_fft,
                                      self.mel_frequency_count)
         return result
 
     def z_normalized_transposed_spectrogram(self) -> np.ndarray:
-        """(time, mel) float32 features via the fused JAX pipeline."""
-        return sg.z_normalized_transposed_spectrogram(self.get_raw_audio())
+        """(time, mel) float32 features honouring this example's DSP parameters."""
+        return sg.z_normalized_transposed_spectrogram(
+            self.get_raw_audio(), n_fft=self.fourier_window_length,
+            hop_length=self.hop_length, n_mels=self.mel_frequency_count,
+            sample_rate=self.sample_rate)
 
     def mel_frequencies(self) -> List[float]:
         return list(sg.mel_frequencies(self.mel_frequency_count + 2,

@@ -182,7 +182,8 @@ def _features_core(wavs: jnp.ndarray, lengths: jnp.ndarray, n_fft: int, hop_leng
     mean = jnp.sum(masked, axis=(1, 2), keepdims=True) / count
     var = jnp.sum(jnp.where(frame_mask, (mel_db - mean) ** 2, 0.0),
                   axis=(1, 2), keepdims=True) / count
-    normalized = (mel_db - mean) * jax.lax.rsqrt(var)
+    # Zero-variance guard: a silent utterance in a batch must not NaN-poison gradients.
+    normalized = (mel_db - mean) * jax.lax.rsqrt(jnp.maximum(var, 1e-20))
     return jnp.where(frame_mask, normalized, 0.0)
 
 
@@ -223,7 +224,10 @@ def features_batch(wavs: jnp.ndarray, lengths: jnp.ndarray,
     return feats, (1 + lengths // hop_length).astype(jnp.int32)
 
 
-def z_normalized_transposed_spectrogram(wav: np.ndarray) -> np.ndarray:
+def z_normalized_transposed_spectrogram(wav: np.ndarray, n_fft: int = N_FFT,
+                                        hop_length: int = HOP_LENGTH,
+                                        n_mels: int = MEL_COUNT,
+                                        sample_rate: int = SAMPLE_RATE) -> np.ndarray:
     """Single-utterance feature extraction (the `LabeledSpectrogram` contract,
     `labeled_example.py:136-140`): returns ``(time, mel)`` float32 array.
 
@@ -232,9 +236,11 @@ def z_normalized_transposed_spectrogram(wav: np.ndarray) -> np.ndarray:
     training for the device). The batched on-device path (`features_batch`) is
     parity-tested against this implementation.
     """
-    level = power_level_spectrogram(np.asarray(wav, dtype=np.float32))
-    mel_db = mel_filterbank() @ level
-    normalized = (mel_db - mel_db.mean()) / mel_db.std()
+    level = power_level_spectrogram(np.asarray(wav, dtype=np.float32), n_fft, hop_length)
+    mel_db = mel_filterbank(sample_rate, n_fft, n_mels) @ level
+    # Zero-variance guard: constant audio (silent clips exist in real corpora) must yield
+    # zero features, not NaNs that poison training.
+    normalized = (mel_db - mel_db.mean()) / max(float(mel_db.std()), 1e-10)
     return normalized.T.astype(np.float32)
 
 
@@ -254,16 +260,19 @@ def stft_numpy(wav: np.ndarray, n_fft: int = N_FFT, hop_length: int = HOP_LENGTH
     return (np.fft.rfft(frames * _hann_window(n_fft), axis=1)).T
 
 
-def power_spectrogram(wav: np.ndarray) -> np.ndarray:
-    return np.abs(stft_numpy(wav)) ** 2
+def power_spectrogram(wav: np.ndarray, n_fft: int = N_FFT,
+                      hop_length: int = HOP_LENGTH) -> np.ndarray:
+    return np.abs(stft_numpy(wav, n_fft, hop_length)) ** 2
 
 
-def amplitude_spectrogram(wav: np.ndarray) -> np.ndarray:
-    return np.abs(stft_numpy(wav))
+def amplitude_spectrogram(wav: np.ndarray, n_fft: int = N_FFT,
+                          hop_length: int = HOP_LENGTH) -> np.ndarray:
+    return np.abs(stft_numpy(wav, n_fft, hop_length))
 
 
-def power_level_spectrogram(wav: np.ndarray) -> np.ndarray:
-    power = power_spectrogram(wav)
+def power_level_spectrogram(wav: np.ndarray, n_fft: int = N_FFT,
+                            hop_length: int = HOP_LENGTH) -> np.ndarray:
+    power = power_spectrogram(wav, n_fft, hop_length)
     with np.errstate(divide="ignore"):
         level = 10.0 * np.log10(power)
     level = np.where(power == 0.0, MIN_DECIBEL, np.maximum(level, MIN_DECIBEL))

@@ -102,6 +102,8 @@ def beam_search_decode(
 
     def lm_bonus(prefix: Tuple[int, ...]) -> float:
         """Score the just-completed word when ``prefix`` ends at a boundary."""
+        if len(prefix) >= 2 and prefix[-2] == space_index:
+            return 0.0  # consecutive space: the word was already scored at the first one
         chars = [alphabet[i] for i in prefix[:-1]]
         text = "".join(chars)
         words = text.split()
@@ -118,7 +120,6 @@ def beam_search_decode(
         beams = {(): (0.0, NEG_INF, 0.0)}
         for t in range(int(lengths[b])):
             row = log_probs[b, t]
-            top_classes = np.argsort(row)[::-1]
             candidates: dict = {}
 
             def add(prefix, p_b, p_nb, lm_score):
@@ -131,8 +132,7 @@ def beam_search_decode(
                 # Emit blank: prefix unchanged, ends-in-blank.
                 add(prefix, total + row[blank], NEG_INF, lm_score)
                 last = prefix[-1] if prefix else None
-                for c in top_classes:
-                    c = int(c)
+                for c in range(len(row)):
                     if c == blank:
                         continue
                     p_c = row[c]

@@ -98,7 +98,9 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     appended = jnp.where(position == parent_lengths[:, None], (extension - 1)[:, None],
                          parent_prefixes)
     new_prefixes = jnp.where((extension > 0)[:, None], appended, parent_prefixes)
-    new_lengths = parent_lengths + (extension > 0)
+    # Clamp at capacity: a token beyond max_len is dropped by the positional write above,
+    # so the count must not claim it either.
+    new_lengths = jnp.minimum(parent_lengths + (extension > 0), max_len)
 
     new_state = (new_prefixes, new_lengths, new_hashes, new_pb, new_pnb)
     # Outside the valid range, keep the old state (frame masked out; `active` is scalar).

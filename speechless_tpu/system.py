@@ -304,7 +304,7 @@ class Wav2Letter:
                              prepare=self._prepare_batch, depth=2)
         initial_epoch = self.load_epoch if self.load_epoch is not None else 0
         epoch = initial_epoch
-        with scalar_log.open("a", newline="") as scalar_file:
+        with batches, scalar_log.open("a", newline="") as scalar_file:
             writer = csv.writer(scalar_file)
             if new_log:
                 writer.writerow(["epoch", "step", "loss", "utterances_per_second",
@@ -340,6 +340,7 @@ class Wav2Letter:
                 if epoch % save_step == 0 and epoch > 0:
                     ckpt.save_checkpoint(net_directory, epoch, self.state.params,
                                          self.state.opt_state, step=int(self.state.step))
+        tensorboard.close()
 
     def save(self, net_directory: Path, epoch: int) -> Path:
         return ckpt.save_checkpoint(net_directory, epoch, self.state.params,

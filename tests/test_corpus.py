@@ -209,3 +209,34 @@ class TestShardedBatchGenerator:
         with pytest.raises(ValueError, match="divide"):
             ShardedBatchGenerator(corpus, tmp_path / "c", batch_size=3,
                                   host_id=0, host_count=2)
+
+
+class TestMultiHostBucketHints:
+    def test_hints_align_buckets_across_hosts(self, tmp_path):
+        from speechless_tpu.data.batching import ShardedBatchGenerator, pad_to_bucket
+        from speechless_tpu.text import CtcGraphemeCodec, english_frequent_characters
+        corpus_dir = tmp_path / "hints"
+        # durations differ so per-host maxima can diverge without the hint
+        make_librispeech_tree(corpus_dir, ["short", "medium one", "a longer label here",
+                                           "tiny"])
+        corpus = LibriSpeechCorpus(base_directory=tmp_path, corpus_name="hints",
+                                   training_test_split=TrainingTestSplit.training_only)
+        codec = CtcGraphemeCodec(english_frequent_characters)
+        g0 = ShardedBatchGenerator(corpus, tmp_path / "c", batch_size=4,
+                                   host_id=0, host_count=2)
+        g1 = ShardedBatchGenerator(corpus, tmp_path / "c", batch_size=4,
+                                   host_id=1, host_count=2)
+        it0 = g0.training_batches_with_hints()
+        it1 = g1.training_batches_with_hints()
+        for _ in range(3):
+            slice0, hints0 = next(it0)
+            slice1, hints1 = next(it1)
+            assert hints0 == hints1  # identical global view
+            b0 = pad_to_bucket([s.z_normalized_transposed_spectrogram() for s in slice0],
+                               [s.label for s in slice0], codec,
+                               min_frames=hints0[0], min_label_length=hints0[1])
+            b1 = pad_to_bucket([s.z_normalized_transposed_spectrogram() for s in slice1],
+                               [s.label for s in slice1], codec,
+                               min_frames=hints1[0], min_label_length=hints1[1])
+            assert b0.inputs.shape == b1.inputs.shape
+            assert b0.labels.shape == b1.labels.shape
