@@ -9,19 +9,25 @@ import sys
 from pathlib import Path
 
 
-def _configuration(name: str):
-    from .configuration import Configuration
+def _configuration(name: str, data_dir=None, batch_size=None, batches_per_epoch=None):
+    from .configuration import Configuration, DataDirectories
 
+    directories = DataDirectories(Path(data_dir)) if data_dir else None
     factories = {
-        "english": Configuration.english,
-        "minimal_english": Configuration.minimal_english,
-        "german": Configuration.german,
+        "english": lambda: Configuration.english(directories=directories),
+        "minimal_english": lambda: Configuration.minimal_english(directories=directories),
+        "german": lambda: Configuration.german(directories=directories),
         "mixed_german_english": Configuration.mixed_german_english,
     }
     if name not in factories:
         raise SystemExit("Unknown configuration '{}'. Available: {}".format(
             name, ", ".join(sorted(factories))))
-    return factories[name]()
+    configuration = factories[name]()
+    if batch_size is not None:
+        configuration.batch_size = batch_size
+    if batches_per_epoch is not None:
+        configuration.training_batches_per_epoch = batches_per_epoch
+    return configuration
 
 
 def main(argv=None) -> None:
@@ -33,6 +39,10 @@ def main(argv=None) -> None:
         p.add_argument("--config", default="minimal_english",
                        help="named configuration (english, minimal_english, german, "
                             "mixed_german_english)")
+        p.add_argument("--data-dir", default=None,
+                       help="data root (default: ~/speechless-data)")
+        p.add_argument("--batch-size", type=int, default=None)
+        p.add_argument("--batches-per-epoch", type=int, default=None)
 
     p_train = sub.add_parser("train", help="train from scratch")
     add_config_arg(p_train)
@@ -70,28 +80,28 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     if args.command == "train":
-        _configuration(args.config).train_from_beginning(epoch_limit=args.epochs)
+        _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).train_from_beginning(epoch_limit=args.epochs)
     elif args.command == "transfer":
-        _configuration(args.config).train_transfer_from_best_english_model(
+        _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).train_transfer_from_best_english_model(
             frozen_layer_count=args.freeze,
             reinitialize_trainable_loaded_layers=args.reinitialize,
             epoch_limit=args.epochs)
     elif args.command == "test":
-        configuration = _configuration(args.config)
+        configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)
         wav2letter = configuration.load_model(
             load_name=args.run, load_epoch=args.epoch,
             allowed_characters_for_loaded_model=None, use_kenlm=args.kenlm)
         configuration.test_model_grouped_by_loaded_corpus_name(wav2letter)
     elif args.command == "validate":
         from .experiments import validate_to_csv
-        validate_to_csv(_configuration(args.config), args.run, Path(args.csv))
+        validate_to_csv(_configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch), args.run, Path(args.csv))
     elif args.command == "summarize":
-        _configuration(args.config).summarize_and_save_corpus()
+        _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).summarize_and_save_corpus()
     elif args.command == "fill-cache":
-        _configuration(args.config).fill_cache(repair_incorrect=args.repair)
+        _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).fill_cache(repair_incorrect=args.repair)
     elif args.command == "record":
         from .io import record_plot_and_save
-        configuration = _configuration(args.config)
+        configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)
         example = record_plot_and_save()
         if args.run is not None:
             epoch = args.epoch

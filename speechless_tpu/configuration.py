@@ -75,17 +75,19 @@ class Configuration:
     # -- named configurations --------------------------------------------
 
     @staticmethod
-    def english() -> "Configuration":
-        return Configuration(name="English", corpus_from_directory=english_corpus)
+    def english(directories: "DataDirectories" = None) -> "Configuration":
+        return Configuration(name="English", corpus_from_directory=english_corpus,
+                             directories=directories)
 
     @staticmethod
-    def minimal_english() -> "Configuration":
-        return Configuration(name="English", corpus_from_directory=minimal_english_corpus)
+    def minimal_english(directories: "DataDirectories" = None) -> "Configuration":
+        return Configuration(name="English", corpus_from_directory=minimal_english_corpus,
+                             directories=directories)
 
     @staticmethod
     def german(from_cached: bool = True,
-               sampled_training_example_count_when_loading_from_cached: Optional[int] = None
-               ) -> "Configuration":
+               sampled_training_example_count_when_loading_from_cached: Optional[int] = None,
+               directories: "DataDirectories" = None) -> "Configuration":
         def load_cached_corpus(corpus_directory: Path) -> Corpus:
             return Corpus.load(
                 corpus_directory / "corpus.csv",
@@ -94,7 +96,8 @@ class Configuration:
 
         return Configuration(
             name="German", allowed_characters=german_frequent_characters,
-            corpus_from_directory=load_cached_corpus if from_cached else german_corpus)
+            corpus_from_directory=load_cached_corpus if from_cached else german_corpus,
+            directories=directories)
 
     @staticmethod
     def mixed_german_english() -> "Configuration":

@@ -1,0 +1,48 @@
+"""CLI end-to-end tests: the real `python -m speechless_tpu` argument surface driven
+in-process against a synthetic dev-clean corpus (no network: the tree pre-exists, so the
+LibriSpeech downloader is never triggered)."""
+import numpy as np
+import pytest
+
+from speechless_tpu.__main__ import main
+
+from test_corpus import make_librispeech_tree
+
+
+@pytest.fixture
+def data_dir(tmp_path):
+    # minimal_english expects corpus/English/dev-clean/...
+    make_librispeech_tree(tmp_path / "corpus" / "English" / "dev-clean",
+                          ["hello there", "nice day", "good one"])
+    return tmp_path
+
+
+class TestCli:
+    def test_train_and_validate_roundtrip(self, data_dir):
+        main(["train", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--epochs", "1", "--batch-size", "2", "--batches-per-epoch", "2"])
+        nets = data_dir / "nets"
+        runs = [d.name for d in nets.iterdir()]
+        assert len(runs) == 1
+        assert (nets / runs[0] / "weights-epoch1.npz").exists()
+
+        csv_file = data_dir / "sweep.csv"
+        main(["validate", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--batch-size", "2", "--run", runs[0], "--csv", str(csv_file)])
+        lines = csv_file.read_text().strip().splitlines()
+        assert len(lines) == 2 and lines[1].startswith("1,")
+
+        main(["test", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--batch-size", "2", "--run", runs[0], "--epoch", "1"])
+
+    def test_summarize_and_fill_cache(self, data_dir):
+        main(["summarize", "--config", "minimal_english", "--data-dir", str(data_dir)])
+        assert (data_dir / "corpus" / "English" / "corpus.csv").exists()
+        assert (data_dir / "corpus" / "English" / "summary.csv").exists()
+        main(["fill-cache", "--config", "minimal_english", "--data-dir", str(data_dir)])
+        cached = list((data_dir / "spectrogram-cache" / "English").glob("*.npy"))
+        assert len(cached) == 3
+
+    def test_unknown_config_exits(self, data_dir):
+        with pytest.raises(SystemExit):
+            main(["train", "--config", "bogus", "--data-dir", str(data_dir)])
