@@ -222,3 +222,14 @@ class TestCrashRecovery:
                              load_model_from_directory=net_dir, load_epoch=2,
                              allowed_characters_for_loaded_model=None)
         assert int(resumed.state.step) == 4
+
+
+class TestProfiling:
+    def test_profiler_trace_written(self, config, tmp_path):
+        wav2letter = Wav2Letter(config.mel_frequency_count,
+                                allowed_characters=config.allowed_characters)
+        trace_dir = tmp_path / "trace"
+        config.train(wav2letter, run_name="profiled", epoch_limit=1,
+                     profile_first_epoch_to=trace_dir)
+        traces = list(trace_dir.rglob("*.xplane.pb")) + list(trace_dir.rglob("*.trace.json*"))
+        assert traces, list(trace_dir.rglob("*"))
