@@ -33,9 +33,12 @@ def _segment_logsumexp(values: jnp.ndarray, segment_ids: jnp.ndarray,
     return jnp.where(sums > 0, maxima_safe + jnp.log(jnp.maximum(sums, 1e-38)), NEG_INF)
 
 
-def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len: int):
-    """One time step of prefix beam search for one batch element."""
-    prefixes, lengths, hashes, p_b, p_nb = state
+def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len: int,
+               lm_table=None, lm_weight: float = 0.0, lm_base: int = 0):
+    """One time step of prefix beam search for one batch element. ``lm_table`` is an
+    optional dense char-n-gram log10-prob table (contexts, classes) applied as shallow
+    fusion on every extension; per-beam rolling context indices ride in the state."""
+    prefixes, lengths, hashes, p_b, p_nb, contexts = state
     class_count = log_probs_t.shape[0]
     w = beam_width
     n = w * (class_count + 1)
@@ -56,6 +59,14 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
                            p_b[:, None] + log_probs_t[None, :],
                            total[:, None] + log_probs_t[None, :])  # (W, C)
     ext_scores = jnp.where(valid[:, None] & (chars[None, :] != blank), ext_scores, NEG_INF)
+    if lm_table is not None:
+        # Shallow fusion: log10 P_lm(c | rolling char context), scaled into natural log.
+        # The table covers the lm alphabet (no blank); pad remaining classes with zeros.
+        lm_scores = lm_table[contexts]  # (W, lm_base)
+        if lm_scores.shape[1] < class_count:
+            lm_scores = jnp.pad(lm_scores,
+                                ((0, 0), (0, class_count - lm_scores.shape[1])))
+        ext_scores = ext_scores + lm_weight * lm_scores * 2.302585093
     ext_hashes = hashes[:, None] * HASH_MULTIPLIER + (chars[None, :] + 2).astype(jnp.uint32)
 
     # Flatten: candidate n = beam w * (C+1) + e, with e=0 stay, e=c+1 extend-with-c.
@@ -94,6 +105,15 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
 
     parent_prefixes = prefixes[parent]
     parent_lengths = lengths[parent]
+    parent_contexts = contexts[parent]
+    if lm_table is not None:
+        # Rolling context in the LM's own alphabet base; out-of-alphabet chars reset to 0.
+        char = jnp.maximum(extension - 1, 0)
+        extended_ctx = jnp.where(char < lm_base,
+                                 (parent_contexts * lm_base + char) % lm_table.shape[0], 0)
+        new_contexts = jnp.where(extension > 0, extended_ctx, parent_contexts)
+    else:
+        new_contexts = parent_contexts
     position = jnp.arange(max_len)[None, :]
     appended = jnp.where(position == parent_lengths[:, None], (extension - 1)[:, None],
                          parent_prefixes)
@@ -102,21 +122,26 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     # so the count must not claim it either.
     new_lengths = jnp.minimum(parent_lengths + (extension > 0), max_len)
 
-    new_state = (new_prefixes, new_lengths, new_hashes, new_pb, new_pnb)
+    new_state = (new_prefixes, new_lengths, new_hashes, new_pb, new_pnb, new_contexts)
     # Outside the valid range, keep the old state (frame masked out; `active` is scalar).
     return jax.tree.map(lambda new, old: jnp.where(active, new, old), new_state, state)
 
 
-@partial(jax.jit, static_argnames=("blank", "beam_width", "max_decoded_length"))
+@partial(jax.jit, static_argnames=("blank", "beam_width", "max_decoded_length",
+                                   "lm_weight"))
 def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: int,
                            beam_width: int = 25,
-                           max_decoded_length: int = 256
+                           max_decoded_length: int = 256,
+                           lm_table: jnp.ndarray = None,
+                           lm_weight: float = 0.5
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched on-device CTC prefix beam search (no LM fusion).
+    """Batched on-device CTC prefix beam search, optionally with char-n-gram LM fusion.
 
     Args:
       log_probs: ``(batch, time, classes)`` log probabilities.
       lengths: ``(batch,)`` valid frame counts.
+      lm_table: optional dense char-LM table (``lm/char_ngram.py``), (contexts, classes)
+        log10 probs resident on device; fused with weight ``lm_weight``.
     Returns:
       ``tokens (batch, max_decoded_length) int32`` (-1 padded) and ``counts (batch,)``.
     """
@@ -130,13 +155,17 @@ def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: 
                                   jnp.zeros((w - 1,), jnp.uint32)])
         p_b = jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), NEG_INF)])
         p_nb = jnp.full((w,), NEG_INF)
-        state = (prefixes, lengths0, hashes, p_b, p_nb)
+        contexts = jnp.zeros((w,), jnp.int32)
+        state = (prefixes, lengths0, hashes, p_b, p_nb, contexts)
+
+        lm_base = lm_table.shape[1] if lm_table is not None else 0
 
         def step(state, t):
-            new_state = _beam_step(state, lp[t], t < length, blank, w, max_decoded_length)
+            new_state = _beam_step(state, lp[t], t < length, blank, w, max_decoded_length,
+                                   lm_table=lm_table, lm_weight=lm_weight, lm_base=lm_base)
             return new_state, None
 
-        (prefixes, lengths_out, _, p_b, p_nb), _ = jax.lax.scan(
+        (prefixes, lengths_out, _, p_b, p_nb, _), _ = jax.lax.scan(
             step, state, jnp.arange(t_max))
         best = jnp.argmax(jnp.logaddexp(p_b, p_nb))
         return prefixes[best], lengths_out[best]

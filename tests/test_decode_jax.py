@@ -46,3 +46,55 @@ class TestOnDeviceBeamSearch:
                                                 max_decoded_length=8)
         assert int(counts[0]) == 1
         assert list(np.asarray(tokens[0])) == [0, -1, -1, -1, -1, -1, -1, -1]
+
+
+class TestCharLmFusion:
+    def test_lm_steers_ambiguous_decoding(self):
+        from speechless_tpu.lm.char_ngram import char_ngram_table_from_texts
+        alphabet = [chr(ord("a") + i) for i in range(26)] + [" ", "'"]
+        blank = 28
+        # LM trained heavily on "the cat" phrases.
+        table = jnp.asarray(char_ngram_table_from_texts(
+            ["the cat " * 200], alphabet, order=3, add_k=0.01))
+
+        frames = []
+        for i, ch in enumerate("the cat"):
+            row = np.full(29, 1e-6)
+            row[alphabet.index(ch)] = 1.0
+            if i == 4:  # make 'c' acoustically lose to 'd'
+                row[alphabet.index("d")] = 1.4
+            frames.append(np.log(row / row.sum()))
+        log_probs = jnp.asarray(np.array(frames)[None], jnp.float32)
+
+        no_lm_tokens, no_lm_counts = beam_search_decode_jax(
+            log_probs, jnp.asarray([7]), blank=blank, beam_width=8, max_decoded_length=16)
+        no_lm = "".join(alphabet[i] for i in np.asarray(
+            no_lm_tokens[0, :no_lm_counts[0]]))
+        assert no_lm == "the dat"
+
+        tokens, counts = beam_search_decode_jax(
+            log_probs, jnp.asarray([7]), blank=blank, beam_width=8, max_decoded_length=16,
+            lm_table=table, lm_weight=1.0)
+        fused = "".join(alphabet[i] for i in np.asarray(tokens[0, :counts[0]]))
+        assert fused == "the cat"
+
+    def test_zero_weight_matches_no_lm(self, rng):
+        from speechless_tpu.lm.char_ngram import char_ngram_table_from_texts
+        alphabet = ["a", "b", "c"]
+        table = jnp.asarray(char_ngram_table_from_texts(["abcab"], alphabet, order=2))
+        logits = rng.randn(2, 12, 4) * 2.0
+        log_probs = jnp.asarray(logits - np.log(np.exp(logits).sum(-1, keepdims=True)),
+                                jnp.float32)
+        lengths = jnp.asarray([12, 9])
+        base = beam_search_decode_jax(log_probs, lengths, blank=3, beam_width=6,
+                                      max_decoded_length=16)
+        fused = beam_search_decode_jax(log_probs, lengths, blank=3, beam_width=6,
+                                       max_decoded_length=16, lm_table=table, lm_weight=0.0)
+        np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(fused[0]))
+        np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(fused[1]))
+
+    def test_table_builder_normalized(self):
+        from speechless_tpu.lm.char_ngram import char_ngram_table_from_texts
+        table = char_ngram_table_from_texts(["abab", "ba"], ["a", "b"], order=3)
+        assert table.shape == (4, 2)
+        np.testing.assert_allclose((10.0 ** table).sum(axis=1), 1.0, rtol=1e-6)
