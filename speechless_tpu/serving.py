@@ -84,6 +84,40 @@ class Transcriber:
         for duration in durations_s:
             self.transcribe_audio(np.zeros(int(duration * 16000), np.float32))
 
+    def transcribe_long_audio(self, audio: np.ndarray, max_segment_s: float = 30.0,
+                              silence_threshold: float = 0.02,
+                              min_silence_s: float = 0.25) -> str:
+        """Transcribe arbitrarily long audio by segmenting at silences.
+
+        The reference caps utterances at 35 s (`german_corpus.py:80`); here long-form audio
+        is split at low-energy regions into <= ``max_segment_s`` chunks (bounding device
+        memory and per-segment latency), each transcribed independently and joined.
+        """
+        sample_rate = 16000
+        max_samples = int(max_segment_s * sample_rate)
+        if len(audio) <= max_samples:
+            return self.transcribe_audio(audio)
+
+        window = int(min_silence_s * sample_rate)
+        texts: List[str] = []
+        start = 0
+        while start < len(audio):
+            end = min(start + max_samples, len(audio))
+            if end < len(audio):
+                # Find the quietest window in the last third of the segment to cut at.
+                search_from = start + (2 * (end - start)) // 3
+                tail = np.abs(audio[search_from:end])
+                if len(tail) > window:
+                    energies = np.convolve(tail, np.ones(window), mode="valid")
+                    cut = search_from + int(np.argmin(energies)) + window // 2
+                    if cut > start + window:
+                        end = cut
+            text = self.transcribe_audio(audio[start:end])
+            if text:
+                texts.append(text)
+            start = end
+        return " ".join(texts)
+
     def measure_latency(self, duration_s: float = 4.0, iterations: int = 20
                         ) -> Tuple[float, float]:
         """Returns (p50, p95) seconds for a single-utterance transcription request."""

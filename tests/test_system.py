@@ -233,3 +233,23 @@ class TestProfiling:
                      profile_first_epoch_to=trace_dir)
         traces = list(trace_dir.rglob("*.xplane.pb")) + list(trace_dir.rglob("*.trace.json*"))
         assert traces, list(trace_dir.rglob("*"))
+
+
+class TestLongAudio:
+    def test_segmented_transcription(self, config, tmp_path):
+        wav2letter = Wav2Letter(config.mel_frequency_count,
+                                allowed_characters=config.allowed_characters)
+        wav2letter.save(tmp_path / "net", epoch=1)
+        from speechless_tpu.serving import Transcriber
+        transcriber = Transcriber.from_checkpoint(tmp_path / "net", 1,
+                                                  config.allowed_characters)
+        rand = np.random.RandomState(0)
+        # 5s of "speech" with a silent gap in the middle; tiny max_segment to force split.
+        loud = (0.3 * rand.randn(2 * 16000)).astype(np.float32)
+        silent = np.zeros(16000, np.float32)
+        audio = np.concatenate([loud, silent, loud])
+        text = transcriber.transcribe_long_audio(audio, max_segment_s=2.5)
+        assert isinstance(text, str)
+        # Short audio passes through the single-shot path unchanged.
+        short = transcriber.transcribe_long_audio(loud, max_segment_s=30.0)
+        assert short == transcriber.transcribe_audio(loud)
