@@ -254,7 +254,7 @@ class CachedLabeledSpectrogram(LabeledSpectrogram):
     def _load_from_cache(self) -> np.ndarray:
         try:
             return np.load(str(self.spectrogram_cache_file))
-        except ValueError:
+        except (ValueError, OSError, EOFError):  # truncated/corrupt cache entries
             log("Recalculating cached file {} because loading failed.".format(
                 self.spectrogram_cache_file))
             return self._calculate_and_save()

@@ -240,3 +240,20 @@ class TestMultiHostBucketHints:
                                min_frames=hints1[0], min_label_length=hints1[1])
             assert b0.inputs.shape == b1.inputs.shape
             assert b0.labels.shape == b1.labels.shape
+
+
+class TestPositionalLabelCsvRoundtrip:
+    def test_multiline_serialization_survives_csv(self, tmp_path):
+        wav_path = tmp_path / "p.wav"
+        make_test_wav(wav_path, duration_s=0.5)
+        positional = PositionalLabel([("ein", (0.0, 0.2)), ("satz", (0.2, 0.45))])
+        example = LabeledExampleFromFile(wav_path, id="p", label=positional.label,
+                                         positional_label=positional)
+        corpus = Corpus([example], [])
+        corpus.save(tmp_path / "corpus.csv")
+        loaded = Corpus.load(tmp_path / "corpus.csv")
+        restored = loaded.training_examples[0].positional_label
+        assert restored is not None
+        assert restored.labeled_sections == positional.labeled_sections
+        sections = loaded.training_examples[0].sections()
+        assert [s.label for s in sections] == ["ein", "satz"]
