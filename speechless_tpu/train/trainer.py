@@ -75,13 +75,21 @@ def loss_fn(config: w2l.Wav2LetterConfig, params: Any, batch: Batch,
             criterion: str = "ctc", asg_transitions: Optional[jnp.ndarray] = None,
             asg_initials: Optional[jnp.ndarray] = None
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Mean CTC (or ASG) loss over the batch; also returns per-example losses."""
+    """Mean CTC (or ASG) loss over the batch; also returns per-example losses.
+
+    ``criterion``: "ctc" (lax.scan recursion), "ctc_pallas" (Pallas kernels — same
+    contract, parity-tested), or "asg"."""
     logits = w2l.apply(config, params, batch.inputs, train=train, dropout_rng=dropout_rng)
     logit_lengths = w2l.prediction_lengths(config, batch.input_lengths)
-    if criterion == "ctc":
+    if criterion in ("ctc", "ctc_pallas"):
         blank = config.grapheme_set_size - 1
-        per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
-                                           batch.label_lengths, blank)
+        if criterion == "ctc_pallas":
+            from ..ops.ctc_pallas import ctc_loss_from_logits_pallas
+            per_example = ctc_loss_from_logits_pallas(logits, logit_lengths, batch.labels,
+                                                      batch.label_lengths, blank)
+        else:
+            per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
+                                               batch.label_lengths, blank)
     elif criterion == "asg":
         from ..ops.asg import asg_loss
         per_example = asg_loss(logits, logit_lengths, batch.labels, batch.label_lengths,

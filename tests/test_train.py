@@ -118,3 +118,18 @@ class TestMeshSharding:
         for a, b in zip(single_state.params, sharded_out.params):
             np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestPallasCriterion:
+    def test_train_step_with_pallas_ctc(self, rng):
+        config = tiny_config()
+        optimizer = make_optimizer(3e-3)
+        state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+        step = make_train_step(config, optimizer, donate=False, criterion="ctc_pallas")
+        batch = synthetic_batch(rng, config)
+        losses = []
+        for _ in range(10):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(l) for l in losses)
