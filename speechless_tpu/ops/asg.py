@@ -101,7 +101,8 @@ def _constrained_graph_logadd(emissions: jnp.ndarray, logit_lengths: jnp.ndarray
     alpha0 = jnp.where(state_mask, alpha0, NEG_INF)
 
     def final_at(alpha):
-        return jnp.take_along_axis(alpha, label_lengths[:, None] - 1, axis=1)[:, 0]
+        return jnp.take_along_axis(alpha, jnp.maximum(label_lengths[:, None] - 1, 0),
+                                   axis=1)[:, 0]
 
     def step(carry, inputs):
         t, emit = inputs
@@ -157,4 +158,6 @@ def asg_loss(emissions: jnp.ndarray, logit_lengths: jnp.ndarray, labels: jnp.nda
                               initial_log_scores)
     constrained = _constrained_graph_logadd(emissions, logit_lengths, labels, label_lengths,
                                             transition_log_scores, initial_log_scores)
-    return free - constrained
+    # Empty labels have no valid ASG alignment (loss would be +inf and poison the batch
+    # mean); mask them to zero — corpora exclude empty transcripts, this guards stragglers.
+    return jnp.where(label_lengths > 0, free - constrained, 0.0)

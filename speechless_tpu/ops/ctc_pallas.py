@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ctc import NEG_INF, _all_emissions, _extended_labels, _logsumexp2
+from .ctc import NEG_INF, _all_emissions, _extended_labels, _logsumexp2, _logsumexp3
 
 LANE = 128
 SUBLANE = 8
@@ -32,12 +32,6 @@ SUBLANE = 8
 
 def _round_up(value: int, multiple: int) -> int:
     return ((value + multiple - 1) // multiple) * multiple
-
-
-def _lse3(a, b, c):
-    m = jnp.maximum(jnp.maximum(a, b), c)
-    m = jnp.maximum(m, NEG_INF)
-    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
 
 
 def _shift_lanes(x, amount):
@@ -65,7 +59,7 @@ def _alpha_kernel(lengths_ref, s_counts_ref, skip_ref, emit_ref, alpha_out_ref, 
         alpha = alpha_scr[:]
         advance = _shift_lanes(alpha, 1)
         skip = jnp.where(skip_ref[:] > 0, _shift_lanes(alpha, 2), NEG_INF)
-        new_alpha = _lse3(alpha, advance, skip) + emit
+        new_alpha = _logsumexp3(alpha, advance, skip) + emit
         new_alpha = jnp.where(state_mask, new_alpha, NEG_INF)
         active = t < lengths_ref[:]  # (B,1)
         alpha_scr[:] = jnp.where(active, new_alpha, alpha)
@@ -94,7 +88,7 @@ def _beta_kernel(lengths_ref, s_counts_ref, skip_from_ref, terminal_ref, emit_ne
     # skip_from is pre-shifted (skip_from[s] = skip_allowed[s+2]): mask after rolling.
     skip = pltpu.roll(scored, shift=max_s - 2, axis=1)
     skip = jnp.where((skip_from_ref[:] > 0) & (s_idx < max_s - 2), skip, NEG_INF)
-    computed = _lse3(scored, advance, skip)
+    computed = _logsumexp3(scored, advance, skip)
 
     is_last_valid = reverse_t == lengths_ref[:] - 1  # (B,1)
     beta_t = jnp.where(is_last_valid, terminal_ref[:], computed)

@@ -13,11 +13,14 @@ fully on-device, batched, jit-compiled beam search (no host round-trips, static 
 Semantics match ``decode.beam_search_decode`` without an LM (verified in tests), i.e. TF
 ``ctc_beam_search_decoder(merge_repeated=False)``.
 """
+import math
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..lm.char_ngram import advance_context
 
 NEG_INF = -1e30
 HASH_MULTIPLIER = jnp.uint32(0x01000193)  # FNV-ish
@@ -34,7 +37,7 @@ def _segment_logsumexp(values: jnp.ndarray, segment_ids: jnp.ndarray,
 
 
 def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len: int,
-               lm_table=None, lm_weight: float = 0.0, lm_base: int = 0):
+               lm_table=None, lm_weight: float = 0.0, lm_base: int = 0, lm_order: int = 2):
     """One time step of prefix beam search for one batch element. ``lm_table`` is an
     optional dense char-n-gram log10-prob table (contexts, classes) applied as shallow
     fusion on every extension; per-beam rolling context indices ride in the state."""
@@ -58,14 +61,20 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     ext_scores = jnp.where(chars[None, :] == last[:, None],
                            p_b[:, None] + log_probs_t[None, :],
                            total[:, None] + log_probs_t[None, :])  # (W, C)
-    ext_scores = jnp.where(valid[:, None] & (chars[None, :] != blank), ext_scores, NEG_INF)
+    # Extensions are forbidden once a prefix hits capacity: a dropped-but-counted token
+    # would desync the stored prefix from the hash/LM context.
+    ext_scores = jnp.where(valid[:, None] & (chars[None, :] != blank) &
+                           (lengths < max_len)[:, None], ext_scores, NEG_INF)
     if lm_table is not None:
         # Shallow fusion: log10 P_lm(c | rolling char context), scaled into natural log.
-        # The table covers the lm alphabet (no blank); pad remaining classes with zeros.
+        # The table covers the lm alphabet (no blank); classes the LM does not know get a
+        # uniform floor rather than probability 1, so fusion never favors unscored symbols.
         lm_scores = lm_table[contexts]  # (W, lm_base)
         if lm_scores.shape[1] < class_count:
+            uniform_floor = -math.log10(max(lm_base, 2))
             lm_scores = jnp.pad(lm_scores,
-                                ((0, 0), (0, class_count - lm_scores.shape[1])))
+                                ((0, 0), (0, class_count - lm_scores.shape[1])),
+                                constant_values=uniform_floor)
         ext_scores = ext_scores + lm_weight * lm_scores * 2.302585093
     ext_hashes = hashes[:, None] * HASH_MULTIPLIER + (chars[None, :] + 2).astype(jnp.uint32)
 
@@ -107,10 +116,13 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     parent_lengths = lengths[parent]
     parent_contexts = contexts[parent]
     if lm_table is not None:
-        # Rolling context in the LM's own alphabet base; out-of-alphabet chars reset to 0.
+        # Rolling context via the char_ngram helper (base = lm alphabet + BOS);
+        # out-of-LM-alphabet characters reset to the all-BOS start context.
         char = jnp.maximum(extension - 1, 0)
+        start_context = lm_table.shape[0] - 1
         extended_ctx = jnp.where(char < lm_base,
-                                 (parent_contexts * lm_base + char) % lm_table.shape[0], 0)
+                                 advance_context(parent_contexts, char, lm_base, lm_order),
+                                 start_context)
         new_contexts = jnp.where(extension > 0, extended_ctx, parent_contexts)
     else:
         new_contexts = parent_contexts
@@ -155,14 +167,19 @@ def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: 
                                   jnp.zeros((w - 1,), jnp.uint32)])
         p_b = jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), NEG_INF)])
         p_nb = jnp.full((w,), NEG_INF)
-        contexts = jnp.zeros((w,), jnp.int32)
+        if lm_table is not None:
+            lm_base = lm_table.shape[1]
+            lm_order = round(math.log(lm_table.shape[0]) / math.log(lm_base + 1)) + 1
+            contexts = jnp.full((w,), lm_table.shape[0] - 1, jnp.int32)  # all-BOS start
+        else:
+            lm_base, lm_order = 0, 2
+            contexts = jnp.zeros((w,), jnp.int32)
         state = (prefixes, lengths0, hashes, p_b, p_nb, contexts)
-
-        lm_base = lm_table.shape[1] if lm_table is not None else 0
 
         def step(state, t):
             new_state = _beam_step(state, lp[t], t < length, blank, w, max_decoded_length,
-                                   lm_table=lm_table, lm_weight=lm_weight, lm_base=lm_base)
+                                   lm_table=lm_table, lm_weight=lm_weight, lm_base=lm_base,
+                                   lm_order=lm_order)
             return new_state, None
 
         (prefixes, lengths_out, _, p_b, p_nb, _), _ = jax.lax.scan(

@@ -12,7 +12,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .data.batching import DEFAULT_TIME_BUCKETS
+from .data.batching import DEFAULT_TIME_BUCKETS, bucket_length
 from .features import audio_io
 from .models import wav2letter as w2l
 from .ops.decode import greedy_decode
@@ -32,7 +32,6 @@ class Transcriber:
         self.params = params
         self.codec = CtcGraphemeCodec(allowed_characters)
         self.sample_buckets = tuple(sorted(sample_buckets))
-        self._jax = jax
         self._jnp = jnp
 
         def transcribe_fn(params, wav, length):
@@ -59,10 +58,7 @@ class Transcriber:
         return Transcriber(config, load_params(net_directory, epoch), allowed_characters)
 
     def _bucket(self, num_samples: int) -> int:
-        for bucket in self.sample_buckets:
-            if num_samples <= bucket:
-                return bucket
-        return ((num_samples + 65535) // 65536) * 65536
+        return bucket_length(num_samples, self.sample_buckets, fallback_multiple=65536)
 
     def transcribe_audio(self, audio: np.ndarray) -> str:
         """Transcribe a mono 16 kHz float32 waveform."""
@@ -79,10 +75,18 @@ class Transcriber:
     def transcribe_file(self, path: Path, sample_rate: int = 16000) -> str:
         return self.transcribe_audio(audio_io.load_audio(path, sample_rate))
 
-    def warm_up(self, durations_s: Sequence[float] = (1.0, 4.0, 8.0)) -> None:
-        """Compile the per-bucket programs ahead of serving."""
-        for duration in durations_s:
-            self.transcribe_audio(np.zeros(int(duration * 16000), np.float32))
+    def warm_up(self, durations_s: Optional[Sequence[float]] = None) -> None:
+        """Compile the per-bucket programs ahead of serving.
+
+        By default warms every bucket in ``self.sample_buckets`` (a cold compile at request
+        time can take minutes on remote-compiled backends); pass explicit durations to warm
+        a subset only."""
+        if durations_s is not None:
+            lengths = [int(d * 16000) for d in durations_s]
+        else:
+            lengths = list(self.sample_buckets)
+        for length in lengths:
+            self.transcribe_audio(np.zeros(length, np.float32))
 
     def transcribe_long_audio(self, audio: np.ndarray, max_segment_s: float = 30.0,
                               silence_threshold: float = 0.02,

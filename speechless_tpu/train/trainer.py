@@ -166,15 +166,17 @@ def make_eval_step(config: w2l.Wav2LetterConfig, criterion: str = "ctc",
     def eval_step(params: Any, batch: Batch):
         logits = w2l.apply(config, params, batch.inputs, train=False)
         logit_lengths = w2l.prediction_lengths(config, batch.input_lengths)
-        if criterion == "ctc":
+        if criterion in ("ctc", "ctc_pallas"):
             blank = config.grapheme_set_size - 1
             per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
                                                batch.label_lengths, blank)
-        else:
+        elif criterion == "asg":
             from ..ops.asg import asg_loss
             per_example = asg_loss(logits, logit_lengths, batch.labels, batch.label_lengths,
                                    transition_probabilities=asg_transitions,
                                    initial_probabilities=asg_initials)
+        else:
+            raise ValueError("Unknown criterion: {}".format(criterion))
         return jax.nn.log_softmax(logits, axis=-1), logit_lengths, per_example
 
     return jax.jit(eval_step)

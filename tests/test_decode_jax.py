@@ -96,5 +96,16 @@ class TestCharLmFusion:
     def test_table_builder_normalized(self):
         from speechless_tpu.lm.char_ngram import char_ngram_table_from_texts
         table = char_ngram_table_from_texts(["abab", "ba"], ["a", "b"], order=3)
-        assert table.shape == (4, 2)
+        assert table.shape == (9, 2)  # base = alphabet + BOS
         np.testing.assert_allclose((10.0 ** table).sum(axis=1), 1.0, rtol=1e-6)
+
+    def test_start_context_distinct_from_char_context(self):
+        from speechless_tpu.lm.char_ngram import (char_ngram_table_from_texts,
+                                                  initial_context)
+        # Trained on "ab" repeated: P(a|start) is high, P(a|'aa' context) should come from
+        # smoothing only (never observed) — start-of-text must not pollute real contexts.
+        table = char_ngram_table_from_texts(["ab"] * 50, ["a", "b"], order=2)
+        start = initial_context(2, 2)
+        assert 10.0 ** table[start, 0] > 0.9          # P(a | BOS) high
+        assert 10.0 ** table[0, 0] < 0.1              # P(a | 'a') trained low (always 'b')
+        assert abs(10.0 ** table[1, 0] - 0.5) < 0.05  # context 'b' untrained -> uniform
