@@ -15,6 +15,13 @@ _DEFAULT_CACHE_DIR = Path(os.environ.get("SPEECHLESS_TPU_COMPILE_CACHE",
 def enable_compilation_cache(cache_dir: Optional[Path] = None) -> None:
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT artifacts encode host machine features and can SIGILL when replayed
+            # on a different host; the cache only pays off for the slow TPU compiles anyway.
+            return
+    except Exception:
+        return
     directory = Path(cache_dir) if cache_dir is not None else _DEFAULT_CACHE_DIR
     directory.mkdir(parents=True, exist_ok=True)
     try:
