@@ -125,10 +125,14 @@ class Configuration:
                    .format(self.name, self.sampled_training_example_count_extension()),
                    **train_kwargs)
 
-    def train_or_resume(self, run_name: str, **train_kwargs) -> None:
+    def train_or_resume(self, run_name: str, frozen_layer_count: int = 0,
+                        **train_kwargs) -> None:
         """Crash recovery workflow: resume ``run_name`` from its latest checkpoint (weights
         + optimizer state) or start it from scratch if none exists. The reference required
-        manually picking ``load_epoch`` (SURVEY.md §5); here recovery is automatic."""
+        manually picking ``load_epoch`` (SURVEY.md §5); here recovery is automatic.
+
+        ``frozen_layer_count`` must match the original run's freezing (a transfer run
+        resumed without it would silently unfreeze and rebuild optimizer state)."""
         from .experiments import available_epochs
 
         net_directory = self.directories.nets_base_directory / run_name
@@ -138,6 +142,7 @@ class Configuration:
         for epoch in reversed(available_epochs(net_directory)):
             try:
                 wav2letter = self.load_model(load_name=run_name, load_epoch=epoch,
+                                             frozen_layer_count=frozen_layer_count,
                                              allowed_characters_for_loaded_model=None)
                 log("Resuming run {} from epoch {}.".format(run_name, epoch))
                 break
@@ -278,3 +283,4 @@ class LoggedRun:
             self.action()
         finally:
             logger.removeHandler(handler)
+            handler.close()

@@ -86,12 +86,24 @@ class LabeledSpectrogramBatchGenerator:
                 log("Cache fill: {} examples failed.".format(failures))
 
 
+class HintedBatch(list):
+    """A batch slice carrying global-batch bucket hints (consumed by
+    `batch_from_spectrograms` so every host pads to identical static shapes)."""
+
+    def __init__(self, items, bucket_hints):
+        super().__init__(items)
+        self.bucket_hints = bucket_hints  # (min_frames, min_label_length)
+
+
 class ShardedBatchGenerator(LabeledSpectrogramBatchGenerator):
     """Per-host input sharding for multi-host training (SURVEY.md §2c).
 
     Every host draws the *same* deterministic global batch per step (seeded by step index)
     and keeps its own disjoint slice, so the per-host batches concatenate to exactly the
     global batch regardless of host count — the standard JAX multi-host feeding pattern.
+    ``training_batches`` yields `HintedBatch`es whose bucket hints come from the *global*
+    batch, so all hosts pick the same time/label buckets (independently bucketing the
+    slices would let hosts compile different shapes for the same step).
     """
 
     def __init__(self, corpus, spectrogram_cache_directory: Path, batch_size: int = 64,
@@ -110,23 +122,12 @@ class ShardedBatchGenerator(LabeledSpectrogramBatchGenerator):
         self.host_count = host_count
         self.seed = seed
 
-    def training_batches(self) -> Iterator[List[LabeledSpectrogram]]:
-        per_host = self.batch_size // self.host_count
-        step = 0
-        while True:
-            rand = random.Random("{}:{}".format(self.seed, step))
-            global_batch = rand.sample(self.labeled_training_spectrograms, self.batch_size)
-            yield global_batch[self.host_id * per_host:(self.host_id + 1) * per_host]
-            step += 1
-
-    def training_batches_with_hints(self, hop_length: int = 128,
-                                    sample_rate: int = 16000):
-        """Yield ``(host_slice, (min_frames, min_label_length))`` where the hints are
-        computed from the *global* batch, so every host pads to the same bucket —
-        independently bucketing the per-host slices would let hosts pick different static
-        shapes for the same step and break SPMD. Frame hints come from duration probes
-        (upper bound, padding-only error); label hints from raw label lengths (an upper
-        bound for both CTC and ASG encodings)."""
+    def training_batches(self, hop_length: int = 128,
+                         sample_rate: int = 16000) -> Iterator["HintedBatch"]:
+        """Yield this host's slice as a `HintedBatch` whose (min_frames, min_label_length)
+        hints come from the global batch. Frame hints use duration probes (an upper bound —
+        padding-only error); label hints use raw label lengths (an upper bound for both CTC
+        and ASG encodings)."""
         per_host = self.batch_size // self.host_count
         step = 0
         while True:
@@ -136,8 +137,9 @@ class ShardedBatchGenerator(LabeledSpectrogramBatchGenerator):
                 1 + (int(s.original.duration_in_s * sample_rate) + hop_length) // hop_length
                 for s in global_batch)
             min_label_length = max(len(s.label) for s in global_batch)
-            yield (global_batch[self.host_id * per_host:(self.host_id + 1) * per_host],
-                   (min_frames, min_label_length))
+            yield HintedBatch(
+                global_batch[self.host_id * per_host:(self.host_id + 1) * per_host],
+                (min_frames, min_label_length))
             step += 1
 
 
@@ -187,7 +189,12 @@ def batch_from_spectrograms(batch: List[LabeledSpectrogram], codec: GraphemeCode
                             **kwargs) -> Tuple[Batch, List[str]]:
     """Load features for a list of `LabeledSpectrogram`s and bucket-pad them.
 
-    Returns the device-ready Batch plus the expected transcripts."""
+    Honors `HintedBatch.bucket_hints` (multi-host shape consistency). Returns the
+    device-ready Batch plus the expected transcripts."""
+    hints = getattr(batch, "bucket_hints", None)
+    if hints is not None:
+        kwargs.setdefault("min_frames", hints[0])
+        kwargs.setdefault("min_label_length", hints[1])
     spectrograms = [s.z_normalized_transposed_spectrogram() for s in batch]
     labels = [s.label for s in batch]
     return pad_to_bucket(spectrograms, labels, codec, **kwargs), labels

@@ -22,8 +22,19 @@ from .utils.tools import log
 
 def limit_device_memory_fraction(fraction: float) -> None:
     """Cap the accelerator memory the client preallocates (the TPU-native equivalent of the
-    reference's TF `per_process_gpu_memory_fraction`)."""
+    reference's TF `per_process_gpu_memory_fraction`).
+
+    Must be called before the first JAX device use — the setting is read once at backend
+    initialization; calling late logs a warning and has no effect."""
     os.environ["XLA_PYTHON_CLIENT_MEM_FRACTION"] = str(fraction)
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            log("limit_device_memory_fraction called after JAX backend initialization; "
+                "the cap will NOT take effect in this process.")
+    except Exception:
+        pass
 
 
 class TrainedRun:

@@ -73,6 +73,9 @@ class Wav2Letter:
                  seed: int = 0):
         if frozen_layer_count > 0 and load_model_from_directory is None:
             raise ValueError("Layers cannot be frozen if model is trained from scratch.")
+        if use_asg and kenlm_directory is not None:
+            raise ValueError("LM-fused beam decoding is CTC-only; ASG decodes greedily "
+                             "(kenlm_directory would be silently ignored).")
 
         self.use_asg = use_asg
         self.grapheme_encoding = (AsgGraphemeCodec(allowed_characters) if use_asg
@@ -137,21 +140,24 @@ class Wav2Letter:
                                                else None),
                     init_rng=rng)
         self.state = init_train_state(self.config, self.optimizer, rng, params=params)
-        if load_model_from_directory is not None and load_epoch is not None:
+        if (load_model_from_directory is not None and load_epoch is not None
+                and allowed_characters_for_loaded_model is None):
+            # Resume path only: transfer loads intentionally start optimizer state fresh
+            # (and reading the Adam moments just to discard them would double load I/O).
             restored = ckpt.load_opt_state(load_model_from_directory, load_epoch,
                                            self.state.opt_state)
-            if restored is not None and allowed_characters_for_loaded_model is None:
+            if restored is not None:
                 self.state = self.state._replace(opt_state=restored)
             saved_step = ckpt.load_step(load_model_from_directory, load_epoch)
-            if saved_step is not None and allowed_characters_for_loaded_model is None:
-                self.state = self.state._replace(
-                    step=jnp.asarray(saved_step, jnp.int32))
+            if saved_step is not None:
+                self.state = self.state._replace(step=jnp.asarray(saved_step, jnp.int32))
 
         self._criterion = "asg" if use_asg else "ctc"
         self._asg_tables = ((jnp.asarray(self.asg_transition_probabilities),
                              jnp.asarray(self.asg_initial_probabilities))
                             if use_asg else (None, None))
         self._train_step = None
+        self._forward_jitted = None
         self._eval_step = make_eval_step(self.config, criterion=self._criterion,
                                          asg_transitions=self._asg_tables[0],
                                          asg_initials=self._asg_tables[1])
@@ -166,11 +172,22 @@ class Wav2Letter:
     def input_to_prediction_length_ratio(self) -> int:
         return self.config.input_to_prediction_length_ratio
 
+    @property
+    def _forward_fn(self):
+        """Jitted log-softmax forward pass (eager layer-by-layer dispatch costs ~24ms per
+        op round-trip on tunneled backends)."""
+        if self._forward_jitted is None:
+            config = self.config
+            self._forward_jitted = jax.jit(
+                lambda params, inputs: jax.nn.log_softmax(
+                    w2l.apply(config, params, inputs), axis=-1))
+        return self._forward_jitted
+
     def prediction_batch(self, input_batch: np.ndarray) -> np.ndarray:
         """Softmax grapheme probabilities for a padded spectrogram batch
         (the reference `predictive_net` output, `net.py:350-353`)."""
-        return np.asarray(w2l.probabilities(self.config, self.state.params,
-                                            jnp.asarray(input_batch)))
+        return np.exp(np.asarray(self._forward_fn(self.state.params,
+                                                  jnp.asarray(input_batch))))
 
     def _prepare_batch(self, labeled_spectrogram_batch: List[LabeledSpectrogram]):
         batch, labels = batch_from_spectrograms(labeled_spectrogram_batch,
@@ -178,6 +195,15 @@ class Wav2Letter:
         return Batch(*map(jnp.asarray, batch)), labels
 
     # -- decoding / evaluation -------------------------------------------
+
+    def _greedy_decode_tokens(self, log_probs, prediction_lengths) -> List[str]:
+        """Shared greedy postprocessing: on-device decode, -1 -> blank, codec decode."""
+        blank = self.grapheme_encoding.grapheme_set_size - 1
+        tokens, counts = map(np.asarray, greedy_decode(log_probs, prediction_lengths,
+                                                       blank))
+        tokens = np.where(tokens < 0, blank, tokens)
+        return self.grapheme_encoding.decode_grapheme_batch(tokens, list(counts),
+                                                            merge_repeated=False)
 
     def _decode_tokens(self, log_probs, prediction_lengths) -> List[str]:
         if self.use_asg:
@@ -194,14 +220,12 @@ class Wav2Letter:
                 lm=self.language_model,
                 lm_weight=KENLM_WEIGHT, word_count_weight=WORD_COUNT_WEIGHT,
                 valid_word_count_weight=VALID_WORD_COUNT_WEIGHT)
-        else:
-            tokens, counts = map(np.asarray, greedy_decode(log_probs, prediction_lengths,
-                                                           blank))
-        # Dense -1 padding -> blank, then decode without re-merging (merging already done),
-        # mirroring the reference's post-processing (`net.py:467-475`).
-        tokens = np.where(tokens < 0, blank, tokens)
-        return self.grapheme_encoding.decode_grapheme_batch(tokens, list(counts),
-                                                            merge_repeated=False)
+            # Dense -1 padding -> blank, then decode without re-merging (merging already
+            # done), mirroring the reference's post-processing (`net.py:467-475`).
+            tokens = np.where(tokens < 0, blank, tokens)
+            return self.grapheme_encoding.decode_grapheme_batch(tokens, list(counts),
+                                                                merge_repeated=False)
+        return self._greedy_decode_tokens(log_probs, prediction_lengths)
 
     def test_and_predict_batch(self, labeled_spectrogram_batch: List[LabeledSpectrogram]
                                ) -> ExpectationsVsPredictions:
@@ -215,14 +239,9 @@ class Wav2Letter:
 
     def predict_batch_greedily(self, spectrograms: List[np.ndarray]) -> List[str]:
         batch = pad_to_bucket(spectrograms, [""] * len(spectrograms), self.grapheme_encoding)
-        logits = w2l.apply(self.config, self.state.params, jnp.asarray(batch.inputs))
+        log_probs = self._forward_fn(self.state.params, jnp.asarray(batch.inputs))
         lengths = w2l.prediction_lengths(self.config, jnp.asarray(batch.input_lengths))
-        blank = self.grapheme_encoding.grapheme_set_size - 1
-        tokens, counts = map(np.asarray, greedy_decode(jax.nn.log_softmax(logits, axis=-1),
-                                                       lengths, blank))
-        tokens = np.where(tokens < 0, blank, tokens)
-        return self.grapheme_encoding.decode_grapheme_batch(tokens, list(counts),
-                                                            merge_repeated=False)
+        return self._greedy_decode_tokens(log_probs, lengths)
 
     def test_and_predict(self, labeled_spectrogram: LabeledSpectrogram
                          ) -> ExpectationVsPrediction:

@@ -144,12 +144,15 @@ class AsgGraphemeCodec(GraphemeCodec):
     def decode_grapheme(self, grapheme: int, previous_grapheme: Optional[int]) -> str:
         if 0 <= grapheme < self.allowed_character_count:
             return self.allowed_characters[grapheme]
+        # Repetition graphemes are only meaningful after a plain character; model outputs
+        # can emit them anywhere (e.g. untrained argmax), so degrade to "" instead of
+        # crashing on a leading/stacked special.
+        valid_previous = (previous_grapheme is not None and
+                          0 <= previous_grapheme < self.allowed_character_count)
         if grapheme == self.asg_twice:
-            return self.allowed_characters[previous_grapheme]
+            return self.allowed_characters[previous_grapheme] if valid_previous else ""
         if grapheme == self.asg_thrice:
-            if previous_grapheme is None or not (0 <= previous_grapheme < self.allowed_character_count):
-                return ""
-            return self.allowed_characters[previous_grapheme] * 2
+            return self.allowed_characters[previous_grapheme] * 2 if valid_previous else ""
         raise ValueError("Unexpected grapheme: '{}'".format(grapheme))
 
 

@@ -226,18 +226,15 @@ class TestMultiHostBucketHints:
                                    host_id=0, host_count=2)
         g1 = ShardedBatchGenerator(corpus, tmp_path / "c", batch_size=4,
                                    host_id=1, host_count=2)
-        it0 = g0.training_batches_with_hints()
-        it1 = g1.training_batches_with_hints()
+        from speechless_tpu.data.batching import batch_from_spectrograms
+        it0 = g0.training_batches()
+        it1 = g1.training_batches()
         for _ in range(3):
-            slice0, hints0 = next(it0)
-            slice1, hints1 = next(it1)
-            assert hints0 == hints1  # identical global view
-            b0 = pad_to_bucket([s.z_normalized_transposed_spectrogram() for s in slice0],
-                               [s.label for s in slice0], codec,
-                               min_frames=hints0[0], min_label_length=hints0[1])
-            b1 = pad_to_bucket([s.z_normalized_transposed_spectrogram() for s in slice1],
-                               [s.label for s in slice1], codec,
-                               min_frames=hints1[0], min_label_length=hints1[1])
+            slice0, slice1 = next(it0), next(it1)
+            assert slice0.bucket_hints == slice1.bucket_hints  # identical global view
+            # The standard batch-prep path consumes the hints automatically.
+            b0, _ = batch_from_spectrograms(slice0, codec)
+            b1, _ = batch_from_spectrograms(slice1, codec)
             assert b0.inputs.shape == b1.inputs.shape
             assert b0.labels.shape == b1.labels.shape
 

@@ -72,3 +72,12 @@ class TestAsgCodec:
         g = AsgGraphemeCodec(english_frequent_characters)
         assert g.asg_twice == g.grapheme_set_size - 2
         assert g.asg_thrice == g.grapheme_set_size - 1
+
+
+class TestAsgDecodeRobustness:
+    def test_leading_or_stacked_specials_do_not_crash(self):
+        # Untrained model argmax can emit repetition graphemes anywhere.
+        g = AsgGraphemeCodec(english_frequent_characters)
+        assert g.decode_graphemes([g.asg_twice, 0]) == "a"
+        assert g.decode_graphemes([0, g.asg_thrice, g.asg_twice]) == "aaa"
+        assert g.decode_graphemes([g.asg_twice, g.asg_thrice]) == ""
