@@ -74,6 +74,23 @@ def load_audio(path: Path, sample_rate: int = 16000) -> np.ndarray:
     return resample(audio, original_rate, sample_rate)
 
 
+def _flac_streaminfo(path: Path) -> Tuple[int, int]:
+    """Parse (sample_rate, total_samples) from a FLAC STREAMINFO header.
+
+    Raises ValueError for anything malformed (incl. truncated files, so callers only need
+    to catch one exception type)."""
+    with Path(path).open("rb") as f:
+        header = f.read(26)
+    if len(header) < 26 or header[:4] != b"fLaC":
+        raise ValueError("Not a valid FLAC file: {}".format(path))
+    bits = struct.unpack(">Q", header[18:26])[0]
+    sample_rate = bits >> 44
+    total_samples = bits & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("Invalid FLAC sample rate in {}".format(path))
+    return int(sample_rate), int(total_samples)
+
+
 def file_sample_rate(path: Path) -> int:
     """Read the sample rate from the container header without decoding samples."""
     path = Path(path)
@@ -82,13 +99,7 @@ def file_sample_rate(path: Path) -> int:
         with wave.open(str(path), "rb") as f:
             return f.getframerate()
     if suffix == ".flac":
-        with path.open("rb") as f:
-            header = f.read(26)
-        if header[:4] != b"fLaC":
-            raise ValueError("Not a FLAC file: {}".format(path))
-        # STREAMINFO: bytes 18-20 of the file hold the 20-bit sample rate.
-        bits = struct.unpack(">I", header[18:22])[0]
-        return bits >> 12
+        return _flac_streaminfo(path)[0]
     raise ValueError("Unsupported audio format: {}".format(path))
 
 
@@ -102,15 +113,7 @@ def probe_duration_in_s(path: Path) -> float:
             with wave.open(str(path), "rb") as f:
                 return f.getnframes() / f.getframerate()
         if suffix == ".flac":
-            with path.open("rb") as f:
-                header = f.read(26)
-            if header[:4] != b"fLaC":
-                raise ValueError("Not a FLAC file")
-            bits = struct.unpack(">Q", header[18:26])[0]
-            sample_rate = bits >> 44
-            total_samples = bits & ((1 << 36) - 1)
-            if sample_rate == 0:
-                raise ValueError("Invalid FLAC sample rate")
+            sample_rate, total_samples = _flac_streaminfo(path)
             return total_samples / sample_rate
         raise ValueError("Unsupported audio format")
     except Exception as e:

@@ -81,17 +81,26 @@ class Recorder:
     # -- capture backends -------------------------------------------------
 
     def _microphone_chunks(self) -> Iterator[np.ndarray]:
+        # Any sounddevice setup failure (missing package, missing libportaudio -> OSError,
+        # no capture device -> PortAudioError) falls back to pyaudio; errors mid-stream
+        # (after capture started) propagate.
+        stream_cm = None
         try:
             import sounddevice
 
-            with sounddevice.InputStream(samplerate=self.sample_rate, channels=1,
-                                         dtype="float32",
-                                         blocksize=self.chunk_size) as stream:
+            stream_cm = sounddevice.InputStream(samplerate=self.sample_rate, channels=1,
+                                                dtype="float32",
+                                                blocksize=self.chunk_size)
+            stream_cm.__enter__()
+        except Exception:
+            stream_cm = None
+        if stream_cm is not None:
+            try:
                 while True:
-                    chunk, _ = stream.read(self.chunk_size)
+                    chunk, _ = stream_cm.read(self.chunk_size)
                     yield chunk[:, 0]
-        except ImportError:
-            pass
+            finally:
+                stream_cm.__exit__(None, None, None)
         try:
             import pyaudio
 

@@ -95,9 +95,17 @@ class ArpaLanguageModel(LanguageModelScorer):
             backoff = self._backoffs[len(context) - 1].get(context, 0.0)
         return backoff + self._score(ngram[1:])
 
+    def _normalize_word(self, word: str) -> str:
+        """KenLM semantics (matched by the native scorer): OOV tokens score as <unk>."""
+        return word if (word,) in self._log_probs[0] else UNK
+
     def score_word(self, context: Sequence[str], word: str) -> float:
-        sentence_context = (BOS,) + tuple(context)
-        ngram = (sentence_context + (word,))[-(self.order):]
+        # Only the last order-1 context words matter; normalizing OOV context to <unk>
+        # keeps Python and native scorers identical.
+        context = tuple(self._normalize_word(w) for w in context[-(self.order - 1):]) \
+            if self.order > 1 else ()
+        sentence_context = (BOS,) + context
+        ngram = (sentence_context + (self._normalize_word(word),))[-(self.order):]
         return self._score(ngram)
 
     def score_sentence(self, words: Sequence[str], include_eos: bool = True) -> float:
@@ -132,7 +140,10 @@ class NativeArpaLanguageModel(LanguageModelScorer):
             self._handle = None
 
     def score_word(self, context: Sequence[str], word: str) -> float:
-        return self._native.ngram_score_word(self._handle, " ".join(context), word)
+        # Only the trailing order-1 words can affect the score; slicing keeps beam-search
+        # fusion O(order) per candidate instead of O(transcript length).
+        relevant = context[-(self.order - 1):] if self.order > 1 else []
+        return self._native.ngram_score_word(self._handle, " ".join(relevant), word)
 
     def is_valid_word(self, word: str) -> bool:
         return self._native.ngram_is_valid_word(self._handle, word)

@@ -213,11 +213,11 @@ struct StreamInfo {
 
 extern "C" {
 
-// Decode a FLAC file to mono float32 (channel mean, scaled to [-1, 1]).
-// On success returns 0 and sets *out_samples (malloc'd; free with sl_free_buffer),
-// *out_count and *out_sample_rate. Returns nonzero error codes on failure.
-int sl_decode_flac(const char* path, float** out_samples, int64_t* out_count,
-                   int32_t* out_sample_rate) {
+namespace {
+
+// Decode body; may throw (bad_alloc etc.) — wrapped by the C ABI entry point below.
+int decode_flac_impl(const char* path, float** out_samples, int64_t* out_count,
+                     int32_t* out_sample_rate) {
     *out_samples = nullptr;
     *out_count = 0;
     *out_sample_rate = 0;
@@ -263,7 +263,11 @@ int sl_decode_flac(const char* path, float** out_samples, int64_t* out_count,
     if (info.sample_rate == 0 || info.channels < 1 || info.channels > 8) return 5;
 
     std::vector<float> output;
-    if (info.total_samples > 0) output.reserve(static_cast<size_t>(info.total_samples));
+    // Cap the header-driven reserve: a corrupt STREAMINFO can claim up to 2^36-1 samples.
+    const uint64_t kMaxReserve = 1ULL << 28;  // ~1 GB of float32
+    if (info.total_samples > 0 && info.total_samples < kMaxReserve) {
+        output.reserve(static_cast<size_t>(info.total_samples));
+    }
 
     std::vector<std::vector<int64_t>> channels(static_cast<size_t>(info.channels));
     const float scale = 1.0f / static_cast<float>(int64_t(1) << (info.bits_per_sample - 1));
@@ -377,6 +381,24 @@ int sl_decode_flac(const char* path, float** out_samples, int64_t* out_count,
     *out_count = static_cast<int64_t>(output.size());
     *out_sample_rate = static_cast<int32_t>(info.sample_rate);
     return 0;
+}
+
+}  // namespace
+
+// Decode a FLAC file to mono float32 (channel mean, scaled to [-1, 1]).
+// On success returns 0 and sets *out_samples (malloc'd; free with sl_free_buffer),
+// *out_count and *out_sample_rate. Returns nonzero error codes on failure.
+// C++ exceptions must not cross the C ABI (ctypes would SIGABRT the process).
+int sl_decode_flac(const char* path, float** out_samples, int64_t* out_count,
+                   int32_t* out_sample_rate) {
+    try {
+        return decode_flac_impl(path, out_samples, out_count, out_sample_rate);
+    } catch (...) {
+        *out_samples = nullptr;
+        *out_count = 0;
+        *out_sample_rate = 0;
+        return 13;
+    }
 }
 
 void sl_free_buffer(float* buffer) { free(buffer); }

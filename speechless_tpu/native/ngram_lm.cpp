@@ -87,8 +87,19 @@ std::vector<std::string> split_whitespace(const std::string& line) {
 
 extern "C" {
 
+void* sl_ngram_load_impl(const char* path);
+
 // Load an ARPA file; returns an opaque handle (nullptr on failure).
+// Exceptions (e.g. bad_alloc on oversized models) must not cross the C ABI.
 void* sl_ngram_load(const char* path) {
+    try {
+        return sl_ngram_load_impl(path);
+    } catch (...) {
+        return nullptr;
+    }
+}
+
+void* sl_ngram_load_impl(const char* path) {
     std::ifstream file(path);
     if (!file) return nullptr;
 

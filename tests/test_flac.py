@@ -72,3 +72,33 @@ class TestFlacDecode:
         path.write_bytes(b"fLaC" + b"\x00" * 100)
         with pytest.raises(ValueError):
             _native.decode_flac(str(path))
+
+
+class TestCorruptHeaders:
+    def test_huge_claimed_total_samples_returns_error(self, tmp_path):
+        """A corrupt STREAMINFO claiming ~2^36 samples must raise, not abort the process."""
+        samples = int16_wave(1000)
+        path = tmp_path / "huge.flac"
+        encode_flac(str(path), [samples])
+        data = bytearray(path.read_bytes())
+        # STREAMINFO bytes 18..26 hold rate(20)|channels(3)|bps(5)|total(36);
+        # set the 36-bit total-samples field to all ones, keep rate/channels/bps.
+        bits = int.from_bytes(data[18:26], "big")
+        bits |= (1 << 36) - 1
+        data[18:26] = bits.to_bytes(8, "big")
+        path.write_bytes(bytes(data))
+        from speechless_tpu.native import _native
+        try:
+            audio, rate = _native.decode_flac(str(path))
+            assert rate == 16000  # decodes fine if implementation tolerates the lie
+        except ValueError:
+            pass  # error return is also acceptable; process death is not
+
+    def test_truncated_flac_header_raises_valueerror(self, tmp_path):
+        path = tmp_path / "trunc.flac"
+        path.write_bytes(b"fLaC\x00\x00")
+        import pytest as _pytest
+        from speechless_tpu.features import audio_io
+        with _pytest.raises(ValueError):
+            audio_io.file_sample_rate(path)
+        assert audio_io.probe_duration_in_s(path) == 0.0

@@ -122,3 +122,20 @@ class TestFusedFeatures:
         # all values equal (-150 dB everywhere) -> std 0; must stay finite via rsqrt guard
         assert np.isfinite(features).all() or True  # shape check below is the real pin
         assert features.shape == (126, 128)
+
+
+class TestShortWavReflect:
+    def test_short_wavs_match_host_path(self):
+        """Signals shorter than the 256-sample pad exercise multi-bounce reflection."""
+        import jax.numpy as jnp
+        rand = np.random.RandomState(3)
+        for length in (150, 200, 257, 300):
+            wav = rand.randn(length).astype(np.float32) * 0.3
+            host = sg.z_normalized_transposed_spectrogram(wav)
+            batch = np.zeros((2, 1024), np.float32)
+            batch[0, :length] = wav
+            batch[1, :300] = rand.randn(300).astype(np.float32) * 0.3
+            feats, counts = sg.features_batch(jnp.asarray(batch),
+                                              jnp.asarray([length, 300], np.int32))
+            np.testing.assert_allclose(np.asarray(feats)[0, :counts[0]], host,
+                                       atol=2e-3, err_msg=str(length))
