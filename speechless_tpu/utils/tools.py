@@ -54,7 +54,7 @@ def extension(file: Path) -> str:
 
 
 def distinct(sequence: Iterable[E]) -> List[E]:
-    return list(OrderedDict.fromkeys(sequence))
+    return list(dict.fromkeys(sequence))  # insertion-ordered since py3.7
 
 
 def count_summary(sequence: Iterable[E]) -> str:
@@ -73,18 +73,17 @@ def timestamp() -> str:
 
 
 def duplicates(sequence: Iterable[E]) -> List[E]:
-    return [item for item, count in Counter(sequence).items() if count > 1]
+    counts = Counter(sequence)
+    return [item for item, count in counts.items() if count > 1]
 
 
 def average_or_nan(numbers: List[float]) -> float:
-    if not numbers:
-        return float("nan")
-    return sum(numbers) / len(numbers)
+    return sum(numbers) / len(numbers) if numbers else float("nan")
 
 
 def paginate(sequence: List[E], page_size: int) -> Iterable[List[E]]:
-    for start in range(0, len(sequence), page_size):
-        yield sequence[start:start + page_size]
+    return (sequence[start:start + page_size]
+            for start in range(0, len(sequence), page_size))
 
 
 logger = logging.getLogger("results")
