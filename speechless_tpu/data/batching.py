@@ -13,20 +13,23 @@ would force an XLA recompile every step. Here:
 * `Prefetcher` overlaps feature loading (host) with device compute via a background thread
   and `jax.device_put`.
 """
+from __future__ import annotations
+
 import multiprocessing
 import random
 import threading
-from multiprocessing.pool import Pool
 from pathlib import Path
 from queue import Queue
-from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import TYPE_CHECKING, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..features.example import CachedLabeledSpectrogram, LabeledSpectrogram
 from ..text.graphemes import GraphemeCodec
-from ..train.trainer import Batch
 from ..utils.tools import log, mkdir, paginate
+
+if TYPE_CHECKING:  # runtime import is deferred so spawned cache-fill workers stay JAX-free
+    from ..train.trainer import Batch
 
 # Time buckets in frames: geometric ~1.3x progression keeps padding waste <~15% per batch
 # while bounding distinct compilations. Frame counts above the last bucket fall back to
@@ -70,8 +73,13 @@ class LabeledSpectrogramBatchGenerator:
         return paginate(self.labeled_test_spectrograms, self.batch_size)
 
     def fill_cache(self, repair_incorrect: bool = False) -> None:
-        """Parallel feature precompute across all host cores (`corpus.py:231-245`)."""
-        with Pool(processes=multiprocessing.cpu_count()) as pool:
+        """Parallel feature precompute across all host cores (`corpus.py:231-245`).
+
+        Uses a spawn-based pool: the parent process has JAX loaded (fork of a
+        multi-threaded process risks deadlock and triggers CPython's fork warning), and
+        spawned workers import only the numpy feature path, never the JAX backend."""
+        context = multiprocessing.get_context("spawn")
+        with context.Pool(processes=multiprocessing.cpu_count()) as pool:
             total = len(self.labeled_spectrograms)
             not_yet_cached = [s for s in self.labeled_spectrograms if not s.is_cached()]
             to_calculate = self.labeled_spectrograms if repair_incorrect else not_yet_cached
@@ -129,13 +137,22 @@ class ShardedBatchGenerator(LabeledSpectrogramBatchGenerator):
         padding-only error); label hints use raw label lengths (an upper bound for both CTC
         and ASG encodings)."""
         per_host = self.batch_size // self.host_count
+
+        def frame_hint(s: CachedLabeledSpectrogram) -> int:
+            duration = s.original.duration_in_s
+            if duration <= 0.0:
+                # A failed header probe degrades to 0.0 s (reference semantics) — but a
+                # 0-frame hint here would let hosts pick different buckets for the same
+                # step and desync static shapes. Fall back to the exact feature length,
+                # which every host computes identically.
+                return s.z_normalized_transposed_spectrogram().shape[0]
+            return 1 + (int(duration * sample_rate) + hop_length) // hop_length
+
         step = 0
         while True:
             rand = random.Random("{}:{}".format(self.seed, step))
             global_batch = rand.sample(self.labeled_training_spectrograms, self.batch_size)
-            min_frames = max(
-                1 + (int(s.original.duration_in_s * sample_rate) + hop_length) // hop_length
-                for s in global_batch)
+            min_frames = max(frame_hint(s) for s in global_batch)
             min_label_length = max(len(s.label) for s in global_batch)
             yield HintedBatch(
                 global_batch[self.host_id * per_host:(self.host_id + 1) * per_host],
@@ -164,6 +181,8 @@ def pad_to_bucket(spectrograms: List[np.ndarray], labels: List[str], codec: Grap
     floor the bucket choice — multi-host feeding passes global-batch hints here so all
     hosts pick identical static shapes.
     """
+    from ..train.trainer import Batch  # deferred: keeps spawn workers off the JAX path
+
     batch_size = len(spectrograms)
     input_lengths = np.array([s.shape[0] for s in spectrograms], dtype=np.int32)
     t_max = bucket_length(max(int(input_lengths.max()), min_frames), time_buckets)

@@ -110,12 +110,19 @@ class LibriSpeechCorpus(Corpus):
     def _unpack(self, archive: Path, target_directory: Path) -> None:
         if target_directory.is_dir():
             return
+        root = Path(target_directory).resolve()
         with tarfile.open(str(archive), "r:gz") as tar:
             members = tar.getmembers()
             skip = self.root_compressed_directory_name_to_skip
-            if skip is not None:
-                for member in members:
-                    member.name = member.name.replace(skip, "")
+            for member in members:
+                if skip is not None and member.name.startswith(skip):
+                    member.name = member.name[len(skip):]
+                # Refuse members that would land outside the target (absolute paths or
+                # '..' traversal in a crafted archive).
+                resolved = (root / member.name).resolve()
+                if root != resolved and root not in resolved.parents:
+                    raise IOError("Archive member escapes target directory: {}".format(
+                        member.name))
             tar.extractall(str(target_directory), members=members)
 
     def _walk_files(self) -> List[Path]:

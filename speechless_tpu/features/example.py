@@ -243,42 +243,58 @@ class CachedLabeledSpectrogram(LabeledSpectrogram):
         self.original = original
         self.spectrogram_cache_file = Path(spectrogram_cache_directory) / "{}.npy".format(original.id)
 
+    # Tolerance of the repair sweep: matches the reference's 1-decimal comparison
+    # (abs difference below 1.5e-1 counts as equal).
+    _REPAIR_ATOL = 1.5e-1
+
     def is_cached(self) -> bool:
         return self.spectrogram_cache_file.exists()
 
     def z_normalized_transposed_spectrogram(self) -> np.ndarray:
-        if not self.is_cached():
-            return self._calculate_and_save()
-        return self._load_from_cache()
+        cached = self._read_cache_entry()
+        return cached if cached is not None else self._refresh_cache_entry()
 
-    def _load_from_cache(self) -> np.ndarray:
+    def _read_cache_entry(self) -> Optional[np.ndarray]:
+        """The cache entry's array, or None if it is absent or unreadable."""
+        if not self.is_cached():
+            return None
         try:
             return np.load(str(self.spectrogram_cache_file))
-        except (ValueError, OSError, EOFError):  # truncated/corrupt cache entries
-            log("Recalculating cached file {} because loading failed.".format(
+        except (ValueError, OSError, EOFError):  # truncated / corrupt entry
+            log("feature cache entry {} is unreadable; recomputing it".format(
                 self.spectrogram_cache_file))
-            return self._calculate_and_save()
+            return None
 
-    def _calculate_and_save(self) -> np.ndarray:
-        result = self.original.z_normalized_transposed_spectrogram()
-        np.save(str(self.spectrogram_cache_file), result)
-        return result
+    def _refresh_cache_entry(self) -> np.ndarray:
+        features = self.original.z_normalized_transposed_spectrogram()
+        np.save(str(self.spectrogram_cache_file), features)
+        return features
 
     def repair_cached_file_if_incorrect(self) -> None:
-        if not self.is_cached():
-            self._calculate_and_save()
+        """Recompute this entry; if the cached copy deviates, quarantine it and re-save."""
+        cached = self._read_cache_entry()
+        if cached is None:
+            self._refresh_cache_entry()
             return
-        from_cache = self._load_from_cache()
-        calculated = self.original.z_normalized_transposed_spectrogram()
-        try:
-            np.testing.assert_almost_equal(calculated, from_cache, decimal=1)
-        except AssertionError as e:
-            self._quarantine_incorrect_cache(str(e))
-            np.save(str(self.spectrogram_cache_file), calculated)
+        computed = self.original.z_normalized_transposed_spectrogram()
+        mismatch = (cached.shape != computed.shape or
+                    not np.allclose(cached, computed, rtol=0.0, atol=self._REPAIR_ATOL))
+        if mismatch:
+            if cached.shape != computed.shape:
+                report = "shape mismatch: cached {} vs computed {}".format(
+                    cached.shape, computed.shape)
+            else:
+                deviation = np.abs(cached - computed)
+                report = "max |cached - computed| = {:g} at {} ({} elements over {:g})".format(
+                    deviation.max(), np.unravel_index(deviation.argmax(), deviation.shape),
+                    int((deviation > self._REPAIR_ATOL).sum()), self._REPAIR_ATOL)
+            self._quarantine_incorrect_cache(report)
+            np.save(str(self.spectrogram_cache_file), computed)
 
-    def _quarantine_incorrect_cache(self, error_text: str) -> None:
-        parent = self.spectrogram_cache_file.parent
-        backup_directory = parent.parent / (parent.name + "-incorrect")
-        mkdir(backup_directory)
-        write_text(backup_directory / (self.spectrogram_cache_file.stem + "-error.txt"), error_text)
-        self.spectrogram_cache_file.rename(backup_directory / self.spectrogram_cache_file.name)
+    def _quarantine_incorrect_cache(self, report: str) -> None:
+        """Move the bad entry into a sibling ``<cache>-incorrect/`` dir with a report file."""
+        cache_dir = self.spectrogram_cache_file.parent
+        quarantine = cache_dir.parent / (cache_dir.name + "-incorrect")
+        mkdir(quarantine)
+        write_text(quarantine / (self.spectrogram_cache_file.stem + "-error.txt"), report)
+        self.spectrogram_cache_file.rename(quarantine / self.spectrogram_cache_file.name)

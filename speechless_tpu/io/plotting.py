@@ -1,39 +1,57 @@
-"""Spectrogram/waveform plotting (matplotlib, lazily imported).
+"""Spectrogram/waveform figures (matplotlib, lazily imported).
 
-Re-provides `/root/reference/speechless/labeled_example_plotter.py`: spectrogram images for
-every (type x frequency scale) combination with mel axis labeling, raw-audio and
-istft-reconstruction plots, and reconstruction wav export.
+Provides the plotting surface of the reference's example plotter
+(`/root/reference/speechless/labeled_example_plotter.py`): render or save a spectrogram
+image for any (type x frequency-scale) combination, plot raw / istft-reconstructed audio,
+and export the reconstruction as a wav. The rendering itself is original: spectrograms are
+drawn by row index with tick labels mapped back to physical frequency, which works uniformly
+for the linear and mel scales instead of warping the axis into mel units.
 """
 from pathlib import Path
-from textwrap import wrap
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
-from ..features import spectrogram as sg
 from ..features.audio_io import write_wav
 from ..features.example import (LabeledExample, SpectrogramFrequencyScale, SpectrogramType)
 
+_FIGURE_SIZE = (12.8, 7.2)
+_FREQUENCY_TICK_COUNT = 9
 
-def _hz_to_mel_htk(frequencies):
-    return 2595.0 * np.log10(1.0 + np.asarray(frequencies, dtype=float) / 700.0)
+
+def _colorbar_caption(type: SpectrogramType) -> str:
+    if type == SpectrogramType.power_level:
+        return "power level / dB (relative; floor -150)"
+    if type == SpectrogramType.power:
+        return "power (linear, unnormalized)"
+    return "amplitude (linear, unnormalized)"
 
 
-def _mel_to_hz_htk(mels):
-    return 700.0 * (10.0 ** (np.asarray(mels, dtype=float) / 2595.0) - 1.0)
+def _frequency_ticks(row_frequencies_hz: Sequence[float]):
+    """Pick ~evenly spaced row indices and label each with its physical frequency."""
+    rows = len(row_frequencies_hz)
+    positions = np.unique(np.linspace(0, rows - 1, _FREQUENCY_TICK_COUNT).round().astype(int))
+    labels = ["%.0f" % row_frequencies_hz[p] for p in positions]
+    return positions, labels
 
 
 class LabeledExamplePlotter:
+    """Renders figures for one :class:`LabeledExample`."""
+
     def __init__(self, example: LabeledExample):
         self.example = example
+
+    # -- waveform plots ----------------------------------------------------
 
     def _plot_audio(self, audio: np.ndarray) -> None:
         import matplotlib.pyplot as plt
 
-        plt.title(str(self.example))
-        plt.xlabel("time / samples (sample rate {}Hz)".format(self.example.sample_rate))
-        plt.ylabel("y")
-        plt.plot(audio)
+        seconds = np.arange(len(audio)) / self.example.sample_rate
+        figure, axes = plt.subplots(figsize=_FIGURE_SIZE)
+        axes.plot(seconds, audio, linewidth=0.5)
+        axes.set_title(str(self.example))
+        axes.set_xlabel("time / s ({} Hz)".format(self.example.sample_rate))
+        axes.set_ylabel("amplitude")
         plt.show()
 
     def plot_raw_audio(self) -> None:
@@ -43,56 +61,46 @@ class LabeledExamplePlotter:
         self._plot_audio(self.example.reconstructed_audio_from_spectrogram())
 
     def save_reconstructed_audio_from_spectrogram(self, target_directory: Path) -> None:
-        write_wav(
-            Path(target_directory) / "{}_window{}_hop{}.wav".format(
-                self.example.id, self.example.fourier_window_length,
-                self.example.hop_length),
-            self.example.reconstructed_audio_from_spectrogram(), self.example.sample_rate)
+        name = "{}_window{}_hop{}.wav".format(self.example.id,
+                                              self.example.fourier_window_length,
+                                              self.example.hop_length)
+        write_wav(Path(target_directory) / name,
+                  self.example.reconstructed_audio_from_spectrogram(),
+                  self.example.sample_rate)
+
+    # -- spectrogram figures -----------------------------------------------
 
     def prepare_spectrogram_plot(
             self, type: SpectrogramType = SpectrogramType.power_level,
             frequency_scale: SpectrogramFrequencyScale = SpectrogramFrequencyScale.linear
     ) -> None:
+        """Build (but do not show/save) the figure for the requested spectrogram variant."""
         import matplotlib.pyplot as plt
-        from matplotlib.ticker import FuncFormatter, ScalarFormatter
 
-        spectrogram = self.example.spectrogram(type, frequency_scale=frequency_scale)
-        figure, axes = plt.subplots(1, 1)
-        use_mel = frequency_scale == SpectrogramFrequencyScale.mel
+        spec = self.example.spectrogram(type, frequency_scale=frequency_scale)
+        rows = spec.shape[0]
+        is_mel = frequency_scale == SpectrogramFrequencyScale.mel
+        if is_mel:
+            # Row centers of the mel filterbank (mel_frequencies() includes the 2 edge bands).
+            row_hz = self.example.mel_frequencies()[1:-1]
+        else:
+            row_hz = list(np.linspace(0.0, self.example.highest_detectable_frequency(), rows))
 
-        plt.title("\n".join(wrap("{}{} spectrogram for {}".format(
-            "mel " if use_mel else "", type.value, str(self.example)), width=100)))
-        plt.xlabel("time (data every {}ms)".format(
-            round(1000 / self.example.time_step_rate())))
-        plt.ylabel("frequency (data evenly distributed on {} scale, {} total)".format(
-            frequency_scale.value, spectrogram.shape[0]))
-
-        mel_frequencies = self.example.mel_frequencies()
-        plt.imshow(spectrogram, cmap="gist_heat", origin="lower", aspect="auto", extent=[
-            0, self.example.duration_in_s,
-            float(_hz_to_mel_htk(mel_frequencies[0])) if use_mel else 0,
-            float(_hz_to_mel_htk(mel_frequencies[-1])) if use_mel
-            else self.example.highest_detectable_frequency()])
-        plt.colorbar(label="{} ({})".format(
-            type.value,
-            "in{} dB, not aligned to a particular base level".format(
-                " something similar to" if use_mel else "")
-            if type == SpectrogramType.power_level else "only proportional to physical scale"))
-
-        class ScalarFormatterWithUnit(ScalarFormatter):
-            def __init__(self, unit: str):
-                super().__init__()
-                self.unit = unit
-
-            def __call__(self, x, pos=None) -> str:
-                return super().__call__(x, pos) + self.unit
-
-        axes.xaxis.set_major_formatter(ScalarFormatterWithUnit("s"))
-        axes.yaxis.set_major_formatter(
-            FuncFormatter(lambda value, pos: "{}mel = {}Hz".format(
-                int(value), int(_mel_to_hz_htk(value)))) if use_mel
-            else ScalarFormatterWithUnit("Hz"))
-        figure.set_size_inches(19.20, 10.80)
+        figure, axes = plt.subplots(figsize=_FIGURE_SIZE)
+        image = axes.imshow(spec, origin="lower", aspect="auto", cmap="magma",
+                            interpolation="nearest",
+                            extent=(0.0, self.example.duration_in_s, -0.5, rows - 0.5))
+        step_ms = 1000.0 / self.example.time_step_rate()
+        axes.set_title("{} | {}{} spectrogram".format(
+            self.example, "mel " if is_mel else "", type.value), wrap=True)
+        axes.set_xlabel("time / s (one column per {:.1f} ms)".format(step_ms))
+        axes.set_ylabel("{} band ({} rows, labels in Hz)".format(
+            "mel" if is_mel else "linear", rows))
+        positions, labels = _frequency_ticks(row_hz)
+        axes.set_yticks(positions)
+        axes.set_yticklabels(labels)
+        figure.colorbar(image, ax=axes, label=_colorbar_caption(type))
+        figure.tight_layout()
 
     def show_spectrogram(self, type: SpectrogramType = SpectrogramType.power_level) -> None:
         import matplotlib.pyplot as plt
@@ -110,9 +118,11 @@ class LabeledExamplePlotter:
         import matplotlib.pyplot as plt
 
         self.prepare_spectrogram_plot(type, frequency_scale)
-        path = Path(target_directory) / "{}_{}{}_spectrogram.png".format(
-            self.example.id, "mel_" if frequency_scale == SpectrogramFrequencyScale.mel else "",
+        name = "{}_{}{}_spectrogram.png".format(
+            self.example.id,
+            "mel_" if frequency_scale == SpectrogramFrequencyScale.mel else "",
             type.value.replace(" ", "_"))
+        path = Path(target_directory) / name
         plt.savefig(str(path))
         plt.close("all")
         return path

@@ -72,6 +72,56 @@ class _Native:
     def ngram_is_valid_word(self, handle: int, word: str) -> bool:
         return bool(self._lib.sl_ngram_is_valid_word(handle, word.encode()))
 
+    def _bind_beam_search(self):
+        import numpy as np  # noqa: F401  (ensures numpy is importable before first use)
+
+        lib = self._lib
+        if getattr(lib, "_beam_bound", False):
+            return
+        lib.sl_ctc_beam_search.restype = ctypes.c_int
+        lib.sl_ctc_beam_search.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib._beam_bound = True
+
+    def ctc_beam_search(self, log_probs, lengths, blank: int, beam_width: int,
+                        lm_handle: int = 0, alphabet=None, space_index: int = -1,
+                        lm_weight: float = 0.8, word_count_weight: float = 0.0,
+                        valid_word_count_weight: float = 2.3,
+                        class_log_prob_floor: float = 0.0, num_threads: int = 0):
+        """Batched CTC prefix beam search (beam_search.cpp). Returns (tokens, counts):
+        ``tokens (batch, t_max) int32`` -1-padded, ``counts (batch,) int32``.
+        ``class_log_prob_floor`` < 0 enables per-frame class pruning (0.0 = exact)."""
+        import numpy as np
+
+        self._bind_beam_search()
+        log_probs = np.ascontiguousarray(log_probs, dtype=np.float32)
+        batch, t_max, classes = log_probs.shape
+        lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+        tokens = np.empty((batch, t_max), dtype=np.int32)
+        counts = np.empty(batch, dtype=np.int32)
+        if alphabet is not None:
+            codepoints = np.array([ord(c) for c in alphabet], dtype=np.uint32)
+            alphabet_ptr = codepoints.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        else:
+            alphabet_ptr = None
+        status = self._lib.sl_ctc_beam_search(
+            log_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            batch, t_max, classes,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            blank, beam_width, ctypes.c_void_p(lm_handle or None), alphabet_ptr,
+            space_index, lm_weight, word_count_weight, valid_word_count_weight,
+            class_log_prob_floor, num_threads,
+            tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if status != 0:
+            raise ValueError("native beam search failed (status {})".format(status))
+        return tokens, counts
+
     def decode_flac(self, path: str):
         """Decode a FLAC file to (mono float32 numpy array, sample_rate)."""
         import numpy as np
@@ -100,7 +150,7 @@ def _needs_rebuild() -> bool:
 def build(force: bool = False) -> Path:
     """Compile the shared library with g++ (O3, fPIC). Idempotent unless sources changed."""
     if force or _needs_rebuild():
-        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
                "-o", str(_LIB_PATH)] + [str(s) for s in _SOURCES]
         subprocess.run(cmd, check=True, capture_output=True)
     return _LIB_PATH

@@ -69,6 +69,12 @@ class LanguageModelScorer:
         raise NotImplementedError
 
 
+def _native_lm_handle(lm: Optional[LanguageModelScorer]) -> Optional[int]:
+    """The C++ scorer handle if ``lm`` is native-backed, else None."""
+    handle = getattr(lm, "_handle", None)
+    return handle if isinstance(handle, int) and handle else None
+
+
 def beam_search_decode(
         log_probs: np.ndarray,
         lengths: Sequence[int],
@@ -80,9 +86,60 @@ def beam_search_decode(
         word_count_weight: float = 0.0,
         valid_word_count_weight: float = 2.3,
         space_index: Optional[int] = None,
+        force_python: bool = False,
+        prune_log_prob_floor: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """CTC prefix beam search over a batch (host path; the on-device variant is in
-    ``decode_jax.py``). Matches TF beam semantics with ``merge_repeated=False``.
+    """CTC prefix beam search over a batch. Dispatches to the threaded C++ decoder
+    (``native/beam_search.cpp``) when it is available and the LM (if any) is the
+    native-backed ARPA scorer; otherwise runs the pure-Python reference implementation.
+    Both are parity-tested against each other. Matches TF beam semantics with
+    ``merge_repeated=False`` and the KenLM-fork fusion weights (`net.py:444-451`).
+
+    ``prune_log_prob_floor`` (native path only): skip per-frame extensions whose class
+    log-probability is below the floor — standard production pruning; on peaky (trained)
+    outputs the result is unchanged while the search runs ~10x faster. ``None`` = exact.
+    """
+    from ..native import _native
+
+    lm_handle = _native_lm_handle(lm)
+    use_native = (not force_python and _native is not None
+                  and (lm is None or lm_handle is not None))
+    if use_native:
+        if lm is not None and space_index is None:
+            if alphabet is None:
+                raise ValueError("LM fusion requires the alphabet to locate word boundaries.")
+            space_index = alphabet.index(" ")
+        tokens, counts = _native.ctc_beam_search(
+            np.asarray(log_probs), list(lengths), blank=blank, beam_width=beam_width,
+            lm_handle=lm_handle or 0, alphabet=alphabet,
+            space_index=-1 if space_index is None else space_index,
+            lm_weight=lm_weight, word_count_weight=word_count_weight,
+            valid_word_count_weight=valid_word_count_weight,
+            class_log_prob_floor=(0.0 if prune_log_prob_floor is None
+                                  else float(prune_log_prob_floor)))
+        width = max(int(counts.max()) if counts.size else 0, 1)
+        return tokens[:, :width], counts
+    return beam_search_decode_python(
+        log_probs, lengths, blank, beam_width=beam_width, alphabet=alphabet, lm=lm,
+        lm_weight=lm_weight, word_count_weight=word_count_weight,
+        valid_word_count_weight=valid_word_count_weight, space_index=space_index)
+
+
+def beam_search_decode_python(
+        log_probs: np.ndarray,
+        lengths: Sequence[int],
+        blank: int,
+        beam_width: int = 100,
+        alphabet: Optional[List[str]] = None,
+        lm: Optional[LanguageModelScorer] = None,
+        lm_weight: float = 0.8,
+        word_count_weight: float = 0.0,
+        valid_word_count_weight: float = 2.3,
+        space_index: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CTC prefix beam search over a batch (pure-Python reference path; the on-device
+    variant is in ``decode_jax.py``). Matches TF beam semantics with
+    ``merge_repeated=False``.
 
     LM fusion: when a prefix emits a space (word boundary), add
     ``lm_weight * log10 P_lm(word | context) + word_count_weight + valid_word_count_weight

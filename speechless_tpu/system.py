@@ -14,6 +14,7 @@ Maps the reference surface onto the new design:
 * KenLM vocabulary-consistency check (`net.py:171-177`) preserved verbatim in behavior.
 """
 import csv
+import math
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, List, Optional
@@ -126,6 +127,10 @@ class Wav2Letter:
         rng = jax.random.PRNGKey(seed)
         params = None
         if load_model_from_directory is not None:
+            if load_epoch is None:
+                raise ValueError(
+                    "load_epoch is required when load_model_from_directory is set "
+                    "(pick one of experiments.available_epochs)")
             load_model_from_directory = Path(load_model_from_directory)
             if allowed_characters_for_loaded_model is None:
                 params = ckpt.load_params(load_model_from_directory, load_epoch)
@@ -219,7 +224,10 @@ class Wav2Letter:
                 alphabet=self.grapheme_encoding.allowed_characters,
                 lm=self.language_model,
                 lm_weight=KENLM_WEIGHT, word_count_weight=WORD_COUNT_WEIGHT,
-                valid_word_count_weight=VALID_WORD_COUNT_WEIGHT)
+                valid_word_count_weight=VALID_WORD_COUNT_WEIGHT,
+                # Production pruning (native path): classes below 1e-5 per frame cannot
+                # influence a trained model's beam; verified output-identical in tests.
+                prune_log_prob_floor=math.log(1e-5))
             # Dense -1 padding -> blank, then decode without re-merging (merging already
             # done), mirroring the reference's post-processing (`net.py:467-475`).
             tokens = np.where(tokens < 0, blank, tokens)
@@ -323,7 +331,9 @@ class Wav2Letter:
                              prepare=self._prepare_batch, depth=2)
         initial_epoch = self.load_epoch if self.load_epoch is not None else 0
         epoch = initial_epoch
-        with batches, scalar_log.open("a", newline="") as scalar_file:
+        # `tensorboard` joins the with-block so an interrupt ("train until interrupted" is a
+        # documented workflow) still flushes and closes the event file.
+        with batches, tensorboard, scalar_log.open("a", newline="") as scalar_file:
             writer = csv.writer(scalar_file)
             if new_log:
                 writer.writerow(["epoch", "step", "loss", "utterances_per_second",
@@ -359,7 +369,6 @@ class Wav2Letter:
                 if epoch % save_step == 0 and epoch > 0:
                     ckpt.save_checkpoint(net_directory, epoch, self.state.params,
                                          self.state.opt_state, step=int(self.state.step))
-        tensorboard.close()
 
     def save(self, net_directory: Path, epoch: int) -> Path:
         return ckpt.save_checkpoint(net_directory, epoch, self.state.params,

@@ -1,15 +1,14 @@
 """Small, dependency-free helpers shared by every layer.
 
 Covers the utility surface of the reference (`/root/reference/speechless/tools.py:15-112`):
-assertion helpers, grouping/pagination, run-name timestamps, and the global "results" logger.
+assertion helpers, grouping/pagination, run-name timestamps, and the shared "results" logger.
 """
 import logging
 import sys
-from collections import Counter, OrderedDict
-from itertools import groupby
+from collections import Counter
+from datetime import datetime
 from pathlib import Path
-from time import strftime
-from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, TypeVar
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Tuple, TypeVar
 
 E = TypeVar("E")
 K = TypeVar("K")
@@ -17,24 +16,25 @@ V = TypeVar("V")
 
 
 def single(sequence: List[E]) -> E:
-    """Return the only element of ``sequence``; assert there is exactly one."""
-    assert len(sequence) == 1, "expected exactly one element, got {}".format(len(sequence))
+    """Return the only element of ``sequence``; fail if it does not have exactly one."""
+    if len(sequence) != 1:
+        raise AssertionError(f"expected exactly one element, got {len(sequence)}")
     return sequence[0]
 
 
 def single_or_none(sequence: List[E]) -> Optional[E]:
-    assert len(sequence) <= 1, "expected at most one element, got {}".format(len(sequence))
-    return next(iter(sequence), None)
+    """Return the only element of ``sequence``, ``None`` if empty; fail on more than one."""
+    if len(sequence) > 1:
+        raise AssertionError(f"expected at most one element, got {len(sequence)}")
+    return sequence[0] if sequence else None
 
 
 def read_text(path: Path, encoding: Optional[str] = None) -> str:
-    with Path(path).open(encoding=encoding) as f:
-        return f.read()
+    return Path(path).read_text(encoding=encoding)
 
 
 def write_text(path: Path, text: str, encoding: Optional[str] = None) -> None:
-    with Path(path).open(mode="w", encoding=encoding) as f:
-        f.write(text)
+    Path(path).write_text(text, encoding=encoding)
 
 
 def mkdir(directory: Path) -> None:
@@ -54,44 +54,62 @@ def extension(file: Path) -> str:
 
 
 def distinct(sequence: Iterable[E]) -> List[E]:
-    return list(dict.fromkeys(sequence))  # insertion-ordered since py3.7
+    return list(dict.fromkeys(sequence))  # dicts are insertion-ordered since py3.7
 
 
 def count_summary(sequence: Iterable[E]) -> str:
-    return ", ".join("{}: {}".format(tag, count) for tag, count in Counter(sequence).most_common())
+    """Histogram of ``sequence`` as a ``"item: count"`` string, most frequent first."""
+    return ", ".join(f"{item}: {count}" for item, count in Counter(sequence).most_common())
 
 
 def group(iterable: Iterable[E], key: Callable[[E], K],
           value: Callable[[E], V] = lambda x: x) -> Dict[K, Tuple[V, ...]]:
-    """Group ``iterable`` by ``key`` into an insertion-ordered dict of tuples (sorted by key)."""
-    return OrderedDict((k, tuple(map(value, values)))
-                       for k, values in groupby(sorted(iterable, key=key), key))
+    """Bucket ``iterable`` by ``key``; returned dict is ordered by sorted key."""
+    buckets: Dict[K, List[V]] = {}
+    for element in iterable:
+        buckets.setdefault(key(element), []).append(value(element))
+    return {k: tuple(buckets[k]) for k in sorted(buckets)}
 
 
 def timestamp() -> str:
-    return strftime("%Y%m%d-%H%M%S")
+    """Second-resolution local-time run name, e.g. ``20260816-142233``."""
+    return datetime.now().strftime("%Y%m%d-%H%M%S")
 
 
 def duplicates(sequence: Iterable[E]) -> List[E]:
-    counts = Counter(sequence)
-    return [item for item, count in counts.items() if count > 1]
+    """Distinct items occurring more than once, in first-occurrence order."""
+    seen: Counter = Counter()
+    result: List[E] = []
+    for item in sequence:
+        seen[item] += 1
+        if seen[item] == 2:
+            result.append(item)
+    return result
 
 
 def average_or_nan(numbers: List[float]) -> float:
     return sum(numbers) / len(numbers) if numbers else float("nan")
 
 
-def paginate(sequence: List[E], page_size: int) -> Iterable[List[E]]:
-    return (sequence[start:start + page_size]
-            for start in range(0, len(sequence), page_size))
+def paginate(sequence: List[E], page_size: int) -> Iterator[List[E]]:
+    """Split ``sequence`` into consecutive chunks of ``page_size`` (last may be short)."""
+    if page_size <= 0:
+        raise ValueError(f"page_size must be positive, got {page_size}")
+    for start in range(0, len(sequence), page_size):
+        yield sequence[start:start + page_size]
 
 
-logger = logging.getLogger("results")
-logger.setLevel(logging.INFO)
-if not logger.handlers:
-    _handler = logging.StreamHandler(sys.stdout)
-    _handler.setLevel(logging.INFO)
-    logger.addHandler(_handler)
+def _results_logger() -> logging.Logger:
+    lg = logging.getLogger("results")
+    lg.setLevel(logging.INFO)
+    if not lg.handlers:  # idempotent under re-import
+        stdout_handler = logging.StreamHandler(sys.stdout)
+        stdout_handler.setLevel(logging.INFO)
+        lg.addHandler(stdout_handler)
+    return lg
+
+
+logger = _results_logger()
 
 
 def log(obj: Any) -> None:
