@@ -1,0 +1,177 @@
+"""Synthetic speech-like corpus generation for realistic-scale quality evaluation.
+
+This image has no network access, so LibriSpeech downloads (reference
+`english_corpus.py:122-160`) cannot run; end-to-end quality numbers (LER/WER through
+greedy and LM-fused beam decoding, transfer learning) instead come from a synthesized
+corpus with a *learnable* audio<->text mapping:
+
+* every character (including space and apostrophe; umlauts for the German charset) is
+  rendered as a unique two-tone "phone" from a canonical per-character registry — the
+  same character sounds the same in every generated corpus, so cross-charset transfer
+  (English model -> German charset) is acoustically meaningful;
+* per-utterance variability keeps the task non-trivial: speaker frequency warp, per-phone
+  duration/amplitude/phase jitter, a random echo tap, and additive noise with a
+  per-utterance SNR drawn from a wide range;
+* text is sampled word-by-word from a seeded Markov chain over an English-like vocabulary
+  (with apostrophe words), so a word n-gram LM has real structure to exploit during beam
+  fusion.
+
+The directory tree follows the LibriSpeech layout (`<corpus>/<set>/<speaker>/<chapter>/`
+with per-chapter ``*.trans.txt``), so `LibriSpeechCorpus` (data/librispeech.py) parses it
+unchanged and quality runs drive the exact production facade: wav decode -> spectrogram
+cache -> bucketed batches -> train -> decode.
+"""
+import math
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.tools import log, mkdir
+
+SAMPLE_RATE = 16000
+
+# Canonical registry: index of every character this generator can voice. Shared characters
+# keep their index (and therefore their tone pair) across charsets.
+_REGISTRY = list("abcdefghijklmnopqrstuvwxyz '") + list("äöüß")
+
+# Two-tone grids: 7 low x 5 high = 35 combinations >= len(_REGISTRY). Tones sit well below
+# Nyquist (8 kHz) and are separable by the 128-bin mel frontend, but the 90 Hz low-band
+# spacing keeps neighboring characters acoustically close enough that noisy utterances
+# produce real substitution errors for the LM to correct.
+_LOW_BAND = [500.0 + 90.0 * k for k in range(7)]
+_HIGH_BAND = [1500.0 + 260.0 * k for k in range(5)]
+
+
+def character_tones(character: str) -> Tuple[float, float]:
+    """The canonical (low, high) tone pair voicing ``character``."""
+    index = _REGISTRY.index(character)
+    return _LOW_BAND[index % 7], _HIGH_BAND[index // 7]
+
+
+# English-like vocabulary, including apostrophe words so the full a-z+' charset is voiced.
+DEFAULT_VOCABULARY = (
+    "the a of to and in is it he she they we you that this was for on are with his her "
+    "as at be have from or had by word but not what all were when your can said there "
+    "use an each which do how their if will up other about out many then them these so "
+    "some would make like him into time has look two more write go see number way could "
+    "people my than first water been call who oil its now find long down day did get "
+    "come made may part over new sound take only little work know place year live me "
+    "back give most very after thing our just name good sentence man think say great "
+    "where help through much before line right too mean old any same tell boy follow "
+    "came want show also around form three small set put end does another well large "
+    "must big even such because turn here why ask went men read need land different "
+    "home us move try kind hand picture again change off play spell air away animal "
+    "house point page letter mother answer found study still learn should world "
+    "don't isn't it's can't won't that's didn't doesn't wasn't couldn't").split()
+
+GERMAN_EXTRA_VOCABULARY = (
+    "über schön müde größe straße hören fähig wörter können müssen "
+    "mädchen grün früh spät täglich").split()
+
+
+def _markov_successors(vocabulary: Sequence[str], branching: int, seed: int
+                       ) -> List[List[int]]:
+    """A fixed successor list per word: sentences sampled from these chains have genuine
+    bigram/trigram structure for the Kneser-Ney LM to learn."""
+    rand = np.random.RandomState(seed)
+    return [rand.choice(len(vocabulary), size=branching, replace=False).tolist()
+            for _ in vocabulary]
+
+
+def sample_sentence(rand: np.random.RandomState, vocabulary: Sequence[str],
+                    successors: List[List[int]], word_count: int) -> str:
+    word = int(rand.randint(len(vocabulary)))
+    words = [vocabulary[word]]
+    for _ in range(word_count - 1):
+        word = successors[word][int(rand.randint(len(successors[word])))]
+        words.append(vocabulary[word])
+    return " ".join(words)
+
+
+def synthesize_utterance(text: str, rand: np.random.RandomState,
+                         phone_duration_s: float = 0.09,
+                         noise_level: Optional[float] = None,
+                         sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Render ``text`` as a tone sequence with speaker/phone/channel variability."""
+    warp = 1.0 + 0.03 * (2.0 * rand.rand() - 1.0)       # per-"speaker" frequency warp
+    if noise_level is None:
+        noise_level = 0.02 + 0.13 * rand.rand()
+    segments = []
+    for character in text:
+        low, high = character_tones(character)
+        duration = phone_duration_s * (0.8 + 0.4 * rand.rand())
+        t = np.arange(int(duration * sample_rate)) / sample_rate
+        amplitude = 0.10 + 0.20 * rand.rand()
+        tone = amplitude * (np.sin(2 * np.pi * low * warp * t + 2 * np.pi * rand.rand())
+                            + np.sin(2 * np.pi * high * warp * t + 2 * np.pi * rand.rand()))
+        envelope = np.hanning(len(t)) if len(t) else np.ones(0)
+        segments.append((tone * envelope).astype(np.float32))
+    audio = np.concatenate(segments) if segments else np.zeros(1, np.float32)
+    # One random echo tap (crude room simulation).
+    delay = int((0.02 + 0.04 * rand.rand()) * sample_rate)
+    if len(audio) > delay:
+        echoed = audio.copy()
+        echoed[delay:] += 0.3 * audio[:-delay]
+        audio = echoed
+    audio = audio + noise_level * rand.randn(len(audio)).astype(np.float32)
+    return np.clip(audio, -0.99, 0.99).astype(np.float32)
+
+
+def generate_corpus(base_directory: Path,
+                    corpus_name: str = "synthetic",
+                    utterance_count: int = 1000,
+                    speaker_count: int = 20,
+                    min_duration_s: float = 2.0,
+                    max_duration_s: float = 10.0,
+                    characters: Optional[Sequence[str]] = None,
+                    vocabulary: Optional[Sequence[str]] = None,
+                    branching: int = 6,
+                    seed: int = 0,
+                    overwrite: bool = False) -> Path:
+    """Write a LibriSpeech-layout synthetic corpus under ``base_directory/corpus_name``.
+
+    Deterministic in ``seed``. Returns the corpus directory. Skips generation when the
+    directory already holds the expected utterance count (unless ``overwrite``)."""
+    from ..features.audio_io import write_wav
+
+    corpus_directory = Path(base_directory) / corpus_name
+    marker = corpus_directory / ".complete"
+    if marker.exists() and not overwrite:
+        if marker.read_text() == str((utterance_count, seed)):
+            log("Synthetic corpus {} already generated; reusing.".format(corpus_directory))
+            return corpus_directory
+    if vocabulary is None:
+        vocabulary = list(DEFAULT_VOCABULARY)
+        if characters is not None and any(c in "äöüß" for c in characters):
+            vocabulary += GERMAN_EXTRA_VOCABULARY
+    if characters is not None:
+        vocabulary = [w for w in vocabulary if all(c in characters for c in w)]
+    successors = _markov_successors(vocabulary, branching, seed=seed + 1)
+    rand = np.random.RandomState(seed)
+    # Average seconds per character (phone 0.09 s avg incl. jitter) -> word budget.
+    seconds_per_word = 0.09 * (np.mean([len(w) for w in vocabulary]) + 1)
+    total_seconds = 0.0
+    per_speaker = (utterance_count + speaker_count - 1) // speaker_count
+    for speaker in range(speaker_count):
+        chapter_directory = (corpus_directory / "all" / str(speaker + 1) / "1")
+        mkdir(chapter_directory)
+        lines = []
+        for index in range(per_speaker):
+            utterance = speaker * per_speaker + index
+            if utterance >= utterance_count:
+                break
+            duration = min_duration_s + (max_duration_s - min_duration_s) * rand.rand()
+            word_count = max(2, int(round(duration / seconds_per_word)))
+            text = sample_sentence(rand, vocabulary, successors, word_count)
+            audio = synthesize_utterance(text, rand)
+            total_seconds += len(audio) / SAMPLE_RATE
+            stem = "{}-1-{:04d}".format(speaker + 1, utterance)
+            write_wav(chapter_directory / (stem + ".wav"), audio, SAMPLE_RATE)
+            lines.append("{} {}".format(stem, text.upper()))
+        (chapter_directory / "{}-1.trans.txt".format(speaker + 1)).write_text(
+            "\n".join(lines) + "\n", encoding="utf8")
+    marker.write_text(str((utterance_count, seed)))
+    log("Generated synthetic corpus: {} utterances, {:.1f} min of audio at {}.".format(
+        utterance_count, total_seconds / 60.0, corpus_directory))
+    return corpus_directory

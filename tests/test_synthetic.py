@@ -1,0 +1,91 @@
+"""Synthetic quality-eval corpus generator (data/synthetic.py)."""
+import hashlib
+from pathlib import Path
+
+import numpy as np
+
+from speechless_tpu.data.librispeech import LibriSpeechCorpus
+from speechless_tpu.data.corpus import TrainingTestSplit
+from speechless_tpu.data.synthetic import (_REGISTRY, character_tones, generate_corpus,
+                                           sample_sentence, _markov_successors,
+                                           synthesize_utterance, DEFAULT_VOCABULARY)
+from speechless_tpu.text.charsets import english_frequent_characters, \
+    german_frequent_characters
+
+
+def test_character_tones_are_unique_and_canonical():
+    tones = [character_tones(c) for c in _REGISTRY]
+    assert len(set(tones)) == len(_REGISTRY)
+    assert character_tones("a") == character_tones("a")
+    for low, high in tones:
+        assert 400 < low < high < 4000  # separable by the mel frontend, below Nyquist
+
+
+def test_synthesize_utterance_is_deterministic_and_bounded():
+    a = synthesize_utterance("it's fine", np.random.RandomState(7))
+    b = synthesize_utterance("it's fine", np.random.RandomState(7))
+    assert np.array_equal(a, b)
+    assert a.dtype == np.float32 and np.abs(a).max() <= 0.99
+    # ~0.09 s per phone x 9 characters, within jitter bounds
+    assert 0.5 * 16000 < len(a) < 1.5 * 16000
+
+
+def test_sentences_have_markov_structure():
+    successors = _markov_successors(DEFAULT_VOCABULARY, branching=4, seed=1)
+    rand = np.random.RandomState(0)
+    sentences = [sample_sentence(rand, DEFAULT_VOCABULARY, successors, 20)
+                 for _ in range(50)]
+    bigrams = set()
+    total = 0
+    for sentence in sentences:
+        words = sentence.split()
+        bigrams.update(zip(words, words[1:]))
+        total += len(words) - 1
+    # Branching 4 bounds distinct continuations: far fewer distinct bigrams than tokens.
+    assert len(bigrams) < 0.8 * total
+
+
+def test_generated_corpus_parses_through_librispeech(tmp_path):
+    directory = generate_corpus(tmp_path, "synth-test", utterance_count=6,
+                                speaker_count=2, min_duration_s=1.0, max_duration_s=2.0,
+                                seed=3)
+    corpus = LibriSpeechCorpus(
+        base_directory=tmp_path, corpus_name="synth-test",
+        training_test_split=TrainingTestSplit.randomly(0.5))
+    examples = corpus.training_examples + corpus.test_examples
+    assert len(examples) == 6
+    for example in examples:
+        assert example.label
+        assert all(c in english_frequent_characters for c in example.label)
+    # Reuse: a second call with the same parameters skips regeneration.
+    again = generate_corpus(tmp_path, "synth-test", utterance_count=6, speaker_count=2,
+                            min_duration_s=1.0, max_duration_s=2.0, seed=3)
+    assert again == directory
+
+
+def test_generation_is_deterministic(tmp_path):
+    def digest(root: Path) -> str:
+        h = hashlib.sha256()
+        for f in sorted(root.rglob("*.wav")) + sorted(root.rglob("*.trans.txt")):
+            h.update(f.name.encode())
+            h.update(f.read_bytes())
+        return h.hexdigest()
+
+    a = generate_corpus(tmp_path / "a", utterance_count=4, speaker_count=2,
+                        min_duration_s=1.0, max_duration_s=1.5, seed=11)
+    b = generate_corpus(tmp_path / "b", utterance_count=4, speaker_count=2,
+                        min_duration_s=1.0, max_duration_s=1.5, seed=11)
+    assert digest(a) == digest(b)
+
+
+def test_german_charset_corpus(tmp_path):
+    generate_corpus(tmp_path, "synth-de", utterance_count=4, speaker_count=1,
+                    min_duration_s=1.0, max_duration_s=2.0, seed=5,
+                    characters=german_frequent_characters)
+    corpus = LibriSpeechCorpus(
+        base_directory=tmp_path, corpus_name="synth-de",
+        allowed_characters=german_frequent_characters,
+        training_test_split=TrainingTestSplit.training_only)
+    labels = [e.label for e in corpus.training_examples]
+    assert len(labels) == 4
+    assert all(all(c in german_frequent_characters for c in label) for label in labels)
