@@ -1,9 +1,12 @@
 """Benchmark: wav2letter CTC training throughput (utterances/sec/chip) on real hardware.
 
-Measures the full jitted train step — fused on-device feature extraction (wav -> mel dB
-features) + 11-layer conv forward + CTC loss (alpha-beta custom VJP) + Adam update — on
-LibriSpeech-shaped synthetic batches: 64 utterances of ~8.2s 16kHz audio (the reference's
-batch size, `configuration.py:45`; dev-clean averages ~7-8s per utterance).
+Measures the production multi-step train path (`trainer.make_multi_wav_step`): a
+`lax.scan` over K full train steps — fused on-device feature extraction (wav -> mel dB
+features) + 11-layer conv forward + CTC loss (alpha-beta custom VJP) + Adam update —
+executed in ONE device dispatch, on LibriSpeech-shaped synthetic batches: 64 utterances
+of ~8.2s 16kHz audio per step (the reference's batch size, `configuration.py:45`;
+dev-clean averages ~7-8s per utterance). Scanning amortizes the per-dispatch RPC latency
+(~9 ms/step on tunneled backends) that a step-per-dispatch loop pays.
 
 Baseline: the reference (Keras/TF-1.x wav2letter, `/root/reference/README.md:31`) trained on
 "a strong consumer-grade GPU" (2017, GTX-1080-class). It publishes no utt/s number; from the
@@ -24,8 +27,9 @@ BATCH_SIZE = 64
 AUDIO_SECONDS = 8.192          # -> 131072 samples -> 1024 frames @ hop 128
 SAMPLE_RATE = 16000
 LABEL_LENGTH = 192             # ~23 chars/s * 8.2s
-WARMUP_STEPS = 3
-MEASURE_STEPS = 10
+SCAN_STEPS = 10                # optimizer updates per device dispatch
+WARMUP_CALLS = 2
+MEASURE_CALLS = 3
 
 
 def main():
@@ -37,8 +41,8 @@ def main():
 
     from speechless_tpu.models import wav2letter as w2l
     from speechless_tpu.text.charsets import english_frequent_characters
-    from speechless_tpu.train.trainer import (WavBatch, init_train_state, make_optimizer,
-                                              make_wav_train_step)
+    from speechless_tpu.train.trainer import (WavBatch, init_train_state, make_multi_wav_step,
+                                              make_optimizer)
 
     platform = jax.devices()[0].platform
     config = w2l.Wav2LetterConfig(
@@ -50,32 +54,38 @@ def main():
 
     rng = np.random.RandomState(0)
     num_samples = int(AUDIO_SECONDS * SAMPLE_RATE)
-    wavs = jnp.asarray(rng.randn(BATCH_SIZE, num_samples).astype(np.float32) * 0.1)
-    wav_lengths = jnp.asarray(np.full(BATCH_SIZE, num_samples, np.int32))
-    labels = jnp.asarray(rng.randint(0, config.grapheme_set_size - 1,
-                                     size=(BATCH_SIZE, LABEL_LENGTH)).astype(np.int32))
-    label_lengths = jnp.asarray(np.full(BATCH_SIZE, LABEL_LENGTH, np.int32))
+    # One step's data, broadcast over the scan axis host-side (contents don't affect
+    # timing; the scan still executes SCAN_STEPS full updates).
+    wavs = np.broadcast_to(rng.randn(1, BATCH_SIZE, num_samples).astype(np.float32) * 0.1,
+                           (SCAN_STEPS, BATCH_SIZE, num_samples))
+    labels = np.broadcast_to(
+        rng.randint(0, config.grapheme_set_size - 1,
+                    size=(1, BATCH_SIZE, LABEL_LENGTH)).astype(np.int32),
+        (SCAN_STEPS, BATCH_SIZE, LABEL_LENGTH))
+    batch = WavBatch(
+        wavs=jnp.asarray(wavs),
+        wav_lengths=jnp.full((SCAN_STEPS, BATCH_SIZE), num_samples, jnp.int32),
+        labels=jnp.asarray(labels),
+        label_lengths=jnp.full((SCAN_STEPS, BATCH_SIZE), LABEL_LENGTH, jnp.int32))
 
-    jitted = make_wav_train_step(config, optimizer, donate=True)
-    batch = WavBatch(wavs=wavs, wav_lengths=wav_lengths, labels=labels,
-                     label_lengths=label_lengths)
+    jitted = make_multi_wav_step(config, optimizer, donate=True)
 
-    for _ in range(WARMUP_STEPS):
+    for _ in range(WARMUP_CALLS):
         state, metrics = jitted(state, batch)
     float(metrics["loss"])  # value transfer: the only reliable sync over this backend
 
     start = time.time()
-    for _ in range(MEASURE_STEPS):
+    for _ in range(MEASURE_CALLS):
         state, metrics = jitted(state, batch)
-    final_loss = float(metrics["loss"])  # steps chain through `state`: waits for all
+    final_loss = float(metrics["loss"])  # calls chain through `state`: waits for all
     elapsed = time.time() - start
     assert np.isfinite(final_loss)
 
-    utterances_per_sec = BATCH_SIZE * MEASURE_STEPS / elapsed
+    utterances_per_sec = BATCH_SIZE * SCAN_STEPS * MEASURE_CALLS / elapsed
     print(json.dumps({
-        "metric": "wav2letter CTC train throughput (fused features + fwd/bwd + Adam, "
-                  "B=64 x 8.2s audio, {} on {})".format(
-                      "bf16" if platform != "cpu" else "f32", platform),
+        "metric": "wav2letter CTC train throughput (lax.scan x{} full steps/dispatch: "
+                  "fused features + fwd/bwd + Adam, B=64 x 8.2s audio, {} on {})".format(
+                      SCAN_STEPS, "bf16" if platform != "cpu" else "f32", platform),
         "value": round(utterances_per_sec, 2),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(utterances_per_sec / BASELINE_UTTERANCES_PER_SEC, 2),

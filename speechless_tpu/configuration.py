@@ -68,6 +68,16 @@ class Configuration:
         return self.batch_generator_for_corpus(self.corpus)
 
     def batch_generator_for_corpus(self, corpus: Corpus) -> LabeledSpectrogramBatchGenerator:
+        import jax
+
+        if jax.process_count() > 1:
+            # Multi-host training: every host draws the same deterministic global batch
+            # and keeps its disjoint slice (with global bucket hints so static shapes
+            # agree across hosts) — see parallel/distributed.py for the bootstrap.
+            from .data.batching import ShardedBatchGenerator
+            return ShardedBatchGenerator(
+                corpus=corpus, spectrogram_cache_directory=self.spectrogram_cache_directory,
+                batch_size=self.batch_size)
         return LabeledSpectrogramBatchGenerator(
             corpus=corpus, spectrogram_cache_directory=self.spectrogram_cache_directory,
             batch_size=self.batch_size)

@@ -219,6 +219,50 @@ def batch_from_spectrograms(batch: List[LabeledSpectrogram], codec: GraphemeCode
     return pad_to_bucket(spectrograms, labels, codec, **kwargs), labels
 
 
+def stack_batches(batches: Sequence["Batch"]) -> "Batch":
+    """Stack a group of bucketed host batches on a new leading steps axis (the
+    `lax.scan` multi-step input: one device dispatch runs the whole group).
+
+    Batches may come from different buckets; features are zero-padded and labels
+    -1-padded to the group max so the stack is rectangular. Bucketing keeps the group
+    max stable across groups, so the multi-step program compiles once."""
+    from ..train.trainer import Batch  # deferred: keeps spawn workers off the JAX path
+
+    t_max = max(b.inputs.shape[1] for b in batches)
+    u_max = max(b.labels.shape[1] for b in batches)
+
+    def pad_inputs(b: Batch) -> np.ndarray:
+        if b.inputs.shape[1] == t_max:
+            return b.inputs
+        padded = np.zeros((b.inputs.shape[0], t_max, b.inputs.shape[2]), b.inputs.dtype)
+        padded[:, : b.inputs.shape[1]] = b.inputs
+        return padded
+
+    def pad_labels(b: Batch) -> np.ndarray:
+        if b.labels.shape[1] == u_max:
+            return b.labels
+        padded = -np.ones((b.labels.shape[0], u_max), b.labels.dtype)
+        padded[:, : b.labels.shape[1]] = b.labels
+        return padded
+
+    return Batch(inputs=np.stack([pad_inputs(b) for b in batches]),
+                 input_lengths=np.stack([b.input_lengths for b in batches]),
+                 labels=np.stack([pad_labels(b) for b in batches]),
+                 label_lengths=np.stack([b.label_lengths for b in batches]))
+
+
+def chunked(iterator: Iterator, size: int) -> Iterator[list]:
+    """Group an iterator into lists of ``size`` (trailing short group dropped: the
+    multi-step program's steps count is static)."""
+    import itertools
+
+    while True:
+        group = list(itertools.islice(iterator, size))
+        if len(group) < size:
+            return
+        yield group
+
+
 class Prefetcher:
     """Background-thread prefetch of prepared batches onto the device.
 

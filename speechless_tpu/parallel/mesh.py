@@ -27,17 +27,34 @@ MODEL_AXIS = "model"
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               model_parallelism: int = 1) -> Mesh:
-    """Build a ``(data, model)`` mesh over ``devices`` (defaults to all local devices).
+    """Build a ``(data, model)`` mesh over ``devices`` (defaults to ALL global devices —
+    across processes under `jax.distributed`).
 
     ``model_parallelism`` devices form the model axis (must divide the device count);
-    the rest go to data parallelism. The model axis is innermost so TP collectives ride
-    the fastest ICI neighbors.
-    """
+    the rest go to data parallelism. Topology-aware: `mesh_utils.create_device_mesh`
+    orders the grid from the physical TPU coordinates so the innermost (model) axis maps
+    to nearest ICI neighbors and, on multi-host slices, each host's devices stay
+    contiguous on the data axis; the flat reshape is only a fallback for device subsets
+    the topology helpers reject (e.g. an explicit slice of CPU devices in tests)."""
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     if len(devices) % model_parallelism != 0:
         raise ValueError("model_parallelism {} must divide device count {}".format(
             model_parallelism, len(devices)))
-    grid = np.array(devices).reshape(len(devices) // model_parallelism, model_parallelism)
+    shape = (len(devices) // model_parallelism, model_parallelism)
+    try:
+        from jax.experimental import mesh_utils
+
+        if not explicit and jax.process_count() > 1 and shape[0] % jax.process_count() == 0:
+            # Multi-host: model axis within each host's fast ICI neighborhood, data axis
+            # spanning hosts (gradient all-reduce tolerates the slower cross-host hops).
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (shape[0] // jax.process_count(), shape[1]),
+                (jax.process_count(), 1), devices=devices)
+        else:
+            grid = mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:
+        grid = np.array(devices).reshape(shape)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

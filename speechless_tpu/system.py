@@ -33,7 +33,7 @@ from .text.metrics import (ExpectationsVsPredictions, ExpectationsVsPredictionsI
                            ExpectationsVsPredictionsInGroupedBatches, ExpectationVsPrediction)
 from .train import checkpoint as ckpt
 from .train.trainer import (Batch, TrainState, init_train_state, make_eval_step,
-                            make_optimizer, make_train_step)
+                            make_multi_step, make_optimizer, make_train_step)
 from .utils.tools import log, mkdir, read_text, single
 
 DEFAULT_BEAM_WIDTH = 100
@@ -70,7 +70,8 @@ class Wav2Letter:
                  asg_initial_probabilities: Optional[np.ndarray] = None,
                  kenlm_directory: Optional[Path] = None,
                  beam_width: int = DEFAULT_BEAM_WIDTH,
-                 compute_dtype: Any = jnp.float32,
+                 compute_dtype: Any = None,
+                 mesh: Any = None,
                  seed: int = 0):
         if frozen_layer_count > 0 and load_model_from_directory is None:
             raise ValueError("Layers cannot be frozen if model is trained from scratch.")
@@ -99,6 +100,11 @@ class Wav2Letter:
         self.input_size_per_time_step = input_size_per_time_step
         self.output_activation = output_activation
 
+        if compute_dtype is None:
+            # bf16 convs on accelerators (MXU native; params/logits/loss stay f32 —
+            # `w2l.apply` upcasts its output), f32 on CPU for exact-parity tests.
+            compute_dtype = (jnp.float32 if jax.default_backend() == "cpu"
+                             else jnp.bfloat16)
         self.config = w2l.Wav2LetterConfig(
             input_size_per_time_step=input_size_per_time_step,
             grapheme_set_size=self.grapheme_encoding.grapheme_set_size,
@@ -144,7 +150,23 @@ class Wav2Letter:
                                                if reinitialize_trainable_loaded_layers
                                                else None),
                     init_rng=rng)
+        # Mesh-sharded execution (DP over the `data` axis, Megatron-style TP on the wide
+        # conv pair over `model`). Defaults to a global mesh under multi-host training —
+        # single-device jit cannot run there (SURVEY.md §2c TPU-native plan).
+        if mesh is None and jax.process_count() > 1:
+            from .parallel.mesh import make_mesh
+            mesh = make_mesh()
+        self.mesh = mesh
+
         self.state = init_train_state(self.config, self.optimizer, rng, params=params)
+        if self.mesh is not None:
+            from .parallel import mesh as pmesh
+            from .parallel.distributed import shard_params_global
+            sharded = shard_params_global(self.mesh,
+                                          jax.tree.map(np.asarray, self.state.params),
+                                          pmesh.param_specs(self.config.layer_names))
+            self.state = self.state._replace(params=sharded,
+                                             opt_state=self.optimizer.init(sharded))
         if (load_model_from_directory is not None and load_epoch is not None
                 and allowed_characters_for_loaded_model is None):
             # Resume path only: transfer loads intentionally start optimizer state fresh
@@ -152,6 +174,14 @@ class Wav2Letter:
             restored = ckpt.load_opt_state(load_model_from_directory, load_epoch,
                                            self.state.opt_state)
             if restored is not None:
+                if self.mesh is not None:
+                    # Re-place restored host values with the freshly-initialized
+                    # opt_state's shardings (mu/nu mirror the param shardings).
+                    from .parallel.distributed import put_global
+                    restored = jax.tree.map(
+                        lambda host, template: put_global(
+                            self.mesh, template.sharding.spec, np.asarray(host)),
+                        restored, self.state.opt_state)
                 self.state = self.state._replace(opt_state=restored)
             saved_step = ckpt.load_step(load_model_from_directory, load_epoch)
             if saved_step is not None:
@@ -194,10 +224,42 @@ class Wav2Letter:
         return np.exp(np.asarray(self._forward_fn(self.state.params,
                                                   jnp.asarray(input_batch))))
 
-    def _prepare_batch(self, labeled_spectrogram_batch: List[LabeledSpectrogram]):
+    def _device_batch(self, batch: Batch, for_training: bool = True) -> Batch:
+        """Transfer a host batch to the device(s). When convs compute in bf16, features
+        ship as f16 (numpy has no bf16): halves host->device bytes — the dominant E2E
+        cost on bandwidth-limited links — and `w2l.apply` upcasts to the compute dtype.
+
+        With a mesh: training batches are this process's per-host shard and assemble to
+        a global array over the data axis (`ShardedBatchGenerator` slices); eval batches
+        shard over data when cleanly divisible on a single process, else replicate (the
+        test-set tail page need not divide the data axis, and multi-host eval feeds the
+        full batch on every host)."""
+        inputs = batch.inputs
+        if self.config.compute_dtype == jnp.bfloat16 and inputs.dtype == np.float32:
+            inputs = inputs.astype(np.float16)
+        batch = Batch(inputs, batch.input_lengths, batch.labels, batch.label_lengths)
+        if self.mesh is None:
+            return Batch(*map(jnp.asarray, batch))
+        from .parallel import mesh as pmesh
+        from .parallel.distributed import local_batch_to_global, put_global
+        data_size = self.mesh.shape[pmesh.DATA_AXIS]
+        if for_training or (jax.process_count() == 1
+                            and batch.inputs.shape[0] % data_size == 0):
+            return local_batch_to_global(self.mesh, batch)
+        from jax.sharding import PartitionSpec
+        return Batch(*(put_global(self.mesh, PartitionSpec(), np.asarray(field))
+                       for field in batch))
+
+    def _mesh_scope(self):
+        import contextlib
+        return jax.set_mesh(self.mesh) if self.mesh is not None \
+            else contextlib.nullcontext()
+
+    def _prepare_batch(self, labeled_spectrogram_batch: List[LabeledSpectrogram],
+                       for_training: bool = True):
         batch, labels = batch_from_spectrograms(labeled_spectrogram_batch,
                                                 self.grapheme_encoding)
-        return Batch(*map(jnp.asarray, batch)), labels
+        return self._device_batch(batch, for_training=for_training), labels
 
     # -- decoding / evaluation -------------------------------------------
 
@@ -237,8 +299,10 @@ class Wav2Letter:
 
     def test_and_predict_batch(self, labeled_spectrogram_batch: List[LabeledSpectrogram]
                                ) -> ExpectationsVsPredictions:
-        batch, expected_labels = self._prepare_batch(labeled_spectrogram_batch)
-        log_probs, lengths, losses = self._eval_step(self.state.params, batch)
+        batch, expected_labels = self._prepare_batch(labeled_spectrogram_batch,
+                                                     for_training=False)
+        with self._mesh_scope():
+            log_probs, lengths, losses = self._eval_step(self.state.params, batch)
         predictions = self._decode_tokens(log_probs, lengths)
         return ExpectationsVsPredictions(
             [ExpectationVsPrediction(predicted=predicted, expected=expected, loss=float(loss))
@@ -246,9 +310,12 @@ class Wav2Letter:
                                                   np.asarray(losses))])
 
     def predict_batch_greedily(self, spectrograms: List[np.ndarray]) -> List[str]:
-        batch = pad_to_bucket(spectrograms, [""] * len(spectrograms), self.grapheme_encoding)
-        log_probs = self._forward_fn(self.state.params, jnp.asarray(batch.inputs))
-        lengths = w2l.prediction_lengths(self.config, jnp.asarray(batch.input_lengths))
+        batch = self._device_batch(
+            pad_to_bucket(spectrograms, [""] * len(spectrograms), self.grapheme_encoding),
+            for_training=False)
+        with self._mesh_scope():
+            log_probs = self._forward_fn(self.state.params, batch.inputs)
+            lengths = w2l.prediction_lengths(self.config, batch.input_lengths)
         return self._greedy_decode_tokens(log_probs, lengths)
 
     def test_and_predict(self, labeled_spectrogram: LabeledSpectrogram
@@ -301,18 +368,30 @@ class Wav2Letter:
               epoch_limit: Optional[int] = None,
               save_step: int = 1,
               callback_step: int = 1,
+              multi_step: int = 1,
               profile_first_epoch_to: Optional[Path] = None) -> None:
         """Train until interrupted (or ``epoch_limit``): an explicit epoch loop replacing
         `fit_generator` (`net.py:541-576`). Per epoch: preview predictions, checkpoint
         (weights + optimizer state), scalar CSV log with utterances/sec.
 
+        ``multi_step=k`` runs k optimizer updates per device dispatch via `lax.scan`
+        (trainer.make_multi_step): the prefetcher stacks k prepared batches and one RPC
+        executes them all, amortizing per-dispatch latency (~9 ms on tunneled backends).
+        Must divide ``batches_per_epoch``; epoch-granular previews/checkpoints unchanged.
+
         Supports both CTC and ASG criteria (the reference raises NotImplementedError for
         ASG, `net.py:396-399`; here it is implemented — see ops/asg.py)."""
-        if self._train_step is None:
-            self._train_step = make_train_step(self.config, self.optimizer, donate=True,
-                                               criterion=self._criterion,
-                                               asg_transitions=self._asg_tables[0],
-                                               asg_initials=self._asg_tables[1])
+        if multi_step < 1 or batches_per_epoch % multi_step != 0:
+            raise ValueError("multi_step ({}) must be >= 1 and divide batches_per_epoch "
+                             "({})".format(multi_step, batches_per_epoch))
+        if self._train_step is None or self._train_step[0] != multi_step:
+            make = make_train_step if multi_step == 1 else make_multi_step
+            self._train_step = (multi_step,
+                                make(self.config, self.optimizer, donate=True,
+                                     criterion=self._criterion,
+                                     asg_transitions=self._asg_tables[0],
+                                     asg_initials=self._asg_tables[1]))
+        train_step = self._train_step[1]
 
         def print_preview_batch():
             log(self.test_and_predict_batch(preview_labeled_spectrogram_batch))
@@ -320,20 +399,33 @@ class Wav2Letter:
         print_preview_batch()
 
         mkdir(tensor_board_log_directory)
-        from .data.batching import Prefetcher
+        from .data.batching import (Prefetcher, batch_from_spectrograms, chunked,
+                                    stack_batches)
         from .utils.tensorboard import SummaryWriter
         tensorboard = SummaryWriter(tensor_board_log_directory)
         scalar_log = Path(tensor_board_log_directory) / "scalars.csv"
         new_log = not scalar_log.exists()
         # Host-side batch preparation (cache reads + padding + transfer) overlaps device
         # compute via a background prefetch thread.
-        batches = Prefetcher(iter(labeled_spectrogram_batches),
-                             prepare=self._prepare_batch, depth=2)
+        if multi_step == 1:
+            batches = Prefetcher(iter(labeled_spectrogram_batches),
+                                 prepare=self._prepare_batch, depth=2)
+        else:
+            def prepare_stacked(batch_group):
+                prepared = [batch_from_spectrograms(group, self.grapheme_encoding)
+                            for group in batch_group]
+                stacked = stack_batches([host_batch for host_batch, _ in prepared])
+                return (self._device_batch(stacked),
+                        [label for _, labels in prepared for label in labels])
+
+            batches = Prefetcher(chunked(iter(labeled_spectrogram_batches), multi_step),
+                                 prepare=prepare_stacked, depth=2)
         initial_epoch = self.load_epoch if self.load_epoch is not None else 0
         epoch = initial_epoch
         # `tensorboard` joins the with-block so an interrupt ("train until interrupted" is a
         # documented workflow) still flushes and closes the event file.
-        with batches, tensorboard, scalar_log.open("a", newline="") as scalar_file:
+        with batches, tensorboard, self._mesh_scope(), \
+                scalar_log.open("a", newline="") as scalar_file:
             writer = csv.writer(scalar_file)
             if new_log:
                 writer.writerow(["epoch", "step", "loss", "utterances_per_second",
@@ -344,11 +436,13 @@ class Wav2Letter:
                 epoch_start = time.time()
                 losses = []
                 utterances = 0
-                for _ in range(batches_per_epoch):
+                for _ in range(batches_per_epoch // multi_step):
                     batch, _labels = next(batches)
-                    self.state, metrics = self._train_step(self.state, batch)
+                    self.state, metrics = train_step(self.state, batch)
                     losses.append(metrics["loss"])
-                    utterances += batch.inputs.shape[0]
+                    # multi-step batches carry a leading steps axis: (k, B, T, F).
+                    utterances += (batch.inputs.shape[0] * batch.inputs.shape[1]
+                                   if batch.inputs.ndim == 4 else batch.inputs.shape[0])
                 # One device->host fetch per epoch (per-step fetches would serialize on the
                 # dispatch round-trip).
                 mean_loss = float(jnp.mean(jnp.stack(losses)))
@@ -367,9 +461,20 @@ class Wav2Letter:
                 if epoch % callback_step == 0:
                     print_preview_batch()
                 if epoch % save_step == 0 and epoch > 0:
-                    ckpt.save_checkpoint(net_directory, epoch, self.state.params,
-                                         self.state.opt_state, step=int(self.state.step))
+                    self.save(net_directory, epoch)
 
     def save(self, net_directory: Path, epoch: int) -> Path:
-        return ckpt.save_checkpoint(net_directory, epoch, self.state.params,
-                                    self.state.opt_state, step=int(self.state.step))
+        """Checkpoint weights + optimizer state. Mesh-sharded leaves are gathered to host
+        (every process participates in the collective); only process 0 writes."""
+        def to_host(x):
+            if getattr(x, "is_fully_addressable", True):
+                return np.asarray(x)
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+        params = jax.tree.map(to_host, self.state.params)
+        opt_state = jax.tree.map(to_host, self.state.opt_state)
+        if jax.process_index() != 0:
+            return Path(net_directory) / ckpt.model_file_name(epoch)
+        return ckpt.save_checkpoint(net_directory, epoch, params, opt_state,
+                                    step=int(self.state.step))

@@ -100,13 +100,19 @@ def loss_fn(config: w2l.Wav2LetterConfig, params: Any, batch: Batch,
     return jnp.mean(per_example), per_example
 
 
-def make_train_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
-                    donate: bool = True, criterion: str = "ctc",
-                    asg_transitions: Optional[jnp.ndarray] = None,
-                    asg_initials: Optional[jnp.ndarray] = None):
-    """Build the jitted update step: ``(state, batch) -> (state, metrics)``."""
+def _update_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
+                 criterion: str, asg_transitions: Optional[jnp.ndarray],
+                 asg_initials: Optional[jnp.ndarray], from_wav: bool = False):
+    """The un-jitted update body shared by the single-step, multi-step, and fused-features
+    train steps: ``(state, batch) -> (state, metrics)``."""
 
-    def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if from_wav:
+            from ..features.spectrogram import features_batch
+
+            features, frame_counts = features_batch(batch.wavs, batch.wav_lengths)
+            batch = Batch(inputs=features, input_lengths=frame_counts,
+                          labels=batch.labels, label_lengths=batch.label_lengths)
         dropout_rng, next_rng = jax.random.split(state.dropout_rng)
         (loss, per_example), grads = jax.value_and_grad(
             lambda p: loss_fn(config, p, batch, dropout_rng=dropout_rng,
@@ -119,7 +125,17 @@ def make_train_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTrans
                                dropout_rng=next_rng)
         return new_state, {"loss": loss, "per_example_loss": per_example}
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_train_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
+                    donate: bool = True, criterion: str = "ctc",
+                    asg_transitions: Optional[jnp.ndarray] = None,
+                    asg_initials: Optional[jnp.ndarray] = None):
+    """Build the jitted update step: ``(state, batch) -> (state, metrics)``."""
+    return jax.jit(_update_step(config, optimizer, criterion, asg_transitions,
+                                asg_initials),
+                   donate_argnums=(0,) if donate else ())
 
 
 def make_wav_train_step(config: w2l.Wav2LetterConfig,
@@ -132,26 +148,51 @@ def make_wav_train_step(config: w2l.Wav2LetterConfig,
 
     ``(state, WavBatch) -> (state, metrics)``; sharding carried by input/param shardings.
     """
-    from ..features.spectrogram import features_batch
+    return jax.jit(_update_step(config, optimizer, criterion, asg_transitions,
+                                asg_initials, from_wav=True),
+                   donate_argnums=(0,) if donate else ())
 
-    def train_step(state: TrainState, batch: WavBatch
-                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        features, frame_counts = features_batch(batch.wavs, batch.wav_lengths)
-        feature_batch = Batch(inputs=features, input_lengths=frame_counts,
-                              labels=batch.labels, label_lengths=batch.label_lengths)
-        dropout_rng, next_rng = jax.random.split(state.dropout_rng)
-        (loss, per_example), grads = jax.value_and_grad(
-            lambda p: loss_fn(config, p, feature_batch, dropout_rng=dropout_rng,
-                              criterion=criterion, asg_transitions=asg_transitions,
-                              asg_initials=asg_initials), has_aux=True
-        )(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state,
-                               dropout_rng=next_rng)
-        return new_state, {"loss": loss, "per_example_loss": per_example}
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+def _scan_steps(single_step):
+    """Wrap an update body in a `lax.scan` over a leading steps axis: ``k`` optimizer
+    updates run inside ONE device dispatch. On tunneled backends each dispatch costs
+    ~9 ms of execute-RPC latency (BASELINE.md step ablation); scanning k steps amortizes
+    that to ~0.9 ms/step at k=10 — the measured-but-unshipped ~1830 utt/s of round 1."""
+
+    def multi_step(state: TrainState, stacked) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def body(carry, batch):
+            carry, metrics = single_step(carry, batch)
+            return carry, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, stacked)
+        return state, {"loss": jnp.mean(losses), "step_losses": losses}
+
+    return multi_step
+
+
+def make_multi_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
+                    donate: bool = True, criterion: str = "ctc",
+                    asg_transitions: Optional[jnp.ndarray] = None,
+                    asg_initials: Optional[jnp.ndarray] = None):
+    """Device-side multi-step training: ``(state, stacked_batch) -> (state, metrics)``
+    where every `Batch` field carries a leading steps axis (see
+    `data.batching.stack_batches`). The steps count is static per compilation; the train
+    loop keeps it fixed so exactly one program serves the whole run."""
+    return jax.jit(_scan_steps(_update_step(config, optimizer, criterion, asg_transitions,
+                                            asg_initials)),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_multi_wav_step(config: w2l.Wav2LetterConfig,
+                        optimizer: optax.GradientTransformation,
+                        donate: bool = True, criterion: str = "ctc",
+                        asg_transitions: Optional[jnp.ndarray] = None,
+                        asg_initials: Optional[jnp.ndarray] = None):
+    """Multi-step over `WavBatch`es with a leading steps axis: k fused
+    (features + fwd/bwd + Adam) updates per device dispatch."""
+    return jax.jit(_scan_steps(_update_step(config, optimizer, criterion, asg_transitions,
+                                            asg_initials, from_wav=True)),
+                   donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(config: w2l.Wav2LetterConfig, criterion: str = "ctc",

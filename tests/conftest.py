@@ -25,6 +25,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process bootstrap, large corpora)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
