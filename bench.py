@@ -68,7 +68,9 @@ def main():
         labels=jnp.asarray(labels),
         label_lengths=jnp.full((SCAN_STEPS, BATCH_SIZE), LABEL_LENGTH, jnp.int32))
 
-    jitted = make_multi_wav_step(config, optimizer, donate=True)
+    # Pallas CTC on TPU: 2.9-3.6x over the scan across shapes (BASELINE.md table).
+    jitted = make_multi_wav_step(config, optimizer, donate=True,
+                                 criterion="ctc_pallas" if platform == "tpu" else "ctc")
 
     for _ in range(WARMUP_CALLS):
         state, metrics = jitted(state, batch)

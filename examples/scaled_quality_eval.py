@@ -38,6 +38,8 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--steps-per-epoch", type=int, default=100)
     parser.add_argument("--frozen-layers", type=int, default=8)
+    parser.add_argument("--multi-step", type=int, default=10,
+                        help="optimizer updates per device dispatch (lax.scan)")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny corpus + few epochs on CPU, to validate the flow")
     parser.add_argument("--skip-transfer", action="store_true")
@@ -50,6 +52,10 @@ def main() -> None:
         args.transfer_epochs = 1
         args.batch_size = 8
         args.steps_per_epoch = 8
+        # multi_step=1 on CPU: XLA's CPU backend takes tens of minutes to LLVM-compile a
+        # scan over the full model (the facade multi-step path is covered on a small
+        # model by tests/test_multi_step.py; the TPU run uses the default 10).
+        args.multi_step = 1
         import jax
         jax.config.update("jax_platforms", "cpu")
     else:
@@ -114,7 +120,8 @@ def main() -> None:
     # -- train (resumable) --------------------------------------------------
     run_name = "quality-english"
     t0 = time.time()
-    config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5)
+    config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
+                           multi_step=args.multi_step)
     train_wall_s = time.time() - t0
     results["train"] = {"wall_s": round(train_wall_s, 1), "epochs": args.epochs,
                         "steps": args.epochs * args.steps_per_epoch,
@@ -152,7 +159,8 @@ def main() -> None:
         # fit_generator(initial_epoch=load_epoch)), so the limit is donor + budget.
         german.train(transfer, run_name="quality-german-transfer",
                      epoch_limit=args.epochs + args.transfer_epochs,
-                     callback_step=max(1, args.transfer_epochs))
+                     callback_step=max(1, args.transfer_epochs),
+                     multi_step=args.multi_step)
         results["transfer_train"] = {"wall_s": round(time.time() - t0, 1),
                                      "epochs": args.transfer_epochs,
                                      "frozen_layers": args.frozen_layers}
@@ -162,7 +170,9 @@ def main() -> None:
         scratch = Wav2Letter(german.mel_frequency_count,
                              allowed_characters=german.allowed_characters)
         german.train(scratch, run_name="quality-german-scratch",
-                     epoch_limit=args.transfer_epochs, callback_step=max(1, args.transfer_epochs))
+                     epoch_limit=args.transfer_epochs,
+                     callback_step=max(1, args.transfer_epochs),
+                     multi_step=args.multi_step)
         evaluate(scratch, german.batch_generator, "scratch_same_budget")
 
     out = args.data_dir / "quality_results.json"

@@ -36,15 +36,54 @@ def _segment_logsumexp(values: jnp.ndarray, segment_ids: jnp.ndarray,
     return jnp.where(sums > 0, maxima_safe + jnp.log(jnp.maximum(sums, 1e-38)), NEG_INF)
 
 
+def _word_bonuses(word_lm, trie_nodes, word_contexts, lm_weight: float,
+                  word_count_weight: float, valid_word_count_weight: float):
+    """Per-beam bonus a space extension would earn now (host `lm_bonus` semantics:
+    nothing for empty/just-terminated words; OOV words score as <unk> with no validity
+    bonus). Returns (bonus (W,), pending (W,) bool, normalized word ids (W,))."""
+    from ..lm.device_lm import score_word_device
+
+    pending = trie_nodes != 0
+    completed = jnp.where(trie_nodes > 0,
+                          word_lm.node_word[jnp.maximum(trie_nodes, 0)], -1)
+    normalized = jnp.where(completed >= 0, completed, word_lm.unk_id)
+    log10_p = score_word_device(word_lm, word_contexts[:, 0], word_contexts[:, 1],
+                                normalized)
+    bonus = jnp.where(pending,
+                      lm_weight * log10_p + word_count_weight
+                      + valid_word_count_weight * (completed >= 0), 0.0)
+    return bonus, pending, normalized
+
+
 def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len: int,
-               lm_table=None, lm_weight: float = 0.0, lm_base: int = 0, lm_order: int = 2):
-    """One time step of prefix beam search for one batch element. ``lm_table`` is an
-    optional dense char-n-gram log10-prob table (contexts, classes) applied as shallow
-    fusion on every extension; per-beam rolling context indices ride in the state."""
-    prefixes, lengths, hashes, p_b, p_nb, contexts = state
+               lm_table=None, lm_weight: float = 0.0, lm_base: int = 0, lm_order: int = 2,
+               word_lm=None, word_count_weight: float = 0.0,
+               valid_word_count_weight: float = 0.0, prune_classes=None):
+    """One time step of prefix beam search for one batch element.
+
+    ``lm_table`` is an optional dense char-n-gram log10-prob table (contexts, classes)
+    applied as shallow fusion on every extension (folded into the non-blank mass);
+    per-beam rolling context indices ride in the state.
+
+    ``word_lm`` is an optional `DeviceWordLm`: word-level fusion at space boundaries with
+    the reference's three weights, kept in a SEPARATE per-beam lm score (the host beam's
+    accounting: acoustic masses merge by logsumexp, the lm term is a function of the
+    prefix) that joins the ranking and the final argmax."""
+    prefixes, lengths, hashes, p_b, p_nb, contexts, lm_scores, trie_nodes, word_ctx = state
     class_count = log_probs_t.shape[0]
     w = beam_width
-    n = w * (class_count + 1)
+
+    # Per-frame class pruning: only the k most probable classes can extend a prefix this
+    # frame (the device analog of the C++ decoder's per-frame probability floor —
+    # output-identical on peaky trained outputs, and it shrinks the merge sort from
+    # W*(C+1) to W*(k+1) candidates). No pruning: the identity permutation of all classes.
+    if prune_classes is not None and prune_classes < class_count:
+        frame_scores, frame_chars = jax.lax.top_k(log_probs_t, prune_classes)  # (k,)
+    else:
+        frame_chars = jnp.arange(class_count)
+        frame_scores = log_probs_t
+    k = frame_chars.shape[0]
+    n = w * (k + 1)
 
     total = jnp.logaddexp(p_b, p_nb)
     valid = total > NEG_INF / 2
@@ -56,33 +95,46 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     stay_pnb = jnp.where(valid & (last >= 0), p_nb + log_probs_t[jnp.maximum(last, 0)],
                          NEG_INF)
 
-    # Candidates 1..C per beam: extend with character c (blank slot is masked out).
-    chars = jnp.arange(class_count)
-    ext_scores = jnp.where(chars[None, :] == last[:, None],
-                           p_b[:, None] + log_probs_t[None, :],
-                           total[:, None] + log_probs_t[None, :])  # (W, C)
+    # Candidates 1..k per beam: extend with frame_chars[e-1] (blank slot is masked out).
+    ext_scores = jnp.where(frame_chars[None, :] == last[:, None],
+                           p_b[:, None] + frame_scores[None, :],
+                           total[:, None] + frame_scores[None, :])  # (W, k)
     # Extensions are forbidden once a prefix hits capacity: a dropped-but-counted token
     # would desync the stored prefix from the hash/LM context.
-    ext_scores = jnp.where(valid[:, None] & (chars[None, :] != blank) &
+    ext_scores = jnp.where(valid[:, None] & (frame_chars[None, :] != blank) &
                            (lengths < max_len)[:, None], ext_scores, NEG_INF)
     if lm_table is not None:
         # Shallow fusion: log10 P_lm(c | rolling char context), scaled into natural log.
         # The table covers the lm alphabet (no blank); classes the LM does not know get a
         # uniform floor rather than probability 1, so fusion never favors unscored symbols.
-        lm_scores = lm_table[contexts]  # (W, lm_base)
-        if lm_scores.shape[1] < class_count:
-            uniform_floor = -math.log10(max(lm_base, 2))
-            lm_scores = jnp.pad(lm_scores,
-                                ((0, 0), (0, class_count - lm_scores.shape[1])),
-                                constant_values=uniform_floor)
-        ext_scores = ext_scores + lm_weight * lm_scores * 2.302585093
-    ext_hashes = hashes[:, None] * HASH_MULTIPLIER + (chars[None, :] + 2).astype(jnp.uint32)
+        char_lm_scores = lm_table[contexts]  # (W, lm_base)
+        uniform_floor = -math.log10(max(lm_base, 2))
+        char_lm_scores = jnp.where(
+            frame_chars[None, :] < char_lm_scores.shape[1],
+            char_lm_scores[jnp.arange(w)[:, None],
+                           jnp.minimum(frame_chars, char_lm_scores.shape[1] - 1)[None, :]],
+            uniform_floor)
+        ext_scores = ext_scores + lm_weight * char_lm_scores * 2.302585093
+    ext_hashes = hashes[:, None] * HASH_MULTIPLIER \
+        + (frame_chars[None, :] + 2).astype(jnp.uint32)
 
-    # Flatten: candidate n = beam w * (C+1) + e, with e=0 stay, e=c+1 extend-with-c.
-    all_pb = jnp.concatenate([stay_pb[:, None], jnp.full((w, class_count), NEG_INF)],
+    # Flatten: candidate n = beam w * (k+1) + e, with e=0 stay, e>0 extend frame_chars[e-1].
+    all_pb = jnp.concatenate([stay_pb[:, None], jnp.full((w, k), NEG_INF)],
                              axis=1).reshape(n)
     all_pnb = jnp.concatenate([stay_pnb[:, None], ext_scores], axis=1).reshape(n)
     all_hashes = jnp.concatenate([hashes[:, None], ext_hashes], axis=1).reshape(n)
+    if word_lm is not None:
+        bonus, _, normalized = _word_bonuses(word_lm, trie_nodes, word_ctx, lm_weight,
+                                             word_count_weight, valid_word_count_weight)
+        # The lm term is per-prefix (all merge sources agree), so candidates carry the
+        # parent's accumulated score plus the boundary bonus on the space column only.
+        ext_lm = jnp.where(frame_chars[None, :] == word_lm.space_index,
+                           bonus[:, None], 0.0)
+        all_lm = (lm_scores[:, None]
+                  + jnp.concatenate([jnp.zeros((w, 1)), ext_lm], axis=1)).reshape(n)
+    else:
+        normalized = None
+        all_lm = jnp.zeros((n,))
     alive = jnp.logaddexp(all_pb, all_pnb) > NEG_INF / 2
     all_hashes = jnp.where(alive, all_hashes, jnp.uint32(0))
 
@@ -103,13 +155,17 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     merged_total = jnp.logaddexp(merged_pb, merged_pnb)
     merged_total = jnp.where(seg_hash > jnp.uint32(0), merged_total, NEG_INF)
 
-    top_scores, top_segments = jax.lax.top_k(merged_total, w)
+    # Ranking includes the (per-prefix) word-lm score; acoustic masses stay pure.
+    top_scores, top_segments = jax.lax.top_k(merged_total + all_lm[seg_repr], w)
     top_repr = seg_repr[top_segments]
-    parent = top_repr // (class_count + 1)
-    extension = top_repr % (class_count + 1)  # 0 = stay, c+1 = extended
+    parent = top_repr // (k + 1)
+    extension = top_repr % (k + 1)  # 0 = stay, e>0 = extended with frame_chars[e-1]
+    # The actual class extended with (valid only where extension > 0).
+    ext_char = frame_chars[jnp.maximum(extension - 1, 0)]
 
     new_pb = merged_pb[top_segments]
     new_pnb = merged_pnb[top_segments]
+    new_lm = all_lm[top_repr]
     new_hashes = jnp.where(top_scores > NEG_INF / 2, seg_hash[top_segments], jnp.uint32(0))
 
     parent_prefixes = prefixes[parent]
@@ -118,47 +174,61 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     if lm_table is not None:
         # Rolling context via the char_ngram helper (base = lm alphabet + BOS);
         # out-of-LM-alphabet characters reset to the all-BOS start context.
-        char = jnp.maximum(extension - 1, 0)
         start_context = lm_table.shape[0] - 1
-        extended_ctx = jnp.where(char < lm_base,
-                                 advance_context(parent_contexts, char, lm_base, lm_order),
+        extended_ctx = jnp.where(ext_char < lm_base,
+                                 advance_context(parent_contexts, ext_char, lm_base,
+                                                 lm_order),
                                  start_context)
         new_contexts = jnp.where(extension > 0, extended_ctx, parent_contexts)
     else:
         new_contexts = parent_contexts
+    if word_lm is not None:
+        char = jnp.clip(ext_char, 0, word_lm.trie.shape[1] - 1)
+        parent_trie = trie_nodes[parent]
+        parent_wctx = word_ctx[parent]
+        is_space = (extension > 0) & (ext_char == word_lm.space_index)
+        is_char_ext = (extension > 0) & ~is_space
+        walked = jnp.where(parent_trie < 0, -1,
+                           word_lm.trie[jnp.maximum(parent_trie, 0), char])
+        new_trie = jnp.where(is_char_ext, walked,
+                             jnp.where(is_space, 0, parent_trie))
+        parent_pending = parent_trie != 0
+        shift = is_space & parent_pending  # word completed: push it into the context
+        new_word_ctx = jnp.stack(
+            [jnp.where(shift, parent_wctx[:, 1], parent_wctx[:, 0]),
+             jnp.where(shift, normalized[parent], parent_wctx[:, 1])], axis=1)
+    else:
+        new_trie = trie_nodes[parent]
+        new_word_ctx = word_ctx[parent]
     position = jnp.arange(max_len)[None, :]
-    appended = jnp.where(position == parent_lengths[:, None], (extension - 1)[:, None],
+    appended = jnp.where(position == parent_lengths[:, None], ext_char[:, None],
                          parent_prefixes)
     new_prefixes = jnp.where((extension > 0)[:, None], appended, parent_prefixes)
     # Clamp at capacity: a token beyond max_len is dropped by the positional write above,
     # so the count must not claim it either.
     new_lengths = jnp.minimum(parent_lengths + (extension > 0), max_len)
 
-    new_state = (new_prefixes, new_lengths, new_hashes, new_pb, new_pnb, new_contexts)
+    new_state = (new_prefixes, new_lengths, new_hashes, new_pb, new_pnb, new_contexts,
+                 new_lm, new_trie, new_word_ctx)
     # Outside the valid range, keep the old state (frame masked out; `active` is scalar).
     return jax.tree.map(lambda new, old: jnp.where(active, new, old), new_state, state)
 
 
 @partial(jax.jit, static_argnames=("blank", "beam_width", "max_decoded_length",
-                                   "lm_weight"))
-def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: int,
-                           beam_width: int = 25,
-                           max_decoded_length: int = 256,
-                           lm_table: jnp.ndarray = None,
-                           lm_weight: float = 0.5
-                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched on-device CTC prefix beam search, optionally with char-n-gram LM fusion.
-
-    Args:
-      log_probs: ``(batch, time, classes)`` log probabilities.
-      lengths: ``(batch,)`` valid frame counts.
-      lm_table: optional dense char-LM table (``lm/char_ngram.py``), (contexts, classes)
-        log10 probs resident on device; fused with weight ``lm_weight``.
-    Returns:
-      ``tokens (batch, max_decoded_length) int32`` (-1 padded) and ``counts (batch,)``.
-    """
+                                   "lm_weight", "word_count_weight",
+                                   "valid_word_count_weight", "word_lm_static", "prune_classes"))
+def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
+                      lm_table, lm_weight, word_arrays, word_lm_static,
+                      word_count_weight, valid_word_count_weight, prune_classes):
     batch, t_max, class_count = log_probs.shape
     w = beam_width
+    if word_arrays is not None:
+        from ..lm.device_lm import DeviceWordLm
+
+        word_lm = DeviceWordLm(*word_arrays, *word_lm_static)
+        bos = word_lm.bos_id
+    else:
+        word_lm, bos = None, 0
 
     def decode_one(lp, length):
         prefixes = -jnp.ones((w, max_decoded_length), jnp.int32)
@@ -174,18 +244,76 @@ def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: 
         else:
             lm_base, lm_order = 0, 2
             contexts = jnp.zeros((w,), jnp.int32)
-        state = (prefixes, lengths0, hashes, p_b, p_nb, contexts)
+        # Word-lm registers: empty word at the trie root, context = (BOS, BOS) — the ARPA
+        # cannot hold (<s>, <s>, w) n-grams, so the uniform trigram lookup reproduces the
+        # host scorer's shorter-n-gram handling for the first words exactly.
+        lm_scores = jnp.zeros((w,))
+        trie_nodes = jnp.zeros((w,), jnp.int32)
+        word_ctx = jnp.full((w, 2), bos, jnp.int32)
+        state = (prefixes, lengths0, hashes, p_b, p_nb, contexts, lm_scores, trie_nodes,
+                 word_ctx)
 
         def step(state, t):
             new_state = _beam_step(state, lp[t], t < length, blank, w, max_decoded_length,
                                    lm_table=lm_table, lm_weight=lm_weight, lm_base=lm_base,
-                                   lm_order=lm_order)
+                                   lm_order=lm_order, word_lm=word_lm,
+                                   word_count_weight=word_count_weight,
+                                   valid_word_count_weight=valid_word_count_weight,
+                                   prune_classes=prune_classes)
             return new_state, None
 
-        (prefixes, lengths_out, _, p_b, p_nb, _), _ = jax.lax.scan(
-            step, state, jnp.arange(t_max))
-        best = jnp.argmax(jnp.logaddexp(p_b, p_nb))
+        (prefixes, lengths_out, _, p_b, p_nb, _, lm_scores, trie_nodes, word_ctx), _ = \
+            jax.lax.scan(step, state, jnp.arange(t_max))
+        final = jnp.logaddexp(p_b, p_nb) + lm_scores
+        if word_lm is not None:
+            # Host semantics: the trailing unterminated word joins the final ranking.
+            tail_bonus, _, _ = _word_bonuses(word_lm, trie_nodes, word_ctx, lm_weight,
+                                             word_count_weight, valid_word_count_weight)
+            final = final + tail_bonus
+        best = jnp.argmax(final)
         return prefixes[best], lengths_out[best]
 
     tokens, counts = jax.vmap(decode_one)(log_probs, lengths)
     return tokens, counts.astype(jnp.int32)
+
+
+def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: int,
+                           beam_width: int = 25,
+                           max_decoded_length: int = 256,
+                           lm_table: jnp.ndarray = None,
+                           lm_weight: float = 0.5,
+                           word_lm=None,
+                           word_count_weight: float = 0.0,
+                           valid_word_count_weight: float = 2.3,
+                           prune_classes: int = None,
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched on-device CTC prefix beam search with optional LM fusion.
+
+    Args:
+      log_probs: ``(batch, time, classes)`` log probabilities.
+      lengths: ``(batch,)`` valid frame counts.
+      lm_table: optional dense char-LM table (``lm/char_ngram.py``), (contexts, classes)
+        log10 probs resident on device; fused with weight ``lm_weight`` on every extension.
+      word_lm: optional `lm.device_lm.DeviceWordLm` — WORD-level n-gram fusion at space
+        boundaries entirely on device (trie walk + hashed n-gram tables in HBM), applying
+        the reference KenLM-fork weights ``lm_weight``/``word_count_weight``/
+        ``valid_word_count_weight`` (`net.py:449-451`). Mutually exclusive with
+        ``lm_table``.
+      prune_classes: only the k most probable classes may extend a prefix per frame
+        (device analog of the native decoder's probability floor; output-identical on
+        peaky trained outputs, ~(C+1)/(k+1)x less merge-sort work). None = exact search.
+    Returns:
+      ``tokens (batch, max_decoded_length) int32`` (-1 padded) and ``counts (batch,)``.
+    """
+    if word_lm is not None and lm_table is not None:
+        raise ValueError("char-table and word-level fusion are mutually exclusive")
+    if word_lm is not None:
+        word_lm = word_lm.as_device()
+        word_arrays = tuple(word_lm[:9])
+        word_static = (word_lm.max_probes, word_lm.bos_id, word_lm.unk_id,
+                       word_lm.space_index)
+    else:
+        word_arrays, word_static = None, None
+    return _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
+                             lm_table, lm_weight, word_arrays, word_static,
+                             word_count_weight, valid_word_count_weight, prune_classes)

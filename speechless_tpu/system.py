@@ -187,7 +187,16 @@ class Wav2Letter:
             if saved_step is not None:
                 self.state = self.state._replace(step=jnp.asarray(saved_step, jnp.int32))
 
-        self._criterion = "asg" if use_asg else "ctc"
+        if use_asg:
+            self._criterion = "asg"
+        elif jax.default_backend() == "tpu" and self.mesh is None:
+            # The Pallas CTC kernel beats the lax.scan recursion 2.9-3.6x across all
+            # practical (T', U) shapes on TPU (BASELINE.md kernel-vs-scan table) with
+            # bit-exact losses. Under a mesh the scan remains default (pallas_call needs
+            # explicit partitioning rules the batch sharding doesn't provide).
+            self._criterion = "ctc_pallas"
+        else:
+            self._criterion = "ctc"
         self._asg_tables = ((jnp.asarray(self.asg_transition_probabilities),
                              jnp.asarray(self.asg_initial_probabilities))
                             if use_asg else (None, None))
