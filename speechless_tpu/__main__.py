@@ -115,7 +115,15 @@ def main(argv=None) -> None:
             wav2letter = configuration.load_model(load_name=args.run, load_epoch=epoch,
                                                   allowed_characters_for_loaded_model=None)
         else:
-            wav2letter = configuration.load_best_english_model()
+            # The reference crashed here on fresh setups (its pinned "best English"
+            # checkpoint never exists locally); fail with guidance instead.
+            try:
+                wav2letter = configuration.load_best_english_model()
+            except FileNotFoundError:
+                raise SystemExit(
+                    "No pinned best-English checkpoint under {} — pass --run <name> "
+                    "(and optionally --epoch) to select one of your trained runs.".format(
+                        configuration.directories.nets_base_directory))
         print(wav2letter.predict(example))
 
 

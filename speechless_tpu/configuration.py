@@ -47,7 +47,8 @@ class Configuration:
                  directories: DataDirectories = None,
                  mel_frequency_count: int = 128,
                  training_batches_per_epoch: int = 100,
-                 batch_size: int = 64):
+                 batch_size: int = 64,
+                 bucket_training_batches: bool = False):
         self.name = name
         self.corpus_from_directory = corpus_from_directory
         self.allowed_characters = allowed_characters
@@ -55,6 +56,7 @@ class Configuration:
         self.mel_frequency_count = mel_frequency_count
         self.training_batches_per_epoch = training_batches_per_epoch
         self.batch_size = batch_size
+        self.bucket_training_batches = bucket_training_batches
         self.spectrogram_cache_directory = \
             self.directories.spectrogram_cache_base_directory / name
         self.corpus_directory = self.directories.corpus_base_directory / name
@@ -80,7 +82,8 @@ class Configuration:
                 batch_size=self.batch_size)
         return LabeledSpectrogramBatchGenerator(
             corpus=corpus, spectrogram_cache_directory=self.spectrogram_cache_directory,
-            batch_size=self.batch_size)
+            batch_size=self.batch_size,
+            bucket_training_batches=self.bucket_training_batches)
 
     # -- named configurations --------------------------------------------
 

@@ -68,8 +68,14 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     ``word_lm`` is an optional `DeviceWordLm`: word-level fusion at space boundaries with
     the reference's three weights, kept in a SEPARATE per-beam lm score (the host beam's
     accounting: acoustic masses merge by logsumexp, the lm term is a function of the
-    prefix) that joins the ranking and the final argmax."""
-    prefixes, lengths, hashes, p_b, p_nb, contexts, lm_scores, trie_nodes, word_ctx = state
+    prefix) that joins the ranking and the final argmax.
+
+    Prefixes are NOT materialized in the carry: each step emits backpointers
+    ``(parent beam, emitted char or -1)`` and the winning prefix is rebuilt by a reverse
+    scan afterwards — carrying a (W, max_len) token buffer through the scan costs
+    W*max_len*4 bytes of HBM traffic per step for data the merge never reads (only the
+    rolling hash and the last character matter during search)."""
+    lengths, last_chars, hashes, p_b, p_nb, contexts, lm_scores, trie_nodes, word_ctx = state
     class_count = log_probs_t.shape[0]
     w = beam_width
 
@@ -87,8 +93,7 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
 
     total = jnp.logaddexp(p_b, p_nb)
     valid = total > NEG_INF / 2
-    last = jnp.where(lengths > 0,
-                     prefixes[jnp.arange(w), jnp.maximum(lengths - 1, 0)], -1)
+    last = last_chars
 
     # Candidate 0 per beam: prefix unchanged (emit blank, or re-emit the last char).
     stay_pb = jnp.where(valid, total + log_probs_t[blank], NEG_INF)
@@ -168,7 +173,6 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     new_lm = all_lm[top_repr]
     new_hashes = jnp.where(top_scores > NEG_INF / 2, seg_hash[top_segments], jnp.uint32(0))
 
-    parent_prefixes = prefixes[parent]
     parent_lengths = lengths[parent]
     parent_contexts = contexts[parent]
     if lm_table is not None:
@@ -200,18 +204,19 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     else:
         new_trie = trie_nodes[parent]
         new_word_ctx = word_ctx[parent]
-    position = jnp.arange(max_len)[None, :]
-    appended = jnp.where(position == parent_lengths[:, None], ext_char[:, None],
-                         parent_prefixes)
-    new_prefixes = jnp.where((extension > 0)[:, None], appended, parent_prefixes)
-    # Clamp at capacity: a token beyond max_len is dropped by the positional write above,
-    # so the count must not claim it either.
-    new_lengths = jnp.minimum(parent_lengths + (extension > 0), max_len)
+    emitted = extension > 0
+    new_last = jnp.where(emitted, ext_char, last_chars[parent])
+    # Capacity: extensions were already forbidden at max_len, so the count stays honest.
+    new_lengths = jnp.minimum(parent_lengths + emitted, max_len)
 
-    new_state = (new_prefixes, new_lengths, new_hashes, new_pb, new_pnb, new_contexts,
+    new_state = (new_lengths, new_last, new_hashes, new_pb, new_pnb, new_contexts,
                  new_lm, new_trie, new_word_ctx)
     # Outside the valid range, keep the old state (frame masked out; `active` is scalar).
-    return jax.tree.map(lambda new, old: jnp.where(active, new, old), new_state, state)
+    new_state = jax.tree.map(lambda new, old: jnp.where(active, new, old), new_state, state)
+    # Backpointers for prefix reconstruction: inactive frames pass beams through.
+    backpointers = (jnp.where(active, parent, jnp.arange(w)),
+                    jnp.where(active & emitted, ext_char, -1))
+    return new_state, backpointers
 
 
 @partial(jax.jit, static_argnames=("blank", "beam_width", "max_decoded_length",
@@ -231,7 +236,7 @@ def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
         word_lm, bos = None, 0
 
     def decode_one(lp, length):
-        prefixes = -jnp.ones((w, max_decoded_length), jnp.int32)
+        last_chars = -jnp.ones((w,), jnp.int32)
         lengths0 = jnp.zeros((w,), jnp.int32)
         hashes = jnp.concatenate([jnp.asarray([EMPTY_HASH]),
                                   jnp.zeros((w - 1,), jnp.uint32)])
@@ -250,20 +255,19 @@ def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
         lm_scores = jnp.zeros((w,))
         trie_nodes = jnp.zeros((w,), jnp.int32)
         word_ctx = jnp.full((w, 2), bos, jnp.int32)
-        state = (prefixes, lengths0, hashes, p_b, p_nb, contexts, lm_scores, trie_nodes,
+        state = (lengths0, last_chars, hashes, p_b, p_nb, contexts, lm_scores, trie_nodes,
                  word_ctx)
 
         def step(state, t):
-            new_state = _beam_step(state, lp[t], t < length, blank, w, max_decoded_length,
-                                   lm_table=lm_table, lm_weight=lm_weight, lm_base=lm_base,
-                                   lm_order=lm_order, word_lm=word_lm,
-                                   word_count_weight=word_count_weight,
-                                   valid_word_count_weight=valid_word_count_weight,
-                                   prune_classes=prune_classes)
-            return new_state, None
+            return _beam_step(state, lp[t], t < length, blank, w, max_decoded_length,
+                              lm_table=lm_table, lm_weight=lm_weight, lm_base=lm_base,
+                              lm_order=lm_order, word_lm=word_lm,
+                              word_count_weight=word_count_weight,
+                              valid_word_count_weight=valid_word_count_weight,
+                              prune_classes=prune_classes)
 
-        (prefixes, lengths_out, _, p_b, p_nb, _, lm_scores, trie_nodes, word_ctx), _ = \
-            jax.lax.scan(step, state, jnp.arange(t_max))
+        ((lengths_out, _, _, p_b, p_nb, _, lm_scores, trie_nodes, word_ctx),
+         (parents, emit_chars)) = jax.lax.scan(step, state, jnp.arange(t_max))
         final = jnp.logaddexp(p_b, p_nb) + lm_scores
         if word_lm is not None:
             # Host semantics: the trailing unterminated word joins the final ranking.
@@ -271,7 +275,23 @@ def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
                                              word_count_weight, valid_word_count_weight)
             final = final + tail_bonus
         best = jnp.argmax(final)
-        return prefixes[best], lengths_out[best]
+
+        # Backtrace the winning prefix through the (T, W) backpointers, newest first,
+        # then front-compact the emitted characters in time order.
+        def trace(beam, pointers):
+            step_parents, step_chars = pointers
+            return step_parents[beam], step_chars[beam]
+
+        _, path_chars = jax.lax.scan(trace, best, (parents, emit_chars), reverse=True)
+        t_range = jnp.arange(t_max)
+        kept = path_chars >= 0
+        order = jnp.argsort(jnp.where(kept, t_range, t_range + t_max))
+        packed = path_chars[order]
+        count = lengths_out[best]
+        out = jnp.arange(max_decoded_length)
+        tokens_full = jnp.where(out < count,
+                                packed[jnp.minimum(out, t_max - 1)], -1)
+        return tokens_full, count
 
     tokens, counts = jax.vmap(decode_one)(log_probs, lengths)
     return tokens, counts.astype(jnp.int32)

@@ -24,7 +24,16 @@ class Transcriber:
 
     def __init__(self, config: w2l.Wav2LetterConfig, params: w2l.Params,
                  allowed_characters: List[str],
-                 sample_buckets: Sequence[int] = tuple(b * 128 for b in DEFAULT_TIME_BUCKETS)):
+                 sample_buckets: Sequence[int] = tuple(b * 128 for b in DEFAULT_TIME_BUCKETS),
+                 kenlm_directory: Optional[Path] = None,
+                 beam_width: int = 25,
+                 lm_weight: float = 0.8,
+                 word_count_weight: float = 0.0,
+                 valid_word_count_weight: float = 2.3,
+                 prune_classes: Optional[int] = 8):
+        """``kenlm_directory``: serve LM-fused transcriptions — the word n-gram rides in
+        HBM (`lm/device_lm.py`) and the beam runs inside the same device program as the
+        features and the acoustic model, so fusion costs no extra host round-trip."""
         import jax
         import jax.numpy as jnp
 
@@ -33,29 +42,53 @@ class Transcriber:
         self.codec = CtcGraphemeCodec(allowed_characters)
         self.sample_buckets = tuple(sorted(sample_buckets))
         self._jnp = jnp
+        if kenlm_directory is not None:
+            from .lm.device_lm import build_device_word_lm
+            from .lm.ngram import load_language_model
+
+            arpa = load_language_model(Path(kenlm_directory), prefer_native=False)
+            if arpa is None:
+                raise FileNotFoundError(
+                    "No ARPA language model in {}".format(kenlm_directory))
+            word_lm = build_device_word_lm(arpa, allowed_characters).as_device()
+        else:
+            word_lm = None
+        self.word_lm = word_lm
 
         def transcribe_fn(params, wav, length):
             from .features.spectrogram import features_batch
+            from .ops.decode_jax import beam_search_decode_jax
 
             features, frame_counts = features_batch(wav[None], length[None])
             logits = w2l.apply(config, params, features)
             logit_lengths = w2l.prediction_lengths(config, frame_counts)
             log_probs = jax.nn.log_softmax(logits, axis=-1)
-            tokens, counts = greedy_decode(log_probs, logit_lengths,
-                                           config.grapheme_set_size - 1)
+            if word_lm is not None:
+                tokens, counts = beam_search_decode_jax(
+                    log_probs, logit_lengths, blank=config.grapheme_set_size - 1,
+                    beam_width=beam_width, word_lm=word_lm, lm_weight=lm_weight,
+                    word_count_weight=word_count_weight,
+                    valid_word_count_weight=valid_word_count_weight,
+                    prune_classes=prune_classes)
+            else:
+                tokens, counts = greedy_decode(log_probs, logit_lengths,
+                                               config.grapheme_set_size - 1)
             return tokens[0], counts[0]
 
         self._transcribe = jax.jit(transcribe_fn)
 
     @staticmethod
     def from_checkpoint(net_directory: Path, epoch: int, allowed_characters: List[str],
-                        mel_frequency_count: int = 128, **config_kwargs) -> "Transcriber":
+                        mel_frequency_count: int = 128,
+                        kenlm_directory: Optional[Path] = None,
+                        **config_kwargs) -> "Transcriber":
         from .train.checkpoint import load_params
 
         config = w2l.Wav2LetterConfig(
             input_size_per_time_step=mel_frequency_count,
             grapheme_set_size=len(allowed_characters) + 1, **config_kwargs)
-        return Transcriber(config, load_params(net_directory, epoch), allowed_characters)
+        return Transcriber(config, load_params(net_directory, epoch), allowed_characters,
+                           kenlm_directory=kenlm_directory)
 
     def _bucket(self, num_samples: int) -> int:
         return bucket_length(num_samples, self.sample_buckets, fallback_multiple=65536)

@@ -140,6 +140,26 @@ class TestBeamParity:
                                          rng=np.random.RandomState(seed))
             self._assert_same(log_probs, arpa, device_lm, width=8)
 
+    def test_serving_transcriber_with_word_lm(self, tmp_path, arpa, device_lm):
+        """`Transcriber(kenlm_directory=...)`: the LM-fused beam runs inside the serving
+        program (features -> model -> beam in one jit), no host round-trip."""
+        import jax
+        from speechless_tpu.lm.arpa_builder import build_kenlm_directory
+        from speechless_tpu.models import wav2letter as w2l
+        from speechless_tpu.serving import Transcriber
+
+        lm_dir = tmp_path / "kenlm"
+        build_kenlm_directory(TEXTS, lm_dir, allowed_characters=ALPHABET, order=3)
+        config = w2l.Wav2LetterConfig(input_size_per_time_step=128,
+                                      grapheme_set_size=BLANK + 1)
+        params = w2l.init_params(config, jax.random.PRNGKey(0))
+        transcriber = Transcriber(config, params, ALPHABET, kenlm_directory=lm_dir,
+                                  beam_width=4, sample_buckets=(16384,))
+        audio = np.random.RandomState(0).randn(12000).astype(np.float32) * 0.1
+        text = transcriber.transcribe_audio(audio)
+        assert isinstance(text, str)
+        assert transcriber.word_lm is not None
+
     def test_class_pruning_is_output_identical_on_peaky_outputs(self, arpa, device_lm):
         for text in ("the cat sat", "a dog ran to the log"):
             log_probs = _peaky_log_probs(text)

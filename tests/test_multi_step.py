@@ -116,3 +116,57 @@ def test_multi_step_must_divide_batches_per_epoch():
         w.train([], preview_labeled_spectrogram_batch=[],
                 tensor_board_log_directory="/tmp/x", net_directory="/tmp/y",
                 batches_per_epoch=10, multi_step=3)
+
+
+class TestDurationBucketedSampling:
+    """`bucket_training_batches`: like-length batches, uniform marginal distribution."""
+
+    class FakeCached:
+        def __init__(self, duration):
+            self.label = "x"
+            self.original = type("O", (), {"duration_in_s": duration})()
+
+    def _generator(self, durations, batch_size=4):
+        from speechless_tpu.data.batching import LabeledSpectrogramBatchGenerator
+
+        generator = LabeledSpectrogramBatchGenerator.__new__(
+            LabeledSpectrogramBatchGenerator)
+        generator.batch_size = batch_size
+        generator.bucket_training_batches = True
+        generator.labeled_training_spectrograms = [self.FakeCached(d) for d in durations]
+        return generator
+
+    def test_batches_are_duration_homogeneous(self):
+        import random
+
+        random.seed(0)
+        durations = [float(d) for d in range(2, 98)]  # 96 examples, 2..97 s
+        generator = self._generator(durations, batch_size=4)
+        buckets = generator._duration_buckets()
+        assert len(buckets) == 8
+        spans = []
+        for batch in (next(iter([b])) for b in
+                      [next(generator.training_batches()) for _ in range(50)]):
+            ds = [s.original.duration_in_s for s in batch]
+            spans.append(max(ds) - min(ds))
+        # Bucket width is ~12 s; uniform sampling over 95 s would average ~4x that.
+        assert np.mean(spans) < 15.0
+
+    def test_marginal_distribution_stays_uniform(self):
+        import random
+        from collections import Counter
+
+        random.seed(1)
+        durations = [float(d % 13) + 1 for d in range(64)]
+        generator = self._generator(durations, batch_size=4)
+        counts = Counter()
+        source = generator.training_batches()
+        draws = 4000
+        for _ in range(draws):
+            for s in next(source):
+                counts[id(s)] += 1
+        expected = draws * 4 / 64
+        observed = np.array([counts.get(id(s), 0)
+                             for s in generator.labeled_training_spectrograms])
+        # Every example drawn with the same marginal probability (within sampling noise).
+        assert observed.min() > expected * 0.7 and observed.max() < expected * 1.3
