@@ -123,6 +123,13 @@ class Configuration:
     # -- workflows --------------------------------------------------------
 
     def train(self, wav2letter: Wav2Letter, run_name: str, **train_kwargs) -> None:
+        """``device_resident=True`` packs the training corpus into HBM once and samples
+        batches on device (zero steady-state host->device transfer; see
+        `data.device_dataset`) instead of streaming through the host pipeline."""
+        if train_kwargs.pop("device_resident", False):
+            train_kwargs.setdefault("device_resident_examples",
+                                    self.batch_generator.labeled_training_spectrograms)
+            train_kwargs.setdefault("batch_size", self.batch_size)
         wav2letter.train(
             self.batch_generator.training_batches(),
             preview_labeled_spectrogram_batch=self.batch_generator.preview_batch(),

@@ -378,6 +378,8 @@ class Wav2Letter:
               save_step: int = 1,
               callback_step: int = 1,
               multi_step: int = 1,
+              device_resident_examples: Optional[List[LabeledSpectrogram]] = None,
+              batch_size: int = 64,
               profile_first_epoch_to: Optional[Path] = None) -> None:
         """Train until interrupted (or ``epoch_limit``): an explicit epoch loop replacing
         `fit_generator` (`net.py:541-576`). Per epoch: preview predictions, checkpoint
@@ -388,8 +390,22 @@ class Wav2Letter:
         executes them all, amortizing per-dispatch latency (~9 ms on tunneled backends).
         Must divide ``batches_per_epoch``; epoch-granular previews/checkpoints unchanged.
 
+        ``device_resident_examples``: when given, the ENTIRE corpus is packed into HBM
+        once (`data.device_dataset`) and each epoch runs as one device dispatch that
+        samples its batches on device — zero steady-state host->device transfer
+        (`labeled_spectrogram_batches`/``multi_step`` are ignored; batch sampling
+        matches the host generator's uniform-without-replacement-within-batch
+        semantics). ``batch_size`` applies to this mode only.
+
         Supports both CTC and ASG criteria (the reference raises NotImplementedError for
         ASG, `net.py:396-399`; here it is implemented — see ops/asg.py)."""
+        if device_resident_examples is not None:
+            self._train_device_resident(
+                device_resident_examples, preview_labeled_spectrogram_batch,
+                tensor_board_log_directory, net_directory, batches_per_epoch,
+                epoch_limit=epoch_limit, save_step=save_step, callback_step=callback_step,
+                batch_size=batch_size, profile_first_epoch_to=profile_first_epoch_to)
+            return
         if multi_step < 1 or batches_per_epoch % multi_step != 0:
             raise ValueError("multi_step ({}) must be >= 1 and divide batches_per_epoch "
                              "({})".format(multi_step, batches_per_epoch))
@@ -460,6 +476,79 @@ class Wav2Letter:
                 if profile_first_epoch_to is not None and epoch == initial_epoch + 1:
                     jax.profiler.stop_trace()
                 log("Epoch {}: loss {:.2f}, {:.1f} utterances/s".format(
+                    epoch, mean_loss, utterances / elapsed))
+                writer.writerow([epoch, int(self.state.step), mean_loss,
+                                 utterances / elapsed, elapsed / batches_per_epoch])
+                scalar_file.flush()
+                tensorboard.add_scalar("loss", mean_loss, epoch)
+                tensorboard.add_scalar("utterances_per_second", utterances / elapsed, epoch)
+                tensorboard.flush()
+                if epoch % callback_step == 0:
+                    print_preview_batch()
+                if epoch % save_step == 0 and epoch > 0:
+                    self.save(net_directory, epoch)
+
+    def _train_device_resident(self,
+                               examples: List[LabeledSpectrogram],
+                               preview_labeled_spectrogram_batch: List[LabeledSpectrogram],
+                               tensor_board_log_directory: Path,
+                               net_directory: Path,
+                               batches_per_epoch: int,
+                               epoch_limit: Optional[int] = None,
+                               save_step: int = 1,
+                               callback_step: int = 1,
+                               batch_size: int = 64,
+                               profile_first_epoch_to: Optional[Path] = None) -> None:
+        """Epoch loop over a device-resident corpus: one dispatch per epoch (see
+        `data.device_dataset` / `trainer.make_device_epoch_step`)."""
+        from .data.device_dataset import build_device_dataset
+        from .train.trainer import make_device_epoch_step
+
+        if batch_size > len(examples):
+            raise ValueError("batch_size {} exceeds corpus size {}".format(
+                batch_size, len(examples)))
+        load_start = time.time()
+        dataset, megabytes = build_device_dataset(
+            examples, self.grapheme_encoding, compute_dtype=self.config.compute_dtype,
+            mesh=self.mesh)
+        log("Device-resident corpus: {} examples, {:.0f} MB in HBM (packed + transferred "
+            "in {:.1f}s).".format(len(examples), megabytes, time.time() - load_start))
+        epoch_fn = make_device_epoch_step(
+            self.config, self.optimizer, batch_size=batch_size, steps=batches_per_epoch,
+            donate=True, criterion=self._criterion, shard_batch=self.mesh is not None,
+            asg_transitions=self._asg_tables[0], asg_initials=self._asg_tables[1])
+
+        def print_preview_batch():
+            log(self.test_and_predict_batch(preview_labeled_spectrogram_batch))
+
+        print_preview_batch()
+        mkdir(tensor_board_log_directory)
+        from .utils.tensorboard import SummaryWriter
+        tensorboard = SummaryWriter(tensor_board_log_directory)
+        scalar_log = Path(tensor_board_log_directory) / "scalars.csv"
+        new_log = not scalar_log.exists()
+        initial_epoch = self.load_epoch if self.load_epoch is not None else 0
+        epoch = initial_epoch
+        # Deterministic per-epoch sampling streams (seed 42: the corpus-split convention).
+        base_rng = jax.random.PRNGKey(42)
+        with tensorboard, self._mesh_scope(), scalar_log.open("a", newline="") as scalar_file:
+            writer = csv.writer(scalar_file)
+            if new_log:
+                writer.writerow(["epoch", "step", "loss", "utterances_per_second",
+                                 "seconds_per_batch"])
+            while epoch_limit is None or epoch < epoch_limit:
+                if profile_first_epoch_to is not None and epoch == initial_epoch:
+                    jax.profiler.start_trace(str(profile_first_epoch_to))
+                epoch_start = time.time()
+                self.state, metrics = epoch_fn(self.state, dataset,
+                                               jax.random.fold_in(base_rng, epoch))
+                mean_loss = float(metrics["loss"])  # value transfer = device sync
+                elapsed = time.time() - epoch_start
+                utterances = batches_per_epoch * batch_size
+                epoch += 1
+                if profile_first_epoch_to is not None and epoch == initial_epoch + 1:
+                    jax.profiler.stop_trace()
+                log("Epoch {}: loss {:.2f}, {:.1f} utterances/s (device-resident)".format(
                     epoch, mean_loss, utterances / elapsed))
                 writer.writerow([epoch, int(self.state.step), mean_loss,
                                  utterances / elapsed, elapsed / batches_per_epoch])

@@ -195,6 +195,49 @@ def make_multi_wav_step(config: w2l.Wav2LetterConfig,
                    donate_argnums=(0,) if donate else ())
 
 
+def make_device_epoch_step(config: w2l.Wav2LetterConfig,
+                           optimizer: optax.GradientTransformation,
+                           batch_size: int, steps: int,
+                           donate: bool = True, criterion: str = "ctc",
+                           shard_batch: bool = False,
+                           asg_transitions: Optional[jnp.ndarray] = None,
+                           asg_initials: Optional[jnp.ndarray] = None):
+    """Whole-epoch training over a device-resident corpus (`data.device_dataset`):
+    ``(state, dataset, rng) -> (state, metrics)`` runs ``steps`` optimizer updates in ONE
+    device dispatch — each step samples ``batch_size`` corpus rows uniformly without
+    replacement within the batch (the reference's `random.sample`, `corpus.py:224-226`)
+    and gathers them with `jnp.take`, so steady-state training moves zero bytes over the
+    host link.
+
+    ``shard_batch``: under a mesh (call inside `jax.set_mesh`), constrain the gathered
+    batch onto the data axis so DP compute splits across chips even though the dataset
+    itself is replicated."""
+    update = _update_step(config, optimizer, criterion, asg_transitions, asg_initials)
+
+    def epoch_step(state: TrainState, dataset, rng: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        example_count = dataset.inputs.shape[0]
+
+        def body(carry, step_rng):
+            indices = jax.random.choice(step_rng, example_count, (batch_size,),
+                                        replace=False)
+            batch = Batch(*(jnp.take(field, indices, axis=0) for field in dataset))
+            if shard_batch:
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.mesh import DATA_AXIS
+                batch = Batch(*(jax.lax.with_sharding_constraint(
+                    field, P(DATA_AXIS, *([None] * (field.ndim - 1))))
+                    for field in batch))
+            carry, metrics = update(carry, batch)
+            return carry, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, jax.random.split(rng, steps))
+        return state, {"loss": jnp.mean(losses), "step_losses": losses}
+
+    return jax.jit(epoch_step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(config: w2l.Wav2LetterConfig, criterion: str = "ctc",
                    asg_transitions: Optional[jnp.ndarray] = None,
                    asg_initials: Optional[jnp.ndarray] = None):

@@ -1,0 +1,189 @@
+"""Device-resident corpus training (`data.device_dataset` + `trainer.make_device_epoch_step`):
+HBM-packed corpus, on-device batch sampling, one dispatch per epoch."""
+import csv
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speechless_tpu.data.batching import batch_from_spectrograms
+from speechless_tpu.data.device_dataset import build_device_dataset, pack_dataset
+from speechless_tpu.text.graphemes import CtcGraphemeEncoding
+from speechless_tpu.train import init_train_state, make_optimizer, make_train_step
+from speechless_tpu.train.trainer import make_device_epoch_step
+
+from test_train import synthetic_batch, tiny_config
+
+
+class FakeSpectrogram:
+    def __init__(self, spec, label):
+        self._spec = spec
+        self.label = label
+
+    def z_normalized_transposed_spectrogram(self):
+        return self._spec
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def _examples(rng, count=6, feature_dim=8):
+    labels = ["ab", "ba", "abc", "c", "cab", "bc"]
+    return [FakeSpectrogram(
+        rng.randn(int(rng.randint(20, 41)), feature_dim).astype(np.float32),
+        labels[i % len(labels)]) for i in range(count)]
+
+
+def test_pack_matches_host_batch_padding(rng):
+    """Rows gathered from the packed corpus equal the host batcher's padded rows."""
+    codec = CtcGraphemeEncoding(allowed_characters=list("abcd"))
+    examples = _examples(rng)
+    packed = pack_dataset([e.z_normalized_transposed_spectrogram() for e in examples],
+                          [e.label for e in examples], codec)
+    host, _ = batch_from_spectrograms(examples, codec)
+    assert packed.inputs.shape[0] == len(examples)
+    for i in range(len(examples)):
+        t = int(host.input_lengths[i])
+        np.testing.assert_array_equal(packed.inputs[i, :t], host.inputs[i, :t])
+        assert np.all(packed.inputs[i, t:] == 0.0)
+        u = int(host.label_lengths[i])
+        np.testing.assert_array_equal(packed.labels[i, :u], host.labels[i, :u])
+        assert np.all(packed.labels[i, u:] == -1)
+    np.testing.assert_array_equal(packed.input_lengths, host.input_lengths)
+    np.testing.assert_array_equal(packed.label_lengths, host.label_lengths)
+
+
+def test_build_uses_f16_under_bf16_compute(rng):
+    codec = CtcGraphemeEncoding(allowed_characters=list("abcd"))
+    dataset, megabytes = build_device_dataset(_examples(rng), codec,
+                                              compute_dtype=jnp.bfloat16)
+    assert dataset.inputs.dtype == jnp.float16
+    assert megabytes > 0
+
+
+def test_epoch_step_trains_and_counts_steps(rng):
+    config = tiny_config()
+    codec = CtcGraphemeEncoding(allowed_characters=list("abcd"))
+    dataset, _ = build_device_dataset(_examples(rng, count=8), codec)
+    optimizer = make_optimizer(1e-3)
+    state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+    epoch_fn = make_device_epoch_step(config, optimizer, batch_size=4, steps=6,
+                                      donate=False)
+    state, metrics = epoch_fn(state, dataset, jax.random.PRNGKey(1))
+    assert int(state.step) == 6
+    assert metrics["step_losses"].shape == (6,)
+    first = float(metrics["step_losses"][0])
+    state, metrics = epoch_fn(state, dataset, jax.random.PRNGKey(2))
+    assert int(state.step) == 12
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["step_losses"][-1]) < first * 1.2  # training proceeds
+
+
+def test_sampling_is_without_replacement_within_batch(rng):
+    """A gathered batch never repeats a corpus row (reference `random.sample` semantics)."""
+    codec = CtcGraphemeEncoding(allowed_characters=list("abcd"))
+    dataset, _ = build_device_dataset(_examples(rng, count=6), codec)
+
+    seen = set()
+    for seed in range(20):
+        indices = jax.random.choice(jax.random.PRNGKey(seed),
+                                    dataset.inputs.shape[0], (4,), replace=False)
+        indices = np.asarray(indices)
+        assert len(set(indices.tolist())) == 4
+        seen.update(indices.tolist())
+    assert seen == set(range(6))  # every example reachable
+
+
+def test_epoch_step_matches_manual_single_steps(rng):
+    """The scanned epoch equals sequential single steps fed the same gathered batches."""
+    from speechless_tpu.train import Batch
+
+    config = tiny_config()
+    codec = CtcGraphemeEncoding(allowed_characters=list("abcd"))
+    dataset, _ = build_device_dataset(_examples(rng, count=8), codec)
+    optimizer = make_optimizer(1e-3)
+    steps, batch_size = 3, 4
+
+    epoch_fn = make_device_epoch_step(config, optimizer, batch_size=batch_size,
+                                      steps=steps, donate=False)
+    state_scan = init_train_state(config, optimizer, jax.random.PRNGKey(5))
+    state_scan, metrics = epoch_fn(state_scan, dataset, jax.random.PRNGKey(9))
+
+    single = make_train_step(config, optimizer, donate=False)
+    state_seq = init_train_state(config, optimizer, jax.random.PRNGKey(5))
+    for step_rng in jax.random.split(jax.random.PRNGKey(9), steps):
+        indices = jax.random.choice(step_rng, dataset.inputs.shape[0], (batch_size,),
+                                    replace=False)
+        batch = Batch(*(jnp.take(f, indices, axis=0) for f in dataset))
+        state_seq, seq_metrics = single(state_seq, batch)
+    for a, b in zip(jax.tree.leaves(state_scan.params), jax.tree.leaves(state_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(metrics["step_losses"][-1]),
+                               float(seq_metrics["loss"]), rtol=1e-5)
+
+
+def test_system_train_device_resident(tmp_path, rng):
+    """E2E through the facade: device-resident training runs, logs, and checkpoints."""
+    from speechless_tpu.system import Wav2Letter
+    from speechless_tpu.train.trainer import make_eval_step
+
+    config = tiny_config()
+    batch = synthetic_batch(rng, config, batch=4, t=40, u=5)
+    specs = [FakeSpectrogram(np.asarray(batch.inputs[i]), "ab") for i in range(4)]
+
+    w = Wav2Letter(input_size_per_time_step=8, allowed_characters=list("abcd"),
+                   learning_rate=1e-3)
+    w.config = config  # narrow test model
+    w.state = init_train_state(config, w.optimizer, jax.random.PRNGKey(0))
+    w._eval_step = make_eval_step(config)
+    w.train([], preview_labeled_spectrogram_batch=specs,
+            tensor_board_log_directory=tmp_path / "logs",
+            net_directory=tmp_path / "nets",
+            batches_per_epoch=4, epoch_limit=2, callback_step=10,
+            device_resident_examples=specs, batch_size=4)
+    assert (tmp_path / "nets" / "weights-epoch2.npz").exists()
+    with (tmp_path / "logs" / "scalars.csv").open() as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert int(rows[1]["step"]) == 8
+    assert all(np.isfinite(float(r["loss"])) for r in rows)
+
+
+def test_device_resident_rejects_batch_larger_than_corpus(rng, tmp_path):
+    from speechless_tpu.system import Wav2Letter
+
+    specs = _examples(rng, count=2)
+    w = Wav2Letter(input_size_per_time_step=8, allowed_characters=list("abcd"))
+    with pytest.raises(ValueError):
+        w.train([], preview_labeled_spectrogram_batch=specs,
+                tensor_board_log_directory=tmp_path / "logs",
+                net_directory=tmp_path / "nets", batches_per_epoch=2,
+                device_resident_examples=specs, batch_size=4)
+
+
+def test_device_resident_under_mesh(rng, tmp_path):
+    """DP+TP mesh: the replicated dataset + sharding-constrained gathered batch compiles
+    and trains (the multi-chip device-resident plan)."""
+    from speechless_tpu.parallel import mesh as pmesh
+    from speechless_tpu.train import Batch
+
+    config = tiny_config()
+    codec = CtcGraphemeEncoding(allowed_characters=list("abcd"))
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallelism=2)
+    dataset, _ = build_device_dataset(_examples(rng, count=8), codec, mesh=mesh)
+    optimizer = make_optimizer(1e-3)
+    state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+    shardings = pmesh.param_shardings(mesh, config.layer_names)
+    state = state._replace(params=pmesh.shard_params(state.params, shardings),
+                           opt_state=None)
+    state = state._replace(opt_state=optimizer.init(state.params))
+    epoch_fn = make_device_epoch_step(config, optimizer, batch_size=4, steps=2,
+                                      donate=False, shard_batch=True)
+    with jax.set_mesh(mesh):
+        state, metrics = epoch_fn(state, dataset, jax.random.PRNGKey(3))
+        loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    assert int(state.step) == 2
