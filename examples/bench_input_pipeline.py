@@ -108,6 +108,7 @@ def main() -> None:
     print("  train step          {:7.1f} ms".format(step_s * 1000), flush=True)
 
     # -- E2E epochs through the real facade loop -----------------------------
+    utterances = args.epochs * args.steps_per_epoch * args.batch_size
     for multi_step in (1, 10):
         start = time.time()
         w.train(generator.training_batches(),
@@ -117,12 +118,37 @@ def main() -> None:
                 batches_per_epoch=args.steps_per_epoch, epoch_limit=args.epochs,
                 multi_step=multi_step, callback_step=10 ** 6, save_step=10 ** 6)
         elapsed = time.time() - start
-        utterances = args.epochs * args.steps_per_epoch * args.batch_size
         print("E2E train (cached corpus, multi_step={}): {:.0f} utt/s "
               "({} steps in {:.1f}s, incl. compile)".format(
                   multi_step, utterances / elapsed,
                   args.epochs * args.steps_per_epoch, elapsed), flush=True)
         w._train_step = None  # rebuild for the next mode
+
+    # -- device-resident corpus: zero steady-state host->device transfer ------
+    devres_scalars = args.data_dir / "pipeline-bench-logs-devres" / "scalars.csv"
+    if devres_scalars.exists():
+        devres_scalars.unlink()  # fresh per-epoch rates for the steady-state median
+    start = time.time()
+    w.train([], preview_labeled_spectrogram_batch=batch_list[:4],
+            tensor_board_log_directory=args.data_dir / "pipeline-bench-logs-devres",
+            net_directory=args.data_dir / "pipeline-bench-nets",
+            batches_per_epoch=args.steps_per_epoch, epoch_limit=args.epochs,
+            callback_step=10 ** 6, save_step=10 ** 6,
+            device_resident_examples=generator.labeled_training_spectrograms,
+            batch_size=args.batch_size)
+    elapsed = time.time() - start
+    print("E2E train (device-resident corpus): {:.0f} utt/s "
+          "({} steps in {:.1f}s, incl. pack+transfer+compile)".format(
+              utterances / elapsed, args.epochs * args.steps_per_epoch, elapsed),
+          flush=True)
+    # Steady-state epochs (compile + corpus upload already paid):
+    import csv
+    with devres_scalars.open() as f:
+        rows = list(csv.DictReader(f))
+    rates = [float(r["utterances_per_second"]) for r in rows[1:]] or \
+            [float(r["utterances_per_second"]) for r in rows]
+    print("E2E train (device-resident, steady-state epochs): {:.0f} utt/s".format(
+        float(np.median(rates))), flush=True)
 
 
 if __name__ == "__main__":
