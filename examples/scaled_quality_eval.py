@@ -40,6 +40,9 @@ def main() -> None:
     parser.add_argument("--frozen-layers", type=int, default=8)
     parser.add_argument("--multi-step", type=int, default=10,
                         help="optimizer updates per device dispatch (lax.scan)")
+    parser.add_argument("--device-resident", action="store_true",
+                        help="pack the corpus into HBM and sample batches on device "
+                             "(zero steady-state host->device transfer)")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny corpus + few epochs on CPU, to validate the flow")
     parser.add_argument("--skip-transfer", action="store_true")
@@ -118,14 +121,19 @@ def main() -> None:
         allowed_characters=config.allowed_characters, order=3)
 
     # -- train (resumable) --------------------------------------------------
-    run_name = "quality-english"
+    run_name = "quality-english-devres" if args.device_resident else "quality-english"
     t0 = time.time()
-    config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
-                           multi_step=args.multi_step)
+    if args.device_resident:
+        config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
+                               device_resident=True)
+    else:
+        config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
+                               multi_step=args.multi_step)
     train_wall_s = time.time() - t0
     results["train"] = {"wall_s": round(train_wall_s, 1), "epochs": args.epochs,
                         "steps": args.epochs * args.steps_per_epoch,
-                        "batch_size": args.batch_size}
+                        "batch_size": args.batch_size,
+                        "device_resident": args.device_resident}
     log("training wall-clock: {:.1f}s".format(train_wall_s))
 
     # -- decode matrix on held-out test utterances ---------------------------
