@@ -47,6 +47,9 @@ def main(argv=None) -> None:
     p_train = sub.add_parser("train", help="train from scratch")
     add_config_arg(p_train)
     p_train.add_argument("--epochs", type=int, default=None, help="epoch limit")
+    p_train.add_argument("--device-resident", action="store_true",
+                         help="pack the corpus into device HBM and sample batches on "
+                              "device (zero steady-state host->device transfer)")
 
     p_transfer = sub.add_parser("transfer", help="transfer-train from the best English model")
     add_config_arg(p_transfer)
@@ -80,7 +83,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     if args.command == "train":
-        _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).train_from_beginning(epoch_limit=args.epochs)
+        _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).train_from_beginning(
+            epoch_limit=args.epochs, device_resident=args.device_resident)
     elif args.command == "transfer":
         _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).train_transfer_from_best_english_model(
             frozen_layer_count=args.freeze,

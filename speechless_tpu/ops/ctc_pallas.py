@@ -235,3 +235,22 @@ ctc_loss_pallas.defvjp(_ctc_fwd, _ctc_bwd)
 def ctc_loss_from_logits_pallas(logits, logit_lengths, labels, label_lengths, blank):
     return ctc_loss_pallas(jax.nn.log_softmax(logits, axis=-1), logit_lengths, labels,
                            label_lengths, blank)
+
+
+def ctc_loss_from_logits_pallas_sharded(logits, logit_lengths, labels, label_lengths,
+                                        blank, data_axis: str = "data"):
+    """The Pallas CTC loss under a `(data, model)` mesh: per-example CTC is batch-
+    independent, so each data shard runs the kernel on its local rows via `jax.shard_map`
+    (a `pallas_call` cannot be auto-partitioned by GSPMD; without this wrapper meshed
+    training had to fall back to the `lax.scan` recursion). Call inside `jax.set_mesh`;
+    the batch dimension must be sharded over ``data_axis``."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(data_axis)
+    return jax.shard_map(
+        partial(ctc_loss_from_logits_pallas, blank=blank),
+        in_specs=(spec, spec, spec, spec), out_specs=spec,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )(logits, logit_lengths, labels, label_lengths)

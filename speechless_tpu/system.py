@@ -189,12 +189,12 @@ class Wav2Letter:
 
         if use_asg:
             self._criterion = "asg"
-        elif jax.default_backend() == "tpu" and self.mesh is None:
-            # The Pallas CTC kernel beats the lax.scan recursion 2.9-3.6x across all
+        elif jax.default_backend() == "tpu":
+            # The Pallas CTC kernel beats the lax.scan recursion 2.9-8.5x across all
             # practical (T', U) shapes on TPU (BASELINE.md kernel-vs-scan table) with
-            # bit-exact losses. Under a mesh the scan remains default (pallas_call needs
-            # explicit partitioning rules the batch sharding doesn't provide).
-            self._criterion = "ctc_pallas"
+            # bit-exact losses. Under a mesh the kernel runs per data shard via
+            # shard_map (GSPMD cannot auto-partition a pallas_call).
+            self._criterion = "ctc_pallas" if self.mesh is None else "ctc_pallas_sharded"
         else:
             self._criterion = "ctc"
         self._asg_tables = ((jnp.asarray(self.asg_transition_probabilities),

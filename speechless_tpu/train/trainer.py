@@ -81,12 +81,19 @@ def loss_fn(config: w2l.Wav2LetterConfig, params: Any, batch: Batch,
     contract, parity-tested), or "asg"."""
     logits = w2l.apply(config, params, batch.inputs, train=train, dropout_rng=dropout_rng)
     logit_lengths = w2l.prediction_lengths(config, batch.input_lengths)
-    if criterion in ("ctc", "ctc_pallas"):
+    if criterion in ("ctc", "ctc_pallas", "ctc_pallas_sharded"):
         blank = config.grapheme_set_size - 1
         if criterion == "ctc_pallas":
             from ..ops.ctc_pallas import ctc_loss_from_logits_pallas
             per_example = ctc_loss_from_logits_pallas(logits, logit_lengths, batch.labels,
                                                       batch.label_lengths, blank)
+        elif criterion == "ctc_pallas_sharded":
+            # Under a (data, model) mesh: shard_map the kernel over the data axis.
+            from ..ops.ctc_pallas import ctc_loss_from_logits_pallas_sharded
+            from ..parallel.mesh import DATA_AXIS
+            per_example = ctc_loss_from_logits_pallas_sharded(
+                logits, logit_lengths, batch.labels, batch.label_lengths, blank,
+                data_axis=DATA_AXIS)
         else:
             per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
                                                batch.label_lengths, blank)
@@ -250,7 +257,7 @@ def make_eval_step(config: w2l.Wav2LetterConfig, criterion: str = "ctc",
     def eval_step(params: Any, batch: Batch):
         logits = w2l.apply(config, params, batch.inputs, train=False)
         logit_lengths = w2l.prediction_lengths(config, batch.input_lengths)
-        if criterion in ("ctc", "ctc_pallas"):
+        if criterion in ("ctc", "ctc_pallas", "ctc_pallas_sharded"):
             blank = config.grapheme_set_size - 1
             per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
                                                batch.label_lengths, blank)

@@ -35,6 +35,24 @@ class TestCli:
         main(["test", "--config", "minimal_english", "--data-dir", str(data_dir),
               "--batch-size", "2", "--run", runs[0], "--epoch", "1"])
 
+    def test_train_device_resident_flag_routes(self, data_dir, monkeypatch):
+        """--device-resident reaches system.Wav2Letter.train as the packed-corpus kwargs
+        (the full device-resident path is exercised on a small model in
+        test_device_dataset.py; compiling the whole-epoch scan over the 23M-param model
+        is a TPU job, not a CPU unit test)."""
+        captured = {}
+
+        def fake_train(self, batches, **kwargs):
+            captured.update(kwargs)
+
+        from speechless_tpu.system import Wav2Letter
+        monkeypatch.setattr(Wav2Letter, "train", fake_train)
+        main(["train", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--epochs", "1", "--batch-size", "2", "--batches-per-epoch", "2",
+              "--device-resident"])
+        assert captured["batch_size"] == 2
+        assert len(captured["device_resident_examples"]) == 3  # the training corpus
+
     def test_summarize_and_fill_cache(self, data_dir):
         main(["summarize", "--config", "minimal_english", "--data-dir", str(data_dir)])
         assert (data_dir / "corpus" / "English" / "corpus.csv").exists()
