@@ -79,7 +79,8 @@ class Configuration:
             from .data.batching import ShardedBatchGenerator
             return ShardedBatchGenerator(
                 corpus=corpus, spectrogram_cache_directory=self.spectrogram_cache_directory,
-                batch_size=self.batch_size)
+                batch_size=self.batch_size,
+                bucket_training_batches=self.bucket_training_batches)
         return LabeledSpectrogramBatchGenerator(
             corpus=corpus, spectrogram_cache_directory=self.spectrogram_cache_directory,
             batch_size=self.batch_size,

@@ -143,8 +143,9 @@ class ShardedBatchGenerator(LabeledSpectrogramBatchGenerator):
 
     def __init__(self, corpus, spectrogram_cache_directory: Path, batch_size: int = 64,
                  host_id: Optional[int] = None, host_count: Optional[int] = None,
-                 seed: int = 42):
-        super().__init__(corpus, spectrogram_cache_directory, batch_size)
+                 seed: int = 42, bucket_training_batches: bool = False):
+        super().__init__(corpus, spectrogram_cache_directory, batch_size,
+                         bucket_training_batches=bucket_training_batches)
         if host_id is None or host_count is None:
             import jax
 
@@ -175,10 +176,20 @@ class ShardedBatchGenerator(LabeledSpectrogramBatchGenerator):
                 return s.z_normalized_transposed_spectrogram().shape[0]
             return 1 + (int(duration * sample_rate) + hop_length) // hop_length
 
+        # Duration-bucketed sampling stays host-consistent: the bucket choice and the
+        # within-bucket sample both come from the per-step seeded RNG, and the buckets
+        # themselves are a deterministic function of the (identical) corpus.
+        buckets = self._duration_buckets() if self.bucket_training_batches else None
+        weights = [len(bucket) for bucket in buckets] if buckets else None
         step = 0
         while True:
             rand = random.Random("{}:{}".format(self.seed, step))
-            global_batch = rand.sample(self.labeled_training_spectrograms, self.batch_size)
+            if buckets is not None:
+                global_batch = rand.sample(rand.choices(buckets, weights=weights)[0],
+                                           self.batch_size)
+            else:
+                global_batch = rand.sample(self.labeled_training_spectrograms,
+                                           self.batch_size)
             min_frames = max(frame_hint(s) for s in global_batch)
             min_label_length = max(len(s.label) for s in global_batch)
             yield HintedBatch(

@@ -117,6 +117,12 @@ class LibriSpeechCorpus(Corpus):
             for member in members:
                 if skip is not None and member.name.startswith(skip):
                     member.name = member.name[len(skip):]
+                # Corpus archives hold only files and directories; link/device members
+                # could redirect later writes outside the target (a symlink extracted
+                # first would defeat the path check below), so refuse them outright.
+                if not (member.isfile() or member.isdir()):
+                    raise IOError("Archive member has unsupported type: {}".format(
+                        member.name))
                 # Refuse members that would land outside the target (absolute paths or
                 # '..' traversal in a crafted archive).
                 resolved = (root / member.name).resolve()

@@ -137,10 +137,20 @@ def generate_corpus(base_directory: Path,
 
     corpus_directory = Path(base_directory) / corpus_name
     marker = corpus_directory / ".complete"
+    # The marker records the FULL generation signature: a call with any different
+    # parameter must regenerate, and regeneration wipes the tree so shrinking
+    # utterance_count cannot leave stale wavs without transcript entries.
+    signature = str((utterance_count, speaker_count, min_duration_s, max_duration_s,
+                     tuple(characters) if characters is not None else None,
+                     tuple(vocabulary) if vocabulary is not None else None,
+                     branching, seed))
     if marker.exists() and not overwrite:
-        if marker.read_text() == str((utterance_count, seed)):
+        if marker.read_text() == signature:
             log("Synthetic corpus {} already generated; reusing.".format(corpus_directory))
             return corpus_directory
+    if corpus_directory.exists():
+        import shutil
+        shutil.rmtree(corpus_directory)
     if vocabulary is None:
         vocabulary = list(DEFAULT_VOCABULARY)
         if characters is not None and any(c in "äöüß" for c in characters):
@@ -171,7 +181,7 @@ def generate_corpus(base_directory: Path,
             lines.append("{} {}".format(stem, text.upper()))
         (chapter_directory / "{}-1.trans.txt".format(speaker + 1)).write_text(
             "\n".join(lines) + "\n", encoding="utf8")
-    marker.write_text(str((utterance_count, seed)))
+    marker.write_text(signature)
     log("Generated synthetic corpus: {} utterances, {:.1f} min of audio at {}.".format(
         utterance_count, total_seconds / 60.0, corpus_directory))
     return corpus_directory

@@ -59,7 +59,6 @@ class DeviceWordLm(NamedTuple):
 
 
 def _hash2(k1, k2, size):
-    import numpy as xp  # numpy semantics == jnp semantics for uint32 * and ^
     h = k1.astype(np.uint32) * _MIX1 ^ k2.astype(np.uint32) * _MIX2
     return (h % np.uint32(size)).astype(np.int64)
 

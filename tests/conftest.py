@@ -47,3 +47,14 @@ def make_test_wav(path: Path, duration_s: float = 1.0, sample_rate: int = 16000,
     from speechless_tpu.features import audio_io
     audio_io.write_wav(path, audio, sample_rate)
     return audio
+
+
+class FakeSpectrogram:
+    """Minimal LabeledSpectrogram stand-in: a fixed feature array + transcript."""
+
+    def __init__(self, spec, label):
+        self._spec = spec
+        self.label = label
+
+    def z_normalized_transposed_spectrogram(self):
+        return self._spec

@@ -175,6 +175,64 @@ class TestFillCache:
         assert not np.allclose(restored, 0)
 
 
+class TestArchiveUnpack:
+    """`LibriSpeechCorpus._unpack` hardening: crafted archives must not escape the
+    target directory (path traversal, absolute paths, or symlink redirection)."""
+
+    def _unpacker(self):
+        from speechless_tpu.data.librispeech import LibriSpeechCorpus
+        corpus = LibriSpeechCorpus.__new__(LibriSpeechCorpus)
+        corpus.root_compressed_directory_name_to_skip = None
+        return corpus
+
+    def _archive(self, tmp_path, build):
+        import tarfile
+        archive = tmp_path / "evil.tar.gz"
+        with tarfile.open(str(archive), "w:gz") as tar:
+            build(tar)
+        return archive
+
+    def test_normal_archive_extracts(self, tmp_path):
+        import io
+        import tarfile
+
+        def build(tar):
+            info = tarfile.TarInfo("sub/file.txt")
+            info.size = 2
+            tar.addfile(info, io.BytesIO(b"ok"))
+
+        archive = self._archive(tmp_path, build)
+        self._unpacker()._unpack(archive, tmp_path / "out")
+        assert (tmp_path / "out" / "sub" / "file.txt").read_text() == "ok"
+
+    def test_traversal_member_rejected(self, tmp_path):
+        import io
+        import tarfile
+
+        def build(tar):
+            info = tarfile.TarInfo("../escape.txt")
+            info.size = 1
+            tar.addfile(info, io.BytesIO(b"x"))
+
+        archive = self._archive(tmp_path, build)
+        with pytest.raises(IOError, match="escapes"):
+            self._unpacker()._unpack(archive, tmp_path / "out2")
+        assert not (tmp_path / "escape.txt").exists()
+
+    def test_symlink_member_rejected(self, tmp_path):
+        import tarfile
+
+        def build(tar):
+            link = tarfile.TarInfo("link")
+            link.type = tarfile.SYMTYPE
+            link.linkname = "/etc"
+            tar.addfile(link)
+
+        archive = self._archive(tmp_path, build)
+        with pytest.raises(IOError, match="unsupported type"):
+            self._unpacker()._unpack(archive, tmp_path / "out3")
+
+
 class TestShardedBatchGenerator:
     def test_hosts_get_disjoint_slices_of_same_global_batch(self, tmp_path):
         from speechless_tpu.data.batching import ShardedBatchGenerator
@@ -199,6 +257,25 @@ class TestShardedBatchGenerator:
             [s.id for s in next(ShardedBatchGenerator(corpus, tmp_path / "c0", batch_size=4,
                                                       host_id=0, host_count=2)
                                 .training_batches())]
+
+    def test_bucketed_sampling_stays_host_consistent(self, tmp_path):
+        """bucket_training_batches on the sharded generator: hosts still slice the SAME
+        global batch (the bucket choice comes from the per-step seeded RNG)."""
+        from speechless_tpu.data.batching import ShardedBatchGenerator
+        corpus_dir = tmp_path / "shardb"
+        make_librispeech_tree(corpus_dir, ["a b", "c d", "e f", "g h", "i j", "k l",
+                                           "m n", "o p"])
+        corpus = LibriSpeechCorpus(base_directory=tmp_path, corpus_name="shardb",
+                                   training_test_split=TrainingTestSplit.training_only)
+        g0 = ShardedBatchGenerator(corpus, tmp_path / "cb0", batch_size=4,
+                                   host_id=0, host_count=2, bucket_training_batches=True)
+        g1 = ShardedBatchGenerator(corpus, tmp_path / "cb1", batch_size=4,
+                                   host_id=1, host_count=2, bucket_training_batches=True)
+        it0, it1 = g0.training_batches(), g1.training_batches()
+        for _ in range(3):
+            b0, b1 = next(it0), next(it1)
+            assert b0.bucket_hints == b1.bucket_hints
+            assert not {s.id for s in b0} & {s.id for s in b1}
 
     def test_batch_size_must_divide(self, tmp_path):
         from speechless_tpu.data.batching import ShardedBatchGenerator

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import FakeSpectrogram
+
 from speechless_tpu.data.batching import batch_from_spectrograms
 from speechless_tpu.data.device_dataset import build_device_dataset, pack_dataset
 from speechless_tpu.text.graphemes import CtcGraphemeEncoding
@@ -16,13 +18,6 @@ from speechless_tpu.train.trainer import make_device_epoch_step
 from test_train import synthetic_batch, tiny_config
 
 
-class FakeSpectrogram:
-    def __init__(self, spec, label):
-        self._spec = spec
-        self.label = label
-
-    def z_normalized_transposed_spectrogram(self):
-        return self._spec
 
 
 @pytest.fixture

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from conftest import FakeSpectrogram
+
 from speechless_tpu.parallel import (local_batch_to_global, make_mesh, param_specs,
                                      put_global, shard_params_global)
 from speechless_tpu.train import Batch
@@ -48,13 +50,6 @@ def test_facade_trains_on_mesh(tmp_path):
     """Wav2Letter(mesh=...) end-to-end: sharded params, DP batches, eval, checkpoint."""
     from speechless_tpu.system import Wav2Letter
 
-    class FakeSpectrogram:
-        def __init__(self, spec, label):
-            self._spec = spec
-            self.label = label
-
-        def z_normalized_transposed_spectrogram(self):
-            return self._spec
 
     rng = np.random.RandomState(0)
     specs = [FakeSpectrogram(rng.randn(30, 128).astype(np.float32), "ab")

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import jax
 import pytest
 
+from conftest import FakeSpectrogram
+
 from speechless_tpu.data.batching import chunked, stack_batches
 from speechless_tpu.train import (Batch, init_train_state, make_multi_step, make_optimizer,
                                   make_train_step)
@@ -70,13 +72,6 @@ def test_system_train_with_multi_step(tmp_path, rng):
 
     from speechless_tpu.system import Wav2Letter
 
-    class FakeSpectrogram:
-        def __init__(self, spec, label):
-            self._spec = spec
-            self.label = label
-
-        def z_normalized_transposed_spectrogram(self):
-            return self._spec
 
     config = tiny_config()
     batch = synthetic_batch(rng, config, batch=4, t=40, u=5)
