@@ -99,7 +99,15 @@ def loss_fn(config: w2l.Wav2LetterConfig, params: Any, batch: Batch,
                                                batch.label_lengths, blank)
     elif criterion == "asg":
         from ..ops.asg import asg_loss
-        per_example = asg_loss(logits, logit_lengths, batch.labels, batch.label_lengths,
+        # Per-frame log-softmax before the ASG graphs: every length-L path in BOTH the
+        # free and constrained graph accumulates the same -sum_t lse(logits_t), so the
+        # loss VALUE is mathematically unchanged — but the reparameterization removes
+        # the objective's scale degeneracy (raw scores let Adam grow all logits
+        # unboundedly along a loss-invariant direction until f32 path-score cancellation
+        # fails; observed as a sudden 1e9 loss blowup at ~250 steps on realistic
+        # shapes). Invariance is pinned by tests/test_asg.py.
+        per_example = asg_loss(jax.nn.log_softmax(logits, axis=-1), logit_lengths,
+                               batch.labels, batch.label_lengths,
                                transition_probabilities=asg_transitions,
                                initial_probabilities=asg_initials)
     else:
@@ -263,7 +271,9 @@ def make_eval_step(config: w2l.Wav2LetterConfig, criterion: str = "ctc",
                                                batch.label_lengths, blank)
         elif criterion == "asg":
             from ..ops.asg import asg_loss
-            per_example = asg_loss(logits, logit_lengths, batch.labels, batch.label_lengths,
+            # Same normalization as the training loss (value-invariant, see loss_fn).
+            per_example = asg_loss(jax.nn.log_softmax(logits, axis=-1), logit_lengths,
+                                   batch.labels, batch.label_lengths,
                                    transition_probabilities=asg_transitions,
                                    initial_probabilities=asg_initials)
         else:

@@ -103,3 +103,30 @@ class TestAsgLoss:
         assert init.shape == (30,)
         np.testing.assert_allclose(init.sum(), 1.0)
         assert init[0] == 0
+
+
+class TestNormalizationInvariance:
+    def test_log_softmax_emissions_leave_loss_unchanged(self, rng=None):
+        """Per-frame log-softmax subtracts the same sum_t lse(logits_t) from every
+        length-L path in BOTH graphs, so the ASG loss is invariant — the training path
+        (trainer.loss_fn) relies on this to normalize emissions for optimizer stability
+        without changing the criterion."""
+        rand = np.random.RandomState(3)
+        batch, t_max, classes, u = 3, 12, 6, 4
+        emissions = jnp.asarray(rand.randn(batch, t_max, classes).astype(np.float32) * 3)
+        logit_lengths = jnp.asarray([12, 9, 11], jnp.int32)
+        labels = jnp.asarray(rand.randint(0, classes, (batch, u)), jnp.int32)
+        # De-duplicate adjacent labels (the ASG codec invariant).
+        labels_np = np.array(labels)
+        for b in range(batch):
+            for i in range(1, u):
+                if labels_np[b, i] == labels_np[b, i - 1]:
+                    labels_np[b, i] = (labels_np[b, i] + 1) % classes
+        labels = jnp.asarray(labels_np)
+        label_lengths = jnp.asarray([4, 3, 4], jnp.int32)
+
+        raw = asg_loss(emissions, logit_lengths, labels, label_lengths)
+        normalized = asg_loss(jax.nn.log_softmax(emissions, axis=-1), logit_lengths,
+                              labels, label_lengths)
+        np.testing.assert_allclose(np.asarray(normalized), np.asarray(raw),
+                                   rtol=1e-4, atol=1e-3)
