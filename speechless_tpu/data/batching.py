@@ -34,7 +34,7 @@ if TYPE_CHECKING:  # runtime import is deferred so spawned cache-fill workers st
 # Time buckets in frames: geometric ~1.3x progression keeps padding waste <~15% per batch
 # while bounding distinct compilations. Frame counts above the last bucket fall back to
 # exact-multiple-of-512 rounding.
-DEFAULT_TIME_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+DEFAULT_TIME_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1280, 1536, 2048, 3072, 4096)
 LABEL_BUCKET_MULTIPLE = 64
 
 
