@@ -29,6 +29,7 @@ from speechless_tpu.lm.device_lm import build_device_word_lm
 from speechless_tpu.lm.ngram import ArpaLanguageModel, NativeArpaLanguageModel
 from speechless_tpu.ops.decode import beam_search_decode, greedy_decode
 from speechless_tpu.ops.decode_jax import beam_search_decode_jax
+from speechless_tpu.ops.decode_pallas import beam_search_decode_pallas
 
 ALPHABET = list("abcdefghijklmnopqrstuvwxyz '")
 BLANK = len(ALPHABET)
@@ -94,6 +95,10 @@ def main():
         timed("beam W={} no LM (device, prune 8)".format(width), lambda w=width: np.asarray(
             beam_search_decode_jax(dev_lp, dev_len, BLANK, beam_width=w,
                                    max_decoded_length=256, prune_classes=8)[0]))
+        timed("beam W={} no LM (Pallas kernel, prune 8)".format(width),
+              lambda w=width: np.asarray(
+            beam_search_decode_pallas(dev_lp, dev_len, BLANK, beam_width=w,
+                                      max_decoded_length=256, prune_classes=8)[0]))
         timed("beam W={} word-LM fusion (device)".format(width), lambda w=width: np.asarray(
             beam_search_decode_jax(dev_lp, dev_len, BLANK, beam_width=w,
                                    max_decoded_length=256, word_lm=device_lm,
