@@ -45,37 +45,66 @@ def _next_pow2(value: int) -> int:
     return 1 << max(0, (value - 1)).bit_length()
 
 
-def _flat_roll(x, shift):
-    """Cyclic roll along the single-row lane axis (`pltpu.roll` wants shift >= 0)."""
+def _lane_roll(x, shift):
+    """Cyclic roll along lanes (`pltpu.roll` wants shift >= 0)."""
     return pltpu.roll(x, shift=shift % x.shape[1], axis=1)
 
 
-def _xor_partner(x, stride):
-    """y[i] = x[i XOR stride] for a (1, n) array, n a power of two.
+def _sub_roll(x, shift):
+    """Cyclic roll along sublanes."""
+    if x.shape[0] == 1:
+        return x
+    return pltpu.roll(x, shift=shift % x.shape[0], axis=0)
 
-    For lanes whose ``stride`` bit is 0 the partner is i+stride (roll left); for the
-    others it is i-stride (roll right). Both rolls are cyclic but every selected lane
-    is in range by construction."""
-    n = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    bit_zero = (lane & stride) == 0
-    left = _flat_roll(x, -stride)   # reads i + stride
-    right = _flat_roll(x, stride)   # reads i - stride
-    return jnp.where(bit_zero, left, right)
+
+def _flat_iota(shape):
+    """Row-major flat index i = row * L + col for an (R2, L) layout."""
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return row * shape[1] + col
+
+
+def _xor_partner(x, stride):
+    """y[i] = x[i XOR stride] over the row-major flat index of an (R2, L) array
+    (R2, L, and stride all powers of two; the flat length R2*L is the sort size).
+
+    stride < L flips a column bit (lane rolls); stride >= L flips a row bit (sublane
+    rolls). Lanes whose stride bit is 0 read partner i+stride, the rest i-stride;
+    every selected element is in range by construction."""
+    r2, lanes = x.shape
+    if stride < lanes:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        bit_zero = (col & stride) == 0
+        return jnp.where(bit_zero, _lane_roll(x, -stride), _lane_roll(x, stride))
+    row_stride = stride // lanes
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    bit_zero = (row & row_stride) == 0
+    return jnp.where(bit_zero, _sub_roll(x, -row_stride), _sub_roll(x, row_stride))
 
 
 def _shift_right(x, shift, fill):
-    """y[i] = x[i - shift] (y[:shift] = fill) for a (1, n) array."""
-    n = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    return jnp.where(lane >= shift, _flat_roll(x, shift), fill)
+    """y[i] = x[i - shift] over the flat index (y[:shift] = fill); shift < L."""
+    lanes = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    rolled = _lane_roll(x, shift)
+    carried = _sub_roll(rolled, 1)            # wrapped columns read the previous row
+    y = jnp.where(col >= shift, rolled, carried)
+    return jnp.where(_flat_iota(x.shape) >= shift, y, fill)
 
 
 def _shift_left(x, shift, fill):
-    """y[i] = x[i + shift] (y[n-shift:] = fill)."""
-    n = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    return jnp.where(lane < n - shift, _flat_roll(x, -shift), fill)
+    """y[i] = x[i + shift] over the flat index (y[n-shift:] = fill); shift a power of
+    two <= flat length / 2."""
+    r2, lanes = x.shape
+    n = r2 * lanes
+    if shift < lanes:
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        rolled = _lane_roll(x, -shift)
+        carried = _sub_roll(rolled, -1)       # wrapped columns read the next row
+        y = jnp.where(col < lanes - shift, rolled, carried)
+    else:
+        y = _sub_roll(x, -(shift // lanes))
+    return jnp.where(_flat_iota(x.shape) < n - shift, y, fill)
 
 
 def _lane_value(row, lane_index, fill):
@@ -92,14 +121,14 @@ def _bitonic_sort(keys, payloads, secondary=None):
     lane (stride bit 0) must end up with the pair minimum in an ascending subsequence.
     Subsequence direction for merge stage k alternates with bit k of the lane index
     (bit log2(n) is always 0, so the final merge is globally ascending)."""
-    n = keys.shape[1]
+    n = keys.shape[0] * keys.shape[1]
     stages = int(math.log2(n))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    flat = _flat_iota(keys.shape)
     for k in range(1, stages + 1):
-        ascending = (lane & (1 << k)) == 0
+        ascending = (flat & (1 << k)) == 0
         for j in range(k - 1, -1, -1):
             stride = 1 << j
-            upper = (lane & stride) != 0  # this lane holds the pair's upper element
+            upper = (flat & stride) != 0  # this slot holds the pair's upper element
             partner_key = _xor_partner(keys, stride)
             greater = keys > partner_key
             less = keys < partner_key
@@ -125,9 +154,8 @@ def _bitonic_sort(keys, payloads, secondary=None):
 def _segmented_merge(keys, pb, pnb, idx):
     """Group equal adjacent keys (sorted (1, n) row): per-segment log-sum-exp of pb/pnb
     and min of idx, placed at every member (so each run-start holds its totals)."""
-    n = keys.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    run_start = (lane == 0) | (keys != _shift_right(keys, 1, DEAD_KEY))
+    n = keys.shape[0] * keys.shape[1]
+    run_start = (_flat_iota(keys.shape) == 0) | (keys != _shift_right(keys, 1, DEAD_KEY))
     # Backward-inclusive segmented scan: absorb from the right while no run start is
     # crossed. `blocked` marks that a boundary lies within the current absorb window.
     # (Flags ride as int32: Mosaic cannot roll i1 vectors.)
@@ -150,7 +178,7 @@ def _beam_kernel(length_ref, frame_ref,
                  parents_ref, chars_ref, pb_ref, pnb_ref, len_ref,
                  pb_s, pnb_s, hash_s, last_s, len_s, bp_parent_s, bp_char_s,
                  parents_acc, chars_acc,
-                 *, beam_width, r_pad, ext_count, n_pad, class_count, blank,
+                 *, beam_width, r_pad, ext_count, n_pad, rows2, class_count, blank,
                  max_decoded_length, skip_blank_log_prob):
     b = pl.program_id(0)
     tb = pl.program_id(1)
@@ -219,13 +247,20 @@ def _beam_kernel(length_ref, frame_ref,
     def _full_update(pred, pb, pnb, total, valid, lp_blank, lp_last, frame_row):
         @pl.when(pred)
         def _():
-            lane_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-            w_of = lane_n % r                      # candidate's parent beam
-            e_of = lane_n // r                     # 0 = stay, 1..ext_count = extensions
+            # Dense candidate layout: (rows2, cols2) with rows2*cols2 = n_pad uses the
+            # sublane dimension (8x fewer vector instructions than a single row); the
+            # parent-beam mapping w = flat % r depends only on the column, so state
+            # expansion stays a static tile + row broadcast.
+            cols2 = n_pad // rows2
+            shape2 = (rows2, cols2)
+            flat_n = _flat_iota(shape2)
+            w_of = flat_n % r                      # candidate's parent beam
+            e_of = flat_n // r                     # 0 = stay, 1..ext_count = extensions
             live_cand = e_of <= ext_count
 
             def expand(state_row, fill):
-                tiled = jnp.concatenate([state_row] * (n_pad // r), axis=1)
+                tiled = jnp.concatenate([state_row] * (cols2 // r), axis=1)
+                tiled = jnp.broadcast_to(tiled, shape2)
                 return jnp.where(live_cand, tiled, fill)
 
             c_pb = expand(pb, NEG_INF)
@@ -238,8 +273,8 @@ def _beam_kernel(length_ref, frame_ref,
             c_lplast = expand(lp_last, NEG_INF)
 
             # Per-extension-slot frame data, unrolled over the static slot count.
-            ext_score = jnp.full((1, n_pad), NEG_INF)
-            ext_char = jnp.full((1, n_pad), -1, jnp.int32)
+            ext_score = jnp.full(shape2, NEG_INF)
+            ext_char = jnp.full(shape2, -1, jnp.int32)
             for e in range(ext_count):
                 in_slot = e_of == (e + 1)
                 score_e = _lane_value(frame_row, e, NEG_INF)
@@ -278,7 +313,8 @@ def _beam_kernel(length_ref, frame_ref,
                               jnp.logaddexp(m_pb, m_pnb), NEG_INF)
             _, _, payloads2 = _bitonic_sort(
                 -score, [m_pb, m_pnb, key, m_idx, s_last, s_len], secondary=m_idx)
-            f_pb, f_pnb, f_key, f_idx, f_last, f_len = [p[:, :r] for p in payloads2]
+            # Top candidates = the first r flat slots = row 0's first r columns.
+            f_pb, f_pnb, f_key, f_idx, f_last, f_len = [p[0:1, :r] for p in payloads2]
 
             in_beam = (lane_r < beam_width) & (jnp.logaddexp(f_pb, f_pnb) > NEG_INF / 2)
             pb_s[:] = jnp.where(in_beam, f_pb, NEG_INF)
@@ -302,10 +338,10 @@ def _beam_kernel(length_ref, frame_ref,
 
 @functools.partial(jax.jit, static_argnames=("blank", "beam_width",
                                              "max_decoded_length", "prune_classes",
-                                             "skip_blank_log_prob"))
+                                             "skip_blank_log_prob", "dense_layout"))
 def beam_search_decode_pallas(log_probs, lengths, blank, beam_width=25,
                               max_decoded_length=256, prune_classes=8,
-                              skip_blank_log_prob=None):
+                              skip_blank_log_prob=None, dense_layout=None):
     """Batched on-device prefix beam search as a Pallas kernel (no LM fusion).
 
     Same contract as `decode_jax.beam_search_decode_jax(..., prune_classes=k)`:
@@ -321,6 +357,13 @@ def beam_search_decode_pallas(log_probs, lengths, blank, beam_width=25,
     k = min(prune_classes, class_count)
     r_pad = _next_pow2(max(beam_width, 8))
     n_pad = _next_pow2((k + 1) * r_pad)
+    # Candidate layout: single-row (1, n) is the measured winner on v5e — the (8, n/8)
+    # dense layout halves throughput (754 ms vs 393 ms at B=64/T'=512/W=25) because
+    # Mosaic's cross-sublane rotates cost more than the lane-width packing saves.
+    # The dense path stays available (and parity-tested) for future Mosaic tuning.
+    if dense_layout is None:
+        dense_layout = False
+    rows2 = 8 if (dense_layout and n_pad >= 8 * r_pad and n_pad // 8 >= r_pad) else 1
     t_pad = ((t_max + TIME_BLOCK - 1) // TIME_BLOCK) * TIME_BLOCK
     blocks = t_pad // TIME_BLOCK
 
@@ -336,7 +379,8 @@ def beam_search_decode_pallas(log_probs, lengths, blank, beam_width=25,
 
     kernel = functools.partial(
         _beam_kernel, beam_width=beam_width, r_pad=r_pad, ext_count=k, n_pad=n_pad,
-        class_count=class_count, blank=blank, max_decoded_length=max_decoded_length,
+        rows2=rows2, class_count=class_count, blank=blank,
+        max_decoded_length=max_decoded_length,
         skip_blank_log_prob=skip_blank_log_prob)
 
     parents, chars, pb, pnb, lens = pl.pallas_call(

@@ -21,16 +21,31 @@ def _log_probs(rng, batch, t_max, classes, blank, peaky=1.0):
 
 
 class TestPallasBeamParity:
-    @pytest.mark.parametrize("beam_width,prune", [(4, 3), (8, 5), (5, 6), (12, 4)])
+    @pytest.mark.parametrize("beam_width,prune", [(4, 3), (8, 5), (5, 6)])
     def test_tokens_match_xla_beam(self, rng, beam_width, prune):
-        batch, t_max, classes = 5, 22, 6
+        batch, t_max, classes = 4, 14, 6
         blank = classes - 1
         lp = _log_probs(rng, batch, t_max, classes, blank)
-        lengths = jnp.asarray(np.array([22, 18, 13, 7, 1], np.int32))
+        lengths = jnp.asarray(np.array([14, 11, 7, 1], np.int32))
         ref = beam_search_decode_jax(lp, lengths, blank, beam_width=beam_width,
                                      max_decoded_length=16, prune_classes=prune)
         new = beam_search_decode_pallas(lp, lengths, blank, beam_width=beam_width,
                                         max_decoded_length=16, prune_classes=prune)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(new[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(new[1]))
+
+    def test_dense_layout_matches_xla_beam(self, rng):
+        """The (8, n/8) dense candidate layout (the compiled-TPU default) agrees with
+        the XLA beam; small shape because interpret mode emulates per-op."""
+        batch, t_max, classes = 2, 10, 9
+        blank = classes - 1
+        lp = _log_probs(rng, batch, t_max, classes, blank)
+        lengths = jnp.asarray(np.array([10, 6], np.int32))
+        ref = beam_search_decode_jax(lp, lengths, blank, beam_width=8,
+                                     max_decoded_length=8, prune_classes=7)
+        new = beam_search_decode_pallas(lp, lengths, blank, beam_width=8,
+                                        max_decoded_length=8, prune_classes=7,
+                                        dense_layout=True)
         np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(new[0]))
         np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(new[1]))
 
@@ -49,7 +64,7 @@ class TestPallasBeamParity:
 
     def test_capacity_cap(self, rng):
         """max_decoded_length bounds emissions without desyncing counts."""
-        batch, t_max, classes = 2, 30, 4
+        batch, t_max, classes = 2, 20, 4
         blank = classes - 1
         lp = _log_probs(rng, batch, t_max, classes, blank, peaky=-3.0)  # non-blank heavy
         lengths = jnp.full((batch,), t_max, jnp.int32)
@@ -66,7 +81,7 @@ class TestPallasBeamParity:
     def test_blank_skip_fast_path_matches_on_confident_blanks(self, rng):
         """Frames with blank prob > threshold via the fast path: identical output when
         the model is genuinely confident."""
-        batch, t_max, classes = 3, 18, 5
+        batch, t_max, classes = 2, 12, 5
         blank = classes - 1
         logits = rng.randn(batch, t_max, classes).astype(np.float32)
         # Make two-thirds of frames extremely blank-confident.
