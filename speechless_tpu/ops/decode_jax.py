@@ -27,6 +27,29 @@ HASH_MULTIPLIER = jnp.uint32(0x01000193)  # FNV-ish
 EMPTY_HASH = jnp.uint32(0x811C9DC5)
 
 
+def backtrace_tokens(parents, emit_chars, best, count, max_decoded_length):
+    """Reconstruct one utterance's winning prefix from per-frame backpointers.
+
+    ``parents``/``emit_chars`` are the (T, W) per-frame (parent beam, emitted char or
+    -1) records, ``best`` the winning final beam, ``count`` its prefix length. Returns
+    ``(tokens (max_decoded_length,) int32 -1-padded, count)``. Shared by the XLA beam
+    and the Pallas kernel (`decode_pallas.py`)."""
+    t_max = parents.shape[0]
+
+    def trace(beam, pointers):
+        step_parents, step_chars = pointers
+        return step_parents[beam], step_chars[beam]
+
+    _, path_chars = jax.lax.scan(trace, best, (parents, emit_chars), reverse=True)
+    t_range = jnp.arange(t_max)
+    kept = path_chars >= 0
+    order = jnp.argsort(jnp.where(kept, t_range, t_range + t_max))
+    packed = path_chars[order]
+    out = jnp.arange(max_decoded_length)
+    tokens = jnp.where(out < count, packed[jnp.minimum(out, t_max - 1)], -1)
+    return tokens, count
+
+
 def _segment_logsumexp(values: jnp.ndarray, segment_ids: jnp.ndarray,
                        num_segments: int) -> jnp.ndarray:
     maxima = jax.ops.segment_max(values, segment_ids, num_segments=num_segments)
@@ -278,20 +301,8 @@ def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
 
         # Backtrace the winning prefix through the (T, W) backpointers, newest first,
         # then front-compact the emitted characters in time order.
-        def trace(beam, pointers):
-            step_parents, step_chars = pointers
-            return step_parents[beam], step_chars[beam]
-
-        _, path_chars = jax.lax.scan(trace, best, (parents, emit_chars), reverse=True)
-        t_range = jnp.arange(t_max)
-        kept = path_chars >= 0
-        order = jnp.argsort(jnp.where(kept, t_range, t_range + t_max))
-        packed = path_chars[order]
-        count = lengths_out[best]
-        out = jnp.arange(max_decoded_length)
-        tokens_full = jnp.where(out < count,
-                                packed[jnp.minimum(out, t_max - 1)], -1)
-        return tokens_full, count
+        return backtrace_tokens(parents, emit_chars, best, lengths_out[best],
+                                max_decoded_length)
 
     tokens, counts = jax.vmap(decode_one)(log_probs, lengths)
     return tokens, counts.astype(jnp.int32)

@@ -423,24 +423,13 @@ def beam_search_decode_pallas(log_probs, lengths, blank, beam_width=25,
     chars = chars.reshape(batch, t_pad, r_pad)[:, :t_max]
     pb, pnb, lens = pb[:, 0], pnb[:, 0], lens[:, 0]
 
-    # Winner + backtrace (same reconstruction as the XLA beam).
+    # Winner + backtrace (the shared reconstruction in decode_jax.backtrace_tokens).
+    from .decode_jax import backtrace_tokens
+
     final = jnp.logaddexp(pb, pnb)
     best = jnp.argmax(final, axis=1)
-
-    def backtrace(parents_b, chars_b, best_b, lens_b):
-        def trace(beam, pointers):
-            step_parents, step_chars = pointers
-            return step_parents[beam], step_chars[beam]
-
-        _, path_chars = jax.lax.scan(trace, best_b, (parents_b, chars_b), reverse=True)
-        t_range = jnp.arange(t_max)
-        kept = path_chars >= 0
-        order = jnp.argsort(jnp.where(kept, t_range, t_range + t_max))
-        packed_chars = path_chars[order]
-        count = lens_b[best_b]
-        out = jnp.arange(max_decoded_length)
-        tokens = jnp.where(out < count, packed_chars[jnp.minimum(out, t_max - 1)], -1)
-        return tokens, count
-
-    tokens, counts = jax.vmap(backtrace)(parents, chars, best, lens)
+    tokens, counts = jax.vmap(
+        lambda parents_b, chars_b, best_b, lens_b: backtrace_tokens(
+            parents_b, chars_b, best_b, lens_b[best_b], max_decoded_length)
+    )(parents, chars, best, lens)
     return tokens, counts.astype(jnp.int32)

@@ -23,10 +23,10 @@ def _log_probs(rng, batch, t_max, classes, blank, peaky=1.0):
 class TestPallasBeamParity:
     @pytest.mark.parametrize("beam_width,prune", [(4, 3), (8, 5), (5, 6)])
     def test_tokens_match_xla_beam(self, rng, beam_width, prune):
-        batch, t_max, classes = 4, 14, 6
+        batch, t_max, classes = 3, 12, 6
         blank = classes - 1
         lp = _log_probs(rng, batch, t_max, classes, blank)
-        lengths = jnp.asarray(np.array([14, 11, 7, 1], np.int32))
+        lengths = jnp.asarray(np.array([12, 7, 1], np.int32))
         ref = beam_search_decode_jax(lp, lengths, blank, beam_width=beam_width,
                                      max_decoded_length=16, prune_classes=prune)
         new = beam_search_decode_pallas(lp, lengths, blank, beam_width=beam_width,
@@ -35,8 +35,9 @@ class TestPallasBeamParity:
         np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(new[1]))
 
     def test_dense_layout_matches_xla_beam(self, rng):
-        """The (8, n/8) dense candidate layout (the compiled-TPU default) agrees with
-        the XLA beam; small shape because interpret mode emulates per-op."""
+        """The (8, n/8) dense candidate layout (non-default; measured slower on v5e
+        but kept for Mosaic tuning) agrees with the XLA beam; small shape because
+        interpret mode emulates per-op."""
         batch, t_max, classes = 2, 10, 9
         blank = classes - 1
         lp = _log_probs(rng, batch, t_max, classes, blank)
@@ -84,9 +85,7 @@ class TestPallasBeamParity:
         batch, t_max, classes = 2, 12, 5
         blank = classes - 1
         logits = rng.randn(batch, t_max, classes).astype(np.float32)
-        # Make two-thirds of frames extremely blank-confident.
-        logits[:, ::3, :] *= 0.3
-        logits[:, 1::1, blank] += 0.0
+        # Make every other frame extremely blank-confident.
         confident = np.zeros((batch, t_max), bool)
         confident[:, 1::2] = True
         logits[confident, blank] = 20.0
