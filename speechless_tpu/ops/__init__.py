@@ -3,6 +3,8 @@ from .ctc import ctc_loss, ctc_loss_from_logits
 from .ctc_pallas import ctc_loss_from_logits_pallas, ctc_loss_pallas
 from .decode import beam_search_decode, greedy_decode
 from .decode_jax import beam_search_decode_jax
+from .decode_pallas import beam_search_decode_pallas
 
 __all__ = ["ctc_loss", "ctc_loss_from_logits", "ctc_loss_pallas", "ctc_loss_from_logits_pallas",
-           "asg_loss", "greedy_decode", "beam_search_decode", "beam_search_decode_jax"]
+           "asg_loss", "greedy_decode", "beam_search_decode", "beam_search_decode_jax",
+           "beam_search_decode_pallas"]
