@@ -151,9 +151,14 @@ def _bitonic_sort(keys, payloads, secondary=None):
     return keys, secondary, payloads
 
 
-def _segmented_merge(keys, pb, pnb, idx):
+def _segmented_merge(keys, pb, pnb, idx, rider=None):
     """Group equal adjacent keys (sorted (1, n) row): per-segment log-sum-exp of pb/pnb
-    and min of idx, placed at every member (so each run-start holds its totals)."""
+    and min of idx, placed at every member (so each run-start holds its totals).
+
+    ``rider`` (optional f32): propagated alongside ``idx`` so each slot ends up holding
+    the rider value of its segment's min-idx member (the same representative the XLA
+    beam's ``seg_repr`` picks) — used for the per-prefix LM score, where all merge
+    sources agree semantically but bit-exact parity needs the representative's value."""
     n = keys.shape[0] * keys.shape[1]
     run_start = (_flat_iota(keys.shape) == 0) | (keys != _shift_right(keys, 1, DEAD_KEY))
     # Backward-inclusive segmented scan: absorb from the right while no run start is
@@ -169,8 +174,14 @@ def _segmented_merge(keys, pb, pnb, idx):
         open_window = blocked == 0
         pb = jnp.where(open_window, jnp.logaddexp(pb, pb_r), pb)
         pnb = jnp.where(open_window, jnp.logaddexp(pnb, pnb_r), pnb)
+        if rider is not None:
+            rider_r = _shift_left(rider, s, 0.0)
+            take_right = open_window & (idx_r < idx)
+            rider = jnp.where(take_right, rider_r, rider)
         idx = jnp.where(open_window, jnp.minimum(idx, idx_r), idx)
         blocked = blocked | blocked_r
+    if rider is not None:
+        return run_start, pb, pnb, idx, rider
     return run_start, pb, pnb, idx
 
 
@@ -309,6 +320,14 @@ def _beam_kernel(length_ref, frame_ref,
             s_pb, s_pnb, s_orig, s_last, s_len = payloads
             run_start, m_pb, m_pnb, m_idx = _segmented_merge(key, s_pb, s_pnb, s_orig)
 
+            # Only the run-start slot may represent a merged prefix: non-start
+            # duplicates still carry finite PARTIAL masses from the backward scan, and
+            # the in_beam check below tests mass (not score) — without this mask a
+            # duplicate copy of a live prefix enters the beam whenever distinct live
+            # prefixes < beam_width (e.g. early frames at large W), double-counting
+            # its mass at the next frame's merge.
+            m_pb = jnp.where(run_start, m_pb, NEG_INF)
+            m_pnb = jnp.where(run_start, m_pnb, NEG_INF)
             score = jnp.where(run_start & (key != DEAD_KEY),
                               jnp.logaddexp(m_pb, m_pnb), NEG_INF)
             _, _, payloads2 = _bitonic_sort(

@@ -50,6 +50,40 @@ class TestPallasBeamParity:
         np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(new[0]))
         np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(new[1]))
 
+    @pytest.mark.parametrize("seed", [1, 4, 6])
+    def test_wide_beam_duplicate_mass_regression(self, seed):
+        """Parity in the regime where distinct live prefixes < beam_width while merges
+        occur (W=16 > 1 + k + k^2 = 7 at k=2): non-run-start duplicates after the
+        segmented merge must NOT re-enter the beam with finite partial masses — a
+        duplicate copy double-counts its mass at the next frame's merge and can flip
+        the winner (round-2 advisor finding, decode_pallas.py:319). These seeds were
+        measured to flip tokens without the duplicate-mass mask (41/60 seeds do)."""
+        rng = np.random.RandomState(seed)
+        batch, t_max, classes = 4, 16, 3
+        blank = classes - 1
+        lp = _log_probs(rng, batch, t_max, classes, blank, peaky=2.0)  # blank-peaky
+        lengths = jnp.asarray(np.array([16, 11, 5, 2], np.int32))
+        ref = beam_search_decode_jax(lp, lengths, blank, beam_width=16,
+                                     max_decoded_length=20, prune_classes=2)
+        new = beam_search_decode_pallas(lp, lengths, blank, beam_width=16,
+                                        max_decoded_length=20, prune_classes=2)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(new[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(new[1]))
+
+    def test_wide_beam_small_alphabet_w25(self, rng):
+        """W=25 with a tiny alphabet keeps live-prefix count below W for many frames;
+        pins the same duplicate regime at the production beam width."""
+        batch, t_max, classes = 2, 10, 4
+        blank = classes - 1
+        lp = _log_probs(rng, batch, t_max, classes, blank, peaky=1.5)
+        lengths = jnp.full((batch,), t_max, jnp.int32)
+        ref = beam_search_decode_jax(lp, lengths, blank, beam_width=25,
+                                     max_decoded_length=16, prune_classes=3)
+        new = beam_search_decode_pallas(lp, lengths, blank, beam_width=25,
+                                        max_decoded_length=16, prune_classes=3)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(new[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(new[1]))
+
     def test_merge_repeated_false_contract(self):
         """'AA<blank>AA' -> 'AA' (reference test_ctc_decoders.py semantics)."""
         probs = np.full((1, 5, 2), 1e-6, np.float32)
