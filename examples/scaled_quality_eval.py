@@ -40,6 +40,9 @@ def main() -> None:
     parser.add_argument("--frozen-layers", type=int, default=8)
     parser.add_argument("--multi-step", type=int, default=10,
                         help="optimizer updates per device dispatch (lax.scan)")
+    parser.add_argument("--difficulty", choices=("standard", "hard"), default="standard",
+                        help="synthetic-corpus tier; 'hard' lands greedy in a 5-15%% LER "
+                             "band so beam/LM/transfer deltas stay measurable")
     parser.add_argument("--device-resident", action="store_true",
                         help="pack the corpus into HBM and sample batches on device "
                              "(zero steady-state host->device transfer)")
@@ -95,12 +98,15 @@ def main() -> None:
         return result
 
     # -- corpus + cache + LM ------------------------------------------------
-    generate_corpus(directories.corpus_base_directory / "English", "synthetic",
-                    utterance_count=args.utterances, seed=0)
+    corpus_name = ("synthetic" if args.difficulty == "standard"
+                   else "synthetic-" + args.difficulty)
+    generate_corpus(directories.corpus_base_directory / "English", corpus_name,
+                    utterance_count=args.utterances, seed=0,
+                    difficulty=args.difficulty)
     config = Configuration(
         name="English",
         corpus_from_directory=lambda d: LibriSpeechCorpus(
-            base_directory=d, corpus_name="synthetic",
+            base_directory=d, corpus_name=corpus_name,
             training_test_split=TrainingTestSplit.randomly(0.9)),
         directories=directories, batch_size=args.batch_size,
         training_batches_per_epoch=args.steps_per_epoch)
@@ -122,6 +128,8 @@ def main() -> None:
 
     # -- train (resumable) --------------------------------------------------
     run_name = "quality-english-devres" if args.device_resident else "quality-english"
+    if args.difficulty != "standard":
+        run_name += "-" + args.difficulty
     t0 = time.time()
     if args.device_resident:
         config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
@@ -145,14 +153,18 @@ def main() -> None:
     evaluate(beam, config.batch_generator, "beam_lm")
 
     # -- transfer: English -> German charset ---------------------------------
+    suffix = "" if args.difficulty == "standard" else "-" + args.difficulty
     if not args.skip_transfer:
-        generate_corpus(directories.corpus_base_directory / "German", "synthetic-de",
+        german_corpus_name = ("synthetic-de" if args.difficulty == "standard"
+                              else "synthetic-de-" + args.difficulty)
+        generate_corpus(directories.corpus_base_directory / "German", german_corpus_name,
                         utterance_count=args.transfer_utterances, seed=100,
-                        characters=german_frequent_characters)
+                        characters=german_frequent_characters,
+                        difficulty=args.difficulty)
         german = Configuration(
             name="German", allowed_characters=german_frequent_characters,
             corpus_from_directory=lambda d: LibriSpeechCorpus(
-                base_directory=d, corpus_name="synthetic-de",
+                base_directory=d, corpus_name=german_corpus_name,
                 allowed_characters=german_frequent_characters,
                 training_test_split=TrainingTestSplit.randomly(0.8)),
             directories=directories, batch_size=args.batch_size,
@@ -165,7 +177,7 @@ def main() -> None:
         t0 = time.time()
         # Transfer keeps the donor's epoch numbering (reference `net.py:556` semantics:
         # fit_generator(initial_epoch=load_epoch)), so the limit is donor + budget.
-        german.train(transfer, run_name="quality-german-transfer",
+        german.train(transfer, run_name="quality-german-transfer" + suffix,
                      epoch_limit=args.epochs + args.transfer_epochs,
                      callback_step=max(1, args.transfer_epochs),
                      multi_step=args.multi_step)
@@ -177,13 +189,15 @@ def main() -> None:
         from speechless_tpu.system import Wav2Letter
         scratch = Wav2Letter(german.mel_frequency_count,
                              allowed_characters=german.allowed_characters)
-        german.train(scratch, run_name="quality-german-scratch",
+        german.train(scratch, run_name="quality-german-scratch" + suffix,
                      epoch_limit=args.transfer_epochs,
                      callback_step=max(1, args.transfer_epochs),
                      multi_step=args.multi_step)
         evaluate(scratch, german.batch_generator, "scratch_same_budget")
 
-    out = args.data_dir / "quality_results.json"
+    results["difficulty"] = args.difficulty
+    out = args.data_dir / ("quality_results.json" if args.difficulty == "standard"
+                           else "quality_results_{}.json".format(args.difficulty))
     out.write_text(json.dumps(results, indent=2))
     log("results written to {}".format(out))
     print(json.dumps(results, indent=2))

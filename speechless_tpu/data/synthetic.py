@@ -35,18 +35,40 @@ SAMPLE_RATE = 16000
 # keep their index (and therefore their tone pair) across charsets.
 _REGISTRY = list("abcdefghijklmnopqrstuvwxyz '") + list("äöüß")
 
+# Difficulty tiers (VERDICT round-2 #1: the standard tier saturates — 0.012% LER at 5k
+# utterances — so decoder/LM/transfer deltas become unmeasurable; the hard tier is
+# calibrated to land greedy decoding in a 5-15% LER band where they stay visible).
+# Each tier is canonical per character: the same character sounds the same in every
+# corpus generated at that tier, so cross-charset transfer stays meaningful.
+DIFFICULTY_TIERS = {
+    # 90 Hz low-band spacing, mild warp/jitter, SNR-comfortable noise.
+    "standard": dict(low_spacing=90.0, high_spacing=260.0, warp=0.03,
+                     duration_jitter=0.4, amplitude=(0.10, 0.30),
+                     noise_range=(0.02, 0.15), babble_voices=0),
+    # Confusable tone grid (38 Hz low-band spacing is ~1.5 mel bins at 500 Hz), wide
+    # speaker warp and tempo jitter, lower signal amplitude, heavy noise floor plus
+    # babble voices built from the same character tones (structured interference the
+    # mel frontend cannot trivially separate).
+    "hard": dict(low_spacing=38.0, high_spacing=110.0, warp=0.09,
+                 duration_jitter=0.8, amplitude=(0.06, 0.18),
+                 noise_range=(0.10, 0.30), babble_voices=3),
+}
+
 # Two-tone grids: 7 low x 5 high = 35 combinations >= len(_REGISTRY). Tones sit well below
-# Nyquist (8 kHz) and are separable by the 128-bin mel frontend, but the 90 Hz low-band
+# Nyquist (8 kHz) and are separable by the 128-bin mel frontend, but the low-band
 # spacing keeps neighboring characters acoustically close enough that noisy utterances
 # produce real substitution errors for the LM to correct.
-_LOW_BAND = [500.0 + 90.0 * k for k in range(7)]
-_HIGH_BAND = [1500.0 + 260.0 * k for k in range(5)]
+_LOW_BASE = 500.0
+_HIGH_BASE = 1500.0
 
 
-def character_tones(character: str) -> Tuple[float, float]:
-    """The canonical (low, high) tone pair voicing ``character``."""
+def character_tones(character: str, difficulty: str = "standard"
+                    ) -> Tuple[float, float]:
+    """The canonical (low, high) tone pair voicing ``character`` at a difficulty tier."""
+    tier = DIFFICULTY_TIERS[difficulty]
     index = _REGISTRY.index(character)
-    return _LOW_BAND[index % 7], _HIGH_BAND[index // 7]
+    return (_LOW_BASE + tier["low_spacing"] * (index % 7),
+            _HIGH_BASE + tier["high_spacing"] * (index // 7))
 
 
 # English-like vocabulary, including apostrophe words so the full a-z+' charset is voiced.
@@ -89,20 +111,48 @@ def sample_sentence(rand: np.random.RandomState, vocabulary: Sequence[str],
     return " ".join(words)
 
 
+def _babble(length: int, voices: int, rand: np.random.RandomState,
+            difficulty: str, sample_rate: int) -> np.ndarray:
+    """Structured interference: ``voices`` background speakers uttering random
+    characters from the same tone registry (re-voiced every ~0.2-0.4 s), so the noise
+    occupies exactly the mel bands the classifier must read."""
+    noise = np.zeros(length, np.float32)
+    for _ in range(voices):
+        warp = 1.0 + 0.12 * (2.0 * rand.rand() - 1.0)
+        position = 0
+        while position < length:
+            span = int((0.2 + 0.2 * rand.rand()) * sample_rate)
+            span = min(span, length - position)
+            low, high = character_tones(
+                _REGISTRY[int(rand.randint(len(_REGISTRY)))], difficulty)
+            t = np.arange(span) / sample_rate
+            tone = (np.sin(2 * np.pi * low * warp * t + 2 * np.pi * rand.rand())
+                    + np.sin(2 * np.pi * high * warp * t + 2 * np.pi * rand.rand()))
+            envelope = np.hanning(span) if span else np.ones(0)
+            noise[position:position + span] += (tone * envelope).astype(np.float32)
+            position += span
+    return noise
+
+
 def synthesize_utterance(text: str, rand: np.random.RandomState,
                          phone_duration_s: float = 0.09,
                          noise_level: Optional[float] = None,
-                         sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+                         sample_rate: int = SAMPLE_RATE,
+                         difficulty: str = "standard") -> np.ndarray:
     """Render ``text`` as a tone sequence with speaker/phone/channel variability."""
-    warp = 1.0 + 0.03 * (2.0 * rand.rand() - 1.0)       # per-"speaker" frequency warp
+    tier = DIFFICULTY_TIERS[difficulty]
+    warp = 1.0 + tier["warp"] * (2.0 * rand.rand() - 1.0)   # per-"speaker" warp
     if noise_level is None:
-        noise_level = 0.02 + 0.13 * rand.rand()
+        lo, hi = tier["noise_range"]
+        noise_level = lo + (hi - lo) * rand.rand()
+    amp_lo, amp_hi = tier["amplitude"]
+    jitter = tier["duration_jitter"]
     segments = []
     for character in text:
-        low, high = character_tones(character)
-        duration = phone_duration_s * (0.8 + 0.4 * rand.rand())
+        low, high = character_tones(character, difficulty)
+        duration = phone_duration_s * (1.0 - jitter / 2 + jitter * rand.rand())
         t = np.arange(int(duration * sample_rate)) / sample_rate
-        amplitude = 0.10 + 0.20 * rand.rand()
+        amplitude = amp_lo + (amp_hi - amp_lo) * rand.rand()
         tone = amplitude * (np.sin(2 * np.pi * low * warp * t + 2 * np.pi * rand.rand())
                             + np.sin(2 * np.pi * high * warp * t + 2 * np.pi * rand.rand()))
         envelope = np.hanning(len(t)) if len(t) else np.ones(0)
@@ -114,6 +164,9 @@ def synthesize_utterance(text: str, rand: np.random.RandomState,
         echoed = audio.copy()
         echoed[delay:] += 0.3 * audio[:-delay]
         audio = echoed
+    if tier["babble_voices"]:
+        audio = audio + (0.55 * noise_level) * _babble(
+            len(audio), tier["babble_voices"], rand, difficulty, sample_rate)
     audio = audio + noise_level * rand.randn(len(audio)).astype(np.float32)
     return np.clip(audio, -0.99, 0.99).astype(np.float32)
 
@@ -128,11 +181,14 @@ def generate_corpus(base_directory: Path,
                     vocabulary: Optional[Sequence[str]] = None,
                     branching: int = 6,
                     seed: int = 0,
+                    difficulty: str = "standard",
                     overwrite: bool = False) -> Path:
     """Write a LibriSpeech-layout synthetic corpus under ``base_directory/corpus_name``.
 
     Deterministic in ``seed``. Returns the corpus directory. Skips generation when the
-    directory already holds the expected utterance count (unless ``overwrite``)."""
+    directory already holds the expected utterance count (unless ``overwrite``).
+    ``difficulty`` selects a `DIFFICULTY_TIERS` entry ("hard" lands greedy decoding in
+    a 5-15% LER band so beam/LM/transfer deltas stay measurable)."""
     from ..features.audio_io import write_wav
 
     corpus_directory = Path(base_directory) / corpus_name
@@ -140,10 +196,12 @@ def generate_corpus(base_directory: Path,
     # The marker records the FULL generation signature: a call with any different
     # parameter must regenerate, and regeneration wipes the tree so shrinking
     # utterance_count cannot leave stale wavs without transcript entries.
+    # (difficulty joins the tuple only when non-standard, keeping round-2 markers valid.)
     signature = str((utterance_count, speaker_count, min_duration_s, max_duration_s,
                      tuple(characters) if characters is not None else None,
                      tuple(vocabulary) if vocabulary is not None else None,
-                     branching, seed))
+                     branching, seed)
+                    + ((difficulty,) if difficulty != "standard" else ()))
     if marker.exists() and not overwrite:
         if marker.read_text() == signature:
             log("Synthetic corpus {} already generated; reusing.".format(corpus_directory))
@@ -174,7 +232,7 @@ def generate_corpus(base_directory: Path,
             duration = min_duration_s + (max_duration_s - min_duration_s) * rand.rand()
             word_count = max(2, int(round(duration / seconds_per_word)))
             text = sample_sentence(rand, vocabulary, successors, word_count)
-            audio = synthesize_utterance(text, rand)
+            audio = synthesize_utterance(text, rand, difficulty=difficulty)
             total_seconds += len(audio) / SAMPLE_RATE
             stem = "{}-1-{:04d}".format(speaker + 1, utterance)
             write_wav(chapter_directory / (stem + ".wav"), audio, SAMPLE_RATE)

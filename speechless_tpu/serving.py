@@ -57,14 +57,16 @@ class Transcriber:
 
         def transcribe_fn(params, wav, length):
             from .features.spectrogram import features_batch
-            from .ops.decode_jax import beam_search_decode_jax
+            from .ops.device_beam import beam_search_decode_device
 
             features, frame_counts = features_batch(wav[None], length[None])
             logits = w2l.apply(config, params, features)
             logit_lengths = w2l.prediction_lengths(config, frame_counts)
             log_probs = jax.nn.log_softmax(logits, axis=-1)
             if word_lm is not None:
-                tokens, counts = beam_search_decode_jax(
+                # Routed to the LM-fused Pallas beam when the charset fits the packed
+                # frame row; falls back to the XLA beam otherwise (ops/device_beam.py).
+                tokens, counts = beam_search_decode_device(
                     log_probs, logit_lengths, blank=config.grapheme_set_size - 1,
                     beam_width=beam_width, word_lm=word_lm, lm_weight=lm_weight,
                     word_count_weight=word_count_weight,

@@ -89,3 +89,41 @@ def test_german_charset_corpus(tmp_path):
     labels = [e.label for e in corpus.training_examples]
     assert len(labels) == 4
     assert all(all(c in german_frequent_characters for c in label) for label in labels)
+
+
+class TestDifficultyTiers:
+    def test_hard_tier_tones_unique_and_tighter(self):
+        from speechless_tpu.data.synthetic import DIFFICULTY_TIERS
+
+        hard = [character_tones(c, "hard") for c in _REGISTRY]
+        standard = [character_tones(c, "standard") for c in _REGISTRY]
+        assert len(set(hard)) == len(_REGISTRY)
+        # Hard low-band neighbors sit closer than standard ones (confusability knob).
+        hard_gap = hard[1][0] - hard[0][0]
+        standard_gap = standard[1][0] - standard[0][0]
+        assert 0 < hard_gap < standard_gap
+        assert DIFFICULTY_TIERS["hard"]["noise_range"][1] \
+            > DIFFICULTY_TIERS["standard"]["noise_range"][1]
+
+    def test_hard_utterance_deterministic_and_noisier(self):
+        a = synthesize_utterance("it's fine", np.random.RandomState(7), difficulty="hard")
+        b = synthesize_utterance("it's fine", np.random.RandomState(7), difficulty="hard")
+        assert np.array_equal(a, b)
+        assert a.dtype == np.float32 and np.abs(a).max() <= 0.99
+        easy = synthesize_utterance("it's fine", np.random.RandomState(7))
+        assert not np.array_equal(a[:len(easy)], easy[:len(a)])
+
+    def test_hard_corpus_generates_and_reparses(self, tmp_path):
+        directory = generate_corpus(tmp_path, "synth-hard", utterance_count=4,
+                                    speaker_count=2, min_duration_s=1.0,
+                                    max_duration_s=2.0, difficulty="hard", seed=3)
+        corpus = LibriSpeechCorpus(base_directory=tmp_path, corpus_name="synth-hard",
+                                   training_test_split=TrainingTestSplit.randomly(0.5))
+        assert len(corpus.examples) == 4
+        # A standard-tier call with otherwise equal parameters must regenerate
+        # (signature mismatch), not silently reuse the hard tree.
+        marker = (directory / ".complete").read_text()
+        assert "hard" in marker
+        generate_corpus(tmp_path, "synth-hard", utterance_count=4, speaker_count=2,
+                        min_duration_s=1.0, max_duration_s=2.0, seed=3)
+        assert (directory / ".complete").read_text() != marker
