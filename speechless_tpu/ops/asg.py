@@ -50,6 +50,19 @@ def _log(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x > 0, jnp.log(jnp.maximum(x, 1e-300)), NEG_INF)
 
 
+def log_score_tables(transition_probabilities: np.ndarray,
+                     initial_probabilities: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Convert reference-layout (C+1) probability tables into the (classes, classes)/
+    (classes,) log-score tables that `asg_loss` consumes directly — the natural
+    parameterization for TRAINING the tables (wav2letter learns its transition scores;
+    the reference only ships the random init, `net.py:271-289`). Value parity with
+    passing the probability tables is pinned in tests/test_asg.py."""
+    trans = np.asarray(_log(jnp.asarray(transition_probabilities)[1:, 1:]), np.float32)
+    init = np.asarray(_log(jnp.asarray(initial_probabilities)[1:]), np.float32)
+    return trans, init
+
+
 def _free_graph_logadd(emissions: jnp.ndarray, logit_lengths: jnp.ndarray,
                        trans_log: jnp.ndarray, init_log: jnp.ndarray) -> jnp.ndarray:
     """logadd over all paths: scores (B, T, C) -> (B,)."""
@@ -158,6 +171,9 @@ def asg_loss(emissions: jnp.ndarray, logit_lengths: jnp.ndarray, labels: jnp.nda
                               initial_log_scores)
     constrained = _constrained_graph_logadd(emissions, logit_lengths, labels, label_lengths,
                                             transition_log_scores, initial_log_scores)
-    # Empty labels have no valid ASG alignment (loss would be +inf and poison the batch
-    # mean); mask them to zero — corpora exclude empty transcripts, this guards stragglers.
-    return jnp.where(label_lengths > 0, free - constrained, 0.0)
+    # Empty labels have no valid ASG alignment, and neither do labels longer than the
+    # frame count (a monotone alignment needs U <= T'); either case would contribute a
+    # ~1e30 "loss" that poisons the batch mean and gradient. Mask to zero — corpora
+    # exclude such transcripts, this guards stragglers.
+    feasible = (label_lengths > 0) & (label_lengths <= logit_lengths)
+    return jnp.where(feasible, free - constrained, 0.0)

@@ -68,6 +68,7 @@ class Wav2Letter:
                  use_asg: bool = False,
                  asg_transition_probabilities: Optional[np.ndarray] = None,
                  asg_initial_probabilities: Optional[np.ndarray] = None,
+                 train_asg_transitions: bool = False,
                  kenlm_directory: Optional[Path] = None,
                  beam_width: int = DEFAULT_BEAM_WIDTH,
                  compute_dtype: Any = None,
@@ -78,6 +79,9 @@ class Wav2Letter:
         if use_asg and kenlm_directory is not None:
             raise ValueError("LM-fused beam decoding is CTC-only; ASG decodes greedily "
                              "(kenlm_directory would be silently ignored).")
+        if train_asg_transitions and not use_asg:
+            raise ValueError("train_asg_transitions requires use_asg=True.")
+        self.train_asg_transitions = use_asg and train_asg_transitions
 
         self.use_asg = use_asg
         self.grapheme_encoding = (AsgGraphemeCodec(allowed_characters) if use_asg
@@ -126,9 +130,12 @@ class Wav2Letter:
         else:
             self.language_model = None
 
-        self.optimizer = make_optimizer(
-            learning_rate,
-            trainable=w2l.trainable_mask(self.config, frozen_layer_count))
+        trainable = w2l.trainable_mask(self.config, frozen_layer_count)
+        if self.train_asg_transitions:
+            # The criterion pseudo-layer (appended below) is always trainable — freezing
+            # applies to acoustic-model layers only.
+            trainable = trainable + [True]
+        self.optimizer = make_optimizer(learning_rate, trainable=trainable)
 
         rng = jax.random.PRNGKey(seed)
         params = None
@@ -150,6 +157,24 @@ class Wav2Letter:
                                                if reinitialize_trainable_loaded_layers
                                                else None),
                     init_rng=rng)
+        # Trainable ASG transition tables ride the params pytree as a trailing pseudo-layer
+        # ("asg_transitions"/"asg_initials" log-score arrays): `w2l.apply` ignores it (it
+        # zips with config.layers), checkpoints save/restore it generically, and Adam
+        # updates it alongside the conv weights (arXiv:1609.03193 §2.3 — wav2letter learns
+        # its transitions; the reference only ships the random init, `net.py:271-289`).
+        if self.train_asg_transitions:
+            if params is None:
+                params = w2l.init_params(self.config, jax.random.split(rng)[0])
+            if "asg_transitions" not in params[-1]:
+                from .ops.asg import log_score_tables
+                trans, init = log_score_tables(self.asg_transition_probabilities,
+                                               self.asg_initial_probabilities)
+                params = list(params) + [{"asg_transitions": jnp.asarray(trans),
+                                          "asg_initials": jnp.asarray(init)}]
+        elif params is not None and "asg_transitions" in params[-1]:
+            # A fixed-table (or CTC) run loading a trainable-ASG checkpoint: drop the
+            # criterion pseudo-layer so the params tree matches the optimizer mask.
+            params = list(params)[:-1]
         # Mesh-sharded execution (DP over the `data` axis, Megatron-style TP on the wide
         # conv pair over `model`). Defaults to a global mesh under multi-host training —
         # single-device jit cannot run there (SURVEY.md §2c TPU-native plan).
@@ -162,9 +187,14 @@ class Wav2Letter:
         if self.mesh is not None:
             from .parallel import mesh as pmesh
             from .parallel.distributed import shard_params_global
+            specs = pmesh.param_specs(self.config.layer_names)
+            if self.train_asg_transitions:
+                from jax.sharding import PartitionSpec
+                specs = specs + [{"asg_transitions": PartitionSpec(),
+                                  "asg_initials": PartitionSpec()}]
             sharded = shard_params_global(self.mesh,
                                           jax.tree.map(np.asarray, self.state.params),
-                                          pmesh.param_specs(self.config.layer_names))
+                                          specs)
             self.state = self.state._replace(params=sharded,
                                              opt_state=self.optimizer.init(sharded))
         if (load_model_from_directory is not None and load_epoch is not None
@@ -188,7 +218,7 @@ class Wav2Letter:
                 self.state = self.state._replace(step=jnp.asarray(saved_step, jnp.int32))
 
         if use_asg:
-            self._criterion = "asg"
+            self._criterion = ("asg_trainable" if self.train_asg_transitions else "asg")
         elif jax.default_backend() == "tpu":
             # The Pallas CTC kernel beats the lax.scan recursion 2.9-8.5x across all
             # practical (T', U) shapes on TPU (BASELINE.md kernel-vs-scan table) with

@@ -48,13 +48,21 @@ def save_checkpoint(directory: Path, epoch: int, params: w2l.Params,
 
 
 def load_params(directory: Path, epoch: int) -> w2l.Params:
-    """Load the parameter pytree from a checkpoint file."""
+    """Load the parameter pytree from a checkpoint file.
+
+    Each layer restores whatever keys it was saved with: conv layers carry ``w``/``b``;
+    a trainable-ASG run appends a criterion pseudo-layer with ``asg_transitions``/
+    ``asg_initials`` (see `system.Wav2Letter(train_asg_transitions=True)`)."""
     path = Path(directory) / model_file_name(epoch)
     with np.load(str(path)) as data:
-        layer_count = 1 + max(int(k.split(".")[0][len("layer"):])
-                              for k in data.files if k.startswith("layer"))
+        layer_keys: dict = {}
+        for name in data.files:
+            if not name.startswith("layer"):
+                continue
+            index_part, key = name.split(".", 1)
+            layer_keys.setdefault(int(index_part[len("layer"):]), []).append(key)
         return [{key: jnp.asarray(data["layer{}.{}".format(i, key)])
-                 for key in ("w", "b")} for i in range(layer_count)]
+                 for key in sorted(layer_keys[i])} for i in sorted(layer_keys)]
 
 
 def load_step(directory: Path, epoch: int) -> Optional[int]:

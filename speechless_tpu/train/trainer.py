@@ -97,6 +97,16 @@ def loss_fn(config: w2l.Wav2LetterConfig, params: Any, batch: Batch,
         else:
             per_example = ctc_loss_from_logits(logits, logit_lengths, batch.labels,
                                                batch.label_lengths, blank)
+        # Feasibility guard: a label needing more frames than the utterance has (length
+        # + adjacent repeats > T') admits NO alignment — its "loss" is -NEG_INF ~ 1e30
+        # and one such example poisons the batch mean AND the gradient step (observed:
+        # epoch loss 4.5e27 from 3 bad utterances in a 1000-utterance corpus). Such
+        # examples carry no usable training signal; mask them to zero like ASG's
+        # empty-label guard (ops/asg.py) instead of letting data quality destroy a run.
+        repeats = jnp.sum((batch.labels[:, 1:] == batch.labels[:, :-1])
+                          & (batch.labels[:, 1:] >= 0), axis=1)
+        feasible = batch.label_lengths + repeats <= logit_lengths
+        per_example = jnp.where(feasible, per_example, 0.0)
     elif criterion == "asg":
         from ..ops.asg import asg_loss
         # Per-frame log-softmax before the ASG graphs: every length-L path in BOTH the
@@ -110,6 +120,19 @@ def loss_fn(config: w2l.Wav2LetterConfig, params: Any, batch: Batch,
                                batch.labels, batch.label_lengths,
                                transition_probabilities=asg_transitions,
                                initial_probabilities=asg_initials)
+    elif criterion == "asg_trainable":
+        from ..ops.asg import asg_loss
+        # Trainable transition/initial tables: they ride the params pytree as a trailing
+        # pseudo-layer (`w2l.apply` zips with config.layers and ignores it), so autodiff
+        # reaches them through the constrained/free graph recursions and Adam updates
+        # them alongside the conv weights — wav2letter LEARNS its transitions
+        # (arXiv:1609.03193 §2.3; the reference only ships the random init,
+        # `net.py:271-289`, and never trains it).
+        tables = params[-1]
+        per_example = asg_loss(jax.nn.log_softmax(logits, axis=-1), logit_lengths,
+                               batch.labels, batch.label_lengths,
+                               transition_log_scores=tables["asg_transitions"],
+                               initial_log_scores=tables["asg_initials"])
     else:
         raise ValueError("Unknown criterion: {}".format(criterion))
     return jnp.mean(per_example), per_example
@@ -276,6 +299,13 @@ def make_eval_step(config: w2l.Wav2LetterConfig, criterion: str = "ctc",
                                    batch.labels, batch.label_lengths,
                                    transition_probabilities=asg_transitions,
                                    initial_probabilities=asg_initials)
+        elif criterion == "asg_trainable":
+            from ..ops.asg import asg_loss
+            tables = params[-1]
+            per_example = asg_loss(jax.nn.log_softmax(logits, axis=-1), logit_lengths,
+                                   batch.labels, batch.label_lengths,
+                                   transition_log_scores=tables["asg_transitions"],
+                                   initial_log_scores=tables["asg_initials"])
         else:
             raise ValueError("Unknown criterion: {}".format(criterion))
         return jax.nn.log_softmax(logits, axis=-1), logit_lengths, per_example

@@ -57,6 +57,36 @@ class TestWav2LetterFacade:
         assert (config.directories.nets_base_directory / "asgrun" /
                 Wav2Letter.model_file_name(1)).exists()
 
+    def test_trainable_asg_system(self, config):
+        # Trainable transition tables ride the params pytree as a trailing pseudo-layer
+        # and round-trip through checkpoints; loading into fixed-table mode strips them.
+        w = Wav2Letter(128, english_frequent_characters, use_asg=True,
+                       train_asg_transitions=True)
+        classes = w.grapheme_encoding.grapheme_set_size
+        assert len(w.state.params) == len(w.config.layers) + 1
+        assert w.state.params[-1]["asg_transitions"].shape == (classes, classes)
+        assert w._criterion == "asg_trainable"
+        initial_tables = np.asarray(w.state.params[-1]["asg_transitions"])
+        config.train(w, run_name="asgtrainable", epoch_limit=1)
+        assert not np.allclose(np.asarray(w.state.params[-1]["asg_transitions"]),
+                               initial_tables), "tables did not train"
+
+        net_directory = config.directories.nets_base_directory / "asgtrainable"
+        resumed = Wav2Letter(128, english_frequent_characters, use_asg=True,
+                             train_asg_transitions=True,
+                             load_model_from_directory=net_directory, load_epoch=1)
+        np.testing.assert_array_equal(
+            np.asarray(resumed.state.params[-1]["asg_transitions"]),
+            np.asarray(w.state.params[-1]["asg_transitions"]))
+
+        fixed = Wav2Letter(128, english_frequent_characters, use_asg=True,
+                           load_model_from_directory=net_directory, load_epoch=1)
+        assert len(fixed.state.params) == len(fixed.config.layers)
+        assert fixed._criterion == "asg"
+
+        with pytest.raises(ValueError, match="requires use_asg"):
+            Wav2Letter(128, english_frequent_characters, train_asg_transitions=True)
+
     def test_stride_ratio(self):
         assert Wav2Letter(128, english_frequent_characters) \
             .input_to_prediction_length_ratio == 2

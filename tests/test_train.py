@@ -120,6 +120,44 @@ class TestMeshSharding:
                                        rtol=1e-4, atol=1e-6)
 
 
+class TestInfeasibleLabelGuard:
+    """A label needing more frames than the utterance has (len + adjacent repeats > T')
+    admits no CTC alignment; its ~1e30 'loss' must not poison the batch (observed on the
+    hard-tier synthetic corpus: 3/1000 bad utterances drove an epoch loss to 4.5e27)."""
+
+    @pytest.mark.parametrize("criterion", ["ctc", "ctc_pallas"])
+    def test_infeasible_example_masked_and_gradients_finite(self, rng, criterion):
+        from speechless_tpu.train.trainer import loss_fn
+
+        config = tiny_config()
+        params = w2l.init_params(config, jax.random.PRNGKey(0))
+        batch = synthetic_batch(rng, config, batch=3, t=40, u=5)  # T' = 20
+        # Make example 0 infeasible: 19 labels with 4 adjacent repeats -> needs 23 > 20.
+        labels = np.array(batch.labels)
+        labels = np.pad(labels, ((0, 0), (0, 19 - labels.shape[1])), constant_values=-1)
+        labels[0] = [0, 0, 1, 1, 2, 2, 3, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2]
+        label_lengths = np.array(batch.label_lengths)
+        label_lengths[0] = 19
+        bad = batch._replace(labels=jnp.asarray(labels),
+                             label_lengths=jnp.asarray(label_lengths))
+
+        def mean_loss(p):
+            return loss_fn(config, p, bad, train=False, criterion=criterion)[0]
+
+        (loss, per_example), grads = jax.value_and_grad(
+            lambda p: loss_fn(config, p, bad, train=False, criterion=criterion),
+            has_aux=True)(params)
+        assert float(per_example[0]) == 0.0
+        assert float(loss) < 1e4 and np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(leaf)).all()
+                   for leaf in jax.tree_util.tree_leaves(grads))
+        # Feasible examples are untouched by the guard.
+        _, per_example_clean = loss_fn(config, params, batch, train=False,
+                                       criterion=criterion)
+        np.testing.assert_allclose(np.asarray(per_example[1:]),
+                                   np.asarray(per_example_clean[1:]), rtol=1e-5)
+
+
 class TestPallasCriterion:
     def test_train_step_with_pallas_ctc(self, rng):
         config = tiny_config()
