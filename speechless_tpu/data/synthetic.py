@@ -168,6 +168,17 @@ def synthesize_utterance(text: str, rand: np.random.RandomState,
         audio = audio + (0.55 * noise_level) * _babble(
             len(audio), tier["babble_voices"], rand, difficulty, sample_rate)
     audio = audio + noise_level * rand.randn(len(audio)).astype(np.float32)
+    # CTC/ASG feasibility floor: the model must emit at least one frame per grapheme
+    # (plus a blank frame per adjacent repeat) at the frontend's 128-sample hop and the
+    # net's stride-2, i.e. T' = samples/256 >= len(text) + repeats. The hard tier's wide
+    # tempo jitter can otherwise render an utterance shorter than its own transcript
+    # (observed: 3/1000 utterances with no valid alignment -> 1e30 losses); pad the tail
+    # with the same noise floor up to the feasible minimum plus a safety margin.
+    repeats = sum(1 for a, b in zip(text, text[1:]) if a == b)
+    min_samples = (len(text) + repeats + 8) * 2 * 128
+    if len(audio) < min_samples:
+        tail = noise_level * rand.randn(min_samples - len(audio)).astype(np.float32)
+        audio = np.concatenate([audio, tail])
     return np.clip(audio, -0.99, 0.99).astype(np.float32)
 
 
@@ -196,12 +207,13 @@ def generate_corpus(base_directory: Path,
     # The marker records the FULL generation signature: a call with any different
     # parameter must regenerate, and regeneration wipes the tree so shrinking
     # utterance_count cannot leave stale wavs without transcript entries.
-    # (difficulty joins the tuple only when non-standard, keeping round-2 markers valid.)
+    # (difficulty joins the tuple only when non-standard, keeping round-2 markers valid;
+    # "v2" marks the feasibility-padding generator change — older trees regenerate.)
     signature = str((utterance_count, speaker_count, min_duration_s, max_duration_s,
                      tuple(characters) if characters is not None else None,
                      tuple(vocabulary) if vocabulary is not None else None,
                      branching, seed)
-                    + ((difficulty,) if difficulty != "standard" else ()))
+                    + ((difficulty, "v2") if difficulty != "standard" else ()))
     if marker.exists() and not overwrite:
         if marker.read_text() == signature:
             log("Synthetic corpus {} already generated; reusing.".format(corpus_directory))
@@ -221,8 +233,14 @@ def generate_corpus(base_directory: Path,
     seconds_per_word = 0.09 * (np.mean([len(w) for w in vocabulary]) + 1)
     total_seconds = 0.0
     per_speaker = (utterance_count + speaker_count - 1) // speaker_count
+    # The chapter field encodes the difficulty tier so example ids are unique ACROSS
+    # tiers: the spectrogram cache is keyed by example id within one Configuration
+    # (features/example.py:244), and standard + hard corpora generated under the same
+    # name would otherwise collide — a hard run would silently train on the standard
+    # tier's cached features paired with hard transcripts.
+    chapter = str(1 + list(DIFFICULTY_TIERS).index(difficulty))
     for speaker in range(speaker_count):
-        chapter_directory = (corpus_directory / "all" / str(speaker + 1) / "1")
+        chapter_directory = (corpus_directory / "all" / str(speaker + 1) / chapter)
         mkdir(chapter_directory)
         lines = []
         for index in range(per_speaker):
@@ -234,10 +252,10 @@ def generate_corpus(base_directory: Path,
             text = sample_sentence(rand, vocabulary, successors, word_count)
             audio = synthesize_utterance(text, rand, difficulty=difficulty)
             total_seconds += len(audio) / SAMPLE_RATE
-            stem = "{}-1-{:04d}".format(speaker + 1, utterance)
+            stem = "{}-{}-{:04d}".format(speaker + 1, chapter, utterance)
             write_wav(chapter_directory / (stem + ".wav"), audio, SAMPLE_RATE)
             lines.append("{} {}".format(stem, text.upper()))
-        (chapter_directory / "{}-1.trans.txt".format(speaker + 1)).write_text(
+        (chapter_directory / "{}-{}.trans.txt".format(speaker + 1, chapter)).write_text(
             "\n".join(lines) + "\n", encoding="utf8")
     marker.write_text(signature)
     log("Generated synthetic corpus: {} utterances, {:.1f} min of audio at {}.".format(

@@ -113,6 +113,35 @@ class TestDifficultyTiers:
         easy = synthesize_utterance("it's fine", np.random.RandomState(7))
         assert not np.array_equal(a[:len(easy)], easy[:len(a)])
 
+    def test_every_utterance_is_ctc_feasible(self):
+        """The hard tier's 0.6x tempo-jitter floor could render audio shorter than its
+        own transcript's CTC minimum (len + adjacent repeats frames at stride 2); the
+        generator pads the tail with the noise floor up to that minimum."""
+        from speechless_tpu.data.synthetic import synthesize_utterance
+
+        rand = np.random.RandomState(7)
+        for _ in range(40):
+            words = ["follow", "little", "all", "been", "good", "small", "isn't"]
+            text = " ".join(words[int(rand.randint(len(words)))] for _ in range(12))
+            audio = synthesize_utterance(text, rand, difficulty="hard")
+            repeats = sum(1 for a, b in zip(text, text[1:]) if a == b)
+            assert len(audio) // 256 >= len(text) + repeats
+
+    def test_tier_example_ids_are_disjoint(self, tmp_path):
+        """Standard and hard corpora under one Configuration share a spectrogram cache
+        keyed by example id; tier-encoded chapter fields keep the ids disjoint."""
+        from speechless_tpu.data.librispeech import LibriSpeechCorpus
+
+        generate_corpus(tmp_path, "std", utterance_count=6, speaker_count=2, seed=0)
+        generate_corpus(tmp_path, "hrd", utterance_count=6, speaker_count=2, seed=0,
+                        difficulty="hard")
+        ids = {}
+        for name in ("std", "hrd"):
+            corpus = LibriSpeechCorpus(base_directory=tmp_path, corpus_name=name)
+            ids[name] = {e.id for e in corpus.examples}
+        assert ids["std"] and ids["hrd"]
+        assert not (ids["std"] & ids["hrd"])
+
     def test_hard_corpus_generates_and_reparses(self, tmp_path):
         directory = generate_corpus(tmp_path, "synth-hard", utterance_count=4,
                                     speaker_count=2, min_duration_s=1.0,
