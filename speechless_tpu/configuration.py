@@ -128,6 +128,19 @@ class Configuration:
         batches on device (zero steady-state host->device transfer; see
         `data.device_dataset`) instead of streaming through the host pipeline."""
         if train_kwargs.pop("device_resident", False):
+            # Host-pipeline-only options have no effect in device-resident mode (the
+            # epoch runs as one on-device dispatch); surface the conflict instead of
+            # silently ignoring an explicit setting.
+            dropped = [key for key in ("multi_step",) if key in train_kwargs]
+            if dropped:
+                log("Warning: device_resident=True ignores host-pipeline option(s) {} "
+                    "(each epoch is one on-device dispatch).".format(dropped))
+                for key in dropped:
+                    train_kwargs.pop(key)
+            if self.bucket_training_batches:
+                log("Warning: bucket_training_batches has no effect with "
+                    "device_resident=True (the corpus is packed to one HBM-resident "
+                    "shape).")
             train_kwargs.setdefault("device_resident_examples",
                                     self.batch_generator.labeled_training_spectrograms)
             train_kwargs.setdefault("batch_size", self.batch_size)

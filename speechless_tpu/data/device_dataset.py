@@ -18,9 +18,14 @@ ONCE into rectangular device arrays and move batch sampling into the training pr
 * a whole epoch (`batches_per_epoch` optimizer steps) runs as ONE device dispatch
   (`lax.scan`), so steady-state training is compute-bound regardless of host link speed.
 
-Scaling note (multi-chip): the dataset is replicated over the mesh and the gathered
-batch is re-sharded onto the data axis by a sharding constraint, so DP compute still
-splits over chips; corpora beyond HBM stay on the host pipeline (`system.train`'s
+Scaling note (multi-chip): under a mesh the corpus rows are SHARDED over the data axis
+(``PartitionSpec('data')``), so N data shards hold N x one chip's HBM worth of corpus.
+Batch sampling stays global and replicated (every device computes the same
+`jax.random.choice` indices), and the `jnp.take` gather from the row-sharded operand is
+partitioned by GSPMD into an ICI collective — a few batch-rows of traffic per step
+against an N x residency win, and the sampled batches (hence loss trajectories) are
+bit-identical to the replicated layout (pinned in tests/test_device_dataset.py).
+Corpora beyond the MESH's combined HBM stay on the host pipeline (`system.train`'s
 default path), which remains fully supported.
 """
 from typing import List, NamedTuple, Optional, Sequence, Tuple
@@ -81,10 +86,20 @@ def build_device_dataset(labeled_spectrograms: List[LabeledSpectrogram],
                          codec: GraphemeCodec,
                          compute_dtype=None,
                          mesh=None,
+                         shard_over_data_axis: bool = True,
                          time_buckets: Sequence[int] = DEFAULT_TIME_BUCKETS
                          ) -> Tuple[DeviceDataset, float]:
-    """Load every cached feature, pack, and place on device (replicated over ``mesh``
-    when given). Returns (dataset, resident_megabytes).
+    """Load every cached feature, pack, and place on device. Returns
+    (dataset, resident_megabytes — the GLOBAL footprint; per-chip is that / data_size
+    when sharded).
+
+    Under a ``mesh`` the corpus rows shard over the data axis by default
+    (``shard_over_data_axis=True``): N data shards hold N x one chip's corpus capacity,
+    and the trainer's replicated-index `jnp.take` gathers batch rows over ICI (see
+    module docstring). When the row count does not divide the data-axis size, leading
+    rows are repeated to pad — a slight oversampling of those examples, vanishing for
+    corpus sizes >> mesh size. ``shard_over_data_axis=False`` keeps the round-2
+    replicated layout.
 
     Features ship as f16 when the model computes in bf16 (`w2l.apply` upcasts), halving
     residency and the one-time transfer."""
@@ -96,11 +111,24 @@ def build_device_dataset(labeled_spectrograms: List[LabeledSpectrogram],
                            and compute_dtype == jnp.bfloat16) else np.float32
     host = pack_dataset(spectrograms, labels, codec, time_buckets=time_buckets,
                         dtype=dtype)
-    megabytes = host.nbytes() / 1e6
     if mesh is None:
-        device = DeviceDataset(*(jnp.asarray(f) for f in host))
+        megabytes = host.nbytes() / 1e6
+        return DeviceDataset(*(jnp.asarray(f) for f in host)), megabytes
+
+    from jax.sharding import PartitionSpec
+    from ..parallel.distributed import put_global
+    from ..parallel.mesh import DATA_AXIS
+    if shard_over_data_axis:
+        data_size = mesh.shape[DATA_AXIS]
+        remainder = host.example_count % data_size
+        if remainder:
+            pad = data_size - remainder
+            host = DeviceDataset(*(np.concatenate([f, f[:pad]], axis=0) for f in host))
+        specs = [PartitionSpec(DATA_AXIS), PartitionSpec(DATA_AXIS),
+                 PartitionSpec(DATA_AXIS), PartitionSpec(DATA_AXIS)]
     else:
-        from jax.sharding import PartitionSpec
-        from ..parallel.distributed import put_global
-        device = DeviceDataset(*(put_global(mesh, PartitionSpec(), f) for f in host))
+        specs = [PartitionSpec()] * 4
+    megabytes = host.nbytes() / 1e6
+    device = DeviceDataset(*(put_global(mesh, spec, f)
+                             for spec, f in zip(specs, host)))
     return device, megabytes
