@@ -206,16 +206,32 @@ class Wav2Letter:
             if restored is not None:
                 if self.mesh is not None:
                     # Re-place restored host values with the freshly-initialized
-                    # opt_state's shardings (mu/nu mirror the param shardings).
+                    # opt_state's shardings (mu/nu mirror the param shardings). Scalar
+                    # leaves (optax step counters) carry a SingleDeviceSharding with no
+                    # spec — re-place those directly.
                     from .parallel.distributed import put_global
-                    restored = jax.tree.map(
-                        lambda host, template: put_global(
-                            self.mesh, template.sharding.spec, np.asarray(host)),
-                        restored, self.state.opt_state)
+
+                    from jax.sharding import PartitionSpec
+
+                    def replace(host, template):
+                        # Scalar counters replicate over the mesh (a device-0-committed
+                        # scalar would conflict with the mesh-context jit).
+                        spec = getattr(template.sharding, "spec", PartitionSpec())
+                        return put_global(self.mesh, spec, np.asarray(host))
+
+                    restored = jax.tree.map(replace, restored, self.state.opt_state)
                 self.state = self.state._replace(opt_state=restored)
             saved_step = ckpt.load_step(load_model_from_directory, load_epoch)
             if saved_step is not None:
-                self.state = self.state._replace(step=jnp.asarray(saved_step, jnp.int32))
+                if self.mesh is not None:
+                    from jax.sharding import PartitionSpec
+
+                    from .parallel.distributed import put_global
+                    step = put_global(self.mesh, PartitionSpec(),
+                                      np.asarray(saved_step, np.int32))
+                else:
+                    step = jnp.asarray(saved_step, jnp.int32)
+                self.state = self.state._replace(step=step)
 
         if use_asg:
             self._criterion = ("asg_trainable" if self.train_asg_transitions else "asg")

@@ -81,3 +81,64 @@ def test_two_process_bootstrap():
     from speechless_tpu.parallel import run_multiprocess_dryrun
 
     run_multiprocess_dryrun(n_processes=2, devices_per_process=4, model_parallelism=2)
+
+
+def test_cross_topology_checkpoint_restore(tmp_path):
+    """Checkpoints are full-gather npz (system.save), so a mesh-trained run restores on
+    a single process and vice versa — the crash-recovery story under a mesh (VERDICT
+    round-2 #7). Pins exact param/opt-state equality through the topology change, eval
+    loss continuity, and that training continues (step counter + optimizer state)."""
+    from speechless_tpu.system import Wav2Letter
+
+    rng = np.random.RandomState(0)
+    specs = [FakeSpectrogram(rng.randn(30, 128).astype(np.float32), "ab")
+             for _ in range(8)]
+
+    def batches():
+        while True:
+            yield specs
+
+    def train_one_epoch(w, net_dir, epoch_limit=1):
+        # Loaded models keep the donor's epoch numbering (reference `net.py:556`
+        # semantics), so the limit is load_epoch + 1 for one more epoch.
+        w.train(batches(), preview_labeled_spectrogram_batch=specs[:2],
+                tensor_board_log_directory=net_dir / "logs", net_directory=net_dir,
+                batches_per_epoch=2, epoch_limit=epoch_limit, callback_step=5)
+
+    # Mesh -> single process.
+    mesh = make_mesh(model_parallelism=2)
+    on_mesh = Wav2Letter(input_size_per_time_step=128, allowed_characters=list("abcd"),
+                         mesh=mesh)
+    train_one_epoch(on_mesh, tmp_path / "mesh-run")
+    mesh_loss = on_mesh.test_and_predict_batch(specs[:4]).average_loss
+
+    single = Wav2Letter(input_size_per_time_step=128, allowed_characters=list("abcd"),
+                        load_model_from_directory=tmp_path / "mesh-run", load_epoch=1)
+    assert single.mesh is None
+    for mesh_layer, single_layer in zip(on_mesh.state.params, single.state.params):
+        for key in mesh_layer:
+            np.testing.assert_array_equal(np.asarray(mesh_layer[key]),
+                                          np.asarray(single_layer[key]))
+    # Optimizer state survived the topology change (leaf-for-leaf), and so did the step.
+    mesh_leaves = jax.tree_util.tree_leaves(on_mesh.state.opt_state)
+    single_leaves = jax.tree_util.tree_leaves(single.state.opt_state)
+    assert len(mesh_leaves) == len(single_leaves) > 0
+    for a, b in zip(mesh_leaves, single_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(single.state.step) == int(on_mesh.state.step) == 2
+    single_loss = single.test_and_predict_batch(specs[:4]).average_loss
+    np.testing.assert_allclose(single_loss, mesh_loss, rtol=1e-4)
+    train_one_epoch(single, tmp_path / "single-run", epoch_limit=2)  # continues
+    assert int(single.state.step) == 4
+
+    # Single process -> mesh.
+    back_on_mesh = Wav2Letter(input_size_per_time_step=128,
+                              allowed_characters=list("abcd"), mesh=mesh,
+                              load_model_from_directory=tmp_path / "single-run",
+                              load_epoch=2)
+    assert int(back_on_mesh.state.step) == 4
+    restored_loss = back_on_mesh.test_and_predict_batch(specs[:4]).average_loss
+    reference_loss = single.test_and_predict_batch(specs[:4]).average_loss
+    np.testing.assert_allclose(restored_loss, reference_loss, rtol=1e-4)
+    train_one_epoch(back_on_mesh, tmp_path / "mesh-run-2", epoch_limit=3)
+    assert int(back_on_mesh.state.step) == 6
