@@ -24,6 +24,11 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--steps-per-epoch", type=int, default=100)
+    parser.add_argument("--difficulty", choices=("standard", "hard"), default="standard")
+    parser.add_argument("--trainable-transitions", action="store_true",
+                        help="promote the ASG transition/initial tables to trained "
+                             "parameters (VERDICT round-2: wav2letter learns its "
+                             "transitions; fixed random tables leave quality behind)")
     args = parser.parse_args()
 
     enable_compilation_cache()
@@ -36,25 +41,35 @@ def main() -> None:
     from speechless_tpu.utils.tools import log
 
     log("platform: {}".format(jax.devices()[0].platform))
+    corpus_name = ("synthetic" if args.difficulty == "standard"
+                   else "synthetic-" + args.difficulty)
     config = Configuration(
         name="English",
         corpus_from_directory=lambda d: LibriSpeechCorpus(
-            base_directory=d, corpus_name="synthetic",
+            base_directory=d, corpus_name=corpus_name,
             training_test_split=TrainingTestSplit.randomly(0.9)),
         directories=DataDirectories(args.data_dir), batch_size=args.batch_size,
         training_batches_per_epoch=args.steps_per_epoch)
     config.fill_cache()
 
     wav2letter = Wav2Letter(config.mel_frequency_count,
-                            allowed_characters=config.allowed_characters, use_asg=True)
+                            allowed_characters=config.allowed_characters, use_asg=True,
+                            train_asg_transitions=args.trainable_transitions)
+    run_name = "quality-asg"
+    if args.difficulty != "standard":
+        run_name += "-" + args.difficulty
+    if args.trainable_transitions:
+        run_name += "-trainable"
     t0 = time.time()
-    config.train(wav2letter, run_name="quality-asg", epoch_limit=args.epochs,
+    config.train(wav2letter, run_name=run_name, epoch_limit=args.epochs,
                  callback_step=5, device_resident=True)
     train_wall_s = time.time() - t0
 
     result = wav2letter.test_and_predict_batches(config.batch_generator.test_batches())
     out = {
         "criterion": "asg",
+        "difficulty": args.difficulty,
+        "trainable_transitions": args.trainable_transitions,
         "train_wall_s": round(train_wall_s, 1),
         "epochs": args.epochs,
         "letter_error_rate": result.average_letter_error_rate,
@@ -64,7 +79,11 @@ def main() -> None:
     }
     log("[asg] {}".format(result.summary_line()))
     print(json.dumps(out, indent=2))
-    (args.data_dir / "asg_results.json").write_text(json.dumps(out, indent=2))
+    suffix = "" if args.difficulty == "standard" else "_" + args.difficulty
+    if args.trainable_transitions:
+        suffix += "_trainable"
+    (args.data_dir / ("asg_results{}.json".format(suffix))).write_text(
+        json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ from speechless_tpu.lm.ngram import ArpaLanguageModel, NativeArpaLanguageModel
 from speechless_tpu.ops.decode import beam_search_decode, greedy_decode
 from speechless_tpu.ops.decode_jax import beam_search_decode_jax
 from speechless_tpu.ops.decode_pallas import beam_search_decode_pallas
+from speechless_tpu.ops.decode_pallas_lm import beam_search_decode_pallas_lm
 
 ALPHABET = list("abcdefghijklmnopqrstuvwxyz '")
 BLANK = len(ALPHABET)
@@ -109,6 +110,12 @@ def main():
                                    max_decoded_length=256, word_lm=device_lm,
                                    lm_weight=0.8, valid_word_count_weight=2.3,
                                    prune_classes=8)[0]))
+        timed("beam W={} word-LM fusion (Pallas hybrid, prune 8)".format(width),
+              lambda w=width: np.asarray(
+            beam_search_decode_pallas_lm(dev_lp, dev_len, BLANK, word_lm=device_lm,
+                                         beam_width=w, max_decoded_length=256,
+                                         lm_weight=0.8, valid_word_count_weight=2.3,
+                                         prune_classes=8)[0]))
         timed("beam W={} word-LM fusion (host C++, pruned)".format(width),
               lambda w=width: beam_search_decode(
                   log_probs, list(lengths), BLANK, beam_width=w, alphabet=ALPHABET,

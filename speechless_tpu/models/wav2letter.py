@@ -163,6 +163,36 @@ def character_remap_indices(source_characters: List[str],
     return [source_index.get(c) for c in target_characters]
 
 
+def conv_flops_per_example(config: Wav2LetterConfig, input_frames: int,
+                           train: bool = True) -> float:
+    """Analytic conv FLOPs for one example (the MFU numerator; bias/activation and the
+    feature frontend are excluded — convs dominate by >100x on this geometry).
+
+    Forward: 2 * T_out * K * C_in * C_out per layer (multiply-add = 2 FLOPs).
+    Training counts ~3x forward (input-gradient + weight-gradient convs each cost one
+    forward's FLOPs — the standard conv fwd:bwd accounting)."""
+    flops = 0.0
+    frames = input_frames
+    in_channels = config.input_size_per_time_step
+    for spec in config.layers:
+        frames = (frames + spec.stride - 1) // spec.stride  # SAME padding
+        flops += 2.0 * frames * spec.kernel_size * in_channels * spec.filters
+        in_channels = spec.filters
+    return flops * (3.0 if train else 1.0)
+
+
+# bf16 peak TFLOP/s per chip by device kind (public figures; the MFU denominator).
+TPU_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 394.0,
+    "TPU v5e": 394.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
 def remap_output_layer(output_params: Dict[str, jnp.ndarray],
                        source_characters: List[str],
                        target_characters: List[str]) -> Dict[str, jnp.ndarray]:
