@@ -25,6 +25,7 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--steps-per-epoch", type=int, default=100)
     parser.add_argument("--difficulty", choices=("standard", "hard"), default="standard")
+    parser.add_argument("--clip-norm", type=float, default=None)
     parser.add_argument("--trainable-transitions", action="store_true",
                         help="promote the ASG transition/initial tables to trained "
                              "parameters (VERDICT round-2: wav2letter learns its "
@@ -54,7 +55,8 @@ def main() -> None:
 
     wav2letter = Wav2Letter(config.mel_frequency_count,
                             allowed_characters=config.allowed_characters, use_asg=True,
-                            train_asg_transitions=args.trainable_transitions)
+                            train_asg_transitions=args.trainable_transitions,
+                            gradient_clip_norm=args.clip_norm)
     run_name = "quality-asg"
     if args.difficulty != "standard":
         run_name += "-" + args.difficulty

@@ -43,6 +43,10 @@ def main() -> None:
     parser.add_argument("--difficulty", choices=("standard", "hard"), default="standard",
                         help="synthetic-corpus tier; 'hard' lands greedy in a 5-15%% LER "
                              "band so beam/LM/transfer deltas stay measurable")
+    parser.add_argument("--clip-norm", type=float, default=None,
+                        help="global-norm gradient clipping (guards late-training loss "
+                             "blowups on the noisy hard tier; None = reference-parity "
+                             "unclipped Adam)")
     parser.add_argument("--device-resident", action="store_true",
                         help="pack the corpus into HBM and sample batches on device "
                              "(zero steady-state host->device transfer)")
@@ -131,12 +135,14 @@ def main() -> None:
     if args.difficulty != "standard":
         run_name += "-" + args.difficulty
     t0 = time.time()
+    w2l_kwargs = ({"gradient_clip_norm": args.clip_norm}
+                  if args.clip_norm is not None else {})
     if args.device_resident:
         config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
-                               device_resident=True)
+                               device_resident=True, wav2letter_kwargs=w2l_kwargs)
     else:
         config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
-                               multi_step=args.multi_step)
+                               multi_step=args.multi_step, wav2letter_kwargs=w2l_kwargs)
     train_wall_s = time.time() - t0
     results["train"] = {"wall_s": round(train_wall_s, 1), "epochs": args.epochs,
                         "steps": args.epochs * args.steps_per_epoch,
@@ -173,7 +179,8 @@ def main() -> None:
 
         transfer = german.load_model(
             run_name, args.epochs, frozen_layer_count=args.frozen_layers,
-            allowed_characters_for_loaded_model=english_frequent_characters)
+            allowed_characters_for_loaded_model=english_frequent_characters,
+            **w2l_kwargs)
         t0 = time.time()
         # Transfer keeps the donor's epoch numbering (reference `net.py:556` semantics:
         # fit_generator(initial_epoch=load_epoch)), so the limit is donor + budget.
@@ -188,7 +195,7 @@ def main() -> None:
 
         from speechless_tpu.system import Wav2Letter
         scratch = Wav2Letter(german.mel_frequency_count,
-                             allowed_characters=german.allowed_characters)
+                             allowed_characters=german.allowed_characters, **w2l_kwargs)
         german.train(scratch, run_name="quality-german-scratch" + suffix,
                      epoch_limit=args.transfer_epochs,
                      callback_step=max(1, args.transfer_epochs),
@@ -196,6 +203,7 @@ def main() -> None:
         evaluate(scratch, german.batch_generator, "scratch_same_budget")
 
     results["difficulty"] = args.difficulty
+    results["gradient_clip_norm"] = args.clip_norm
     out = args.data_dir / ("quality_results.json" if args.difficulty == "standard"
                            else "quality_results_{}.json".format(args.difficulty))
     out.write_text(json.dumps(results, indent=2))

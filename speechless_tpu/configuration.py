@@ -160,15 +160,19 @@ class Configuration:
                    **train_kwargs)
 
     def train_or_resume(self, run_name: str, frozen_layer_count: int = 0,
+                        wav2letter_kwargs: Optional[dict] = None,
                         **train_kwargs) -> None:
         """Crash recovery workflow: resume ``run_name`` from its latest checkpoint (weights
         + optimizer state) or start it from scratch if none exists. The reference required
         manually picking ``load_epoch`` (SURVEY.md §5); here recovery is automatic.
 
         ``frozen_layer_count`` must match the original run's freezing (a transfer run
-        resumed without it would silently unfreeze and rebuild optimizer state)."""
+        resumed without it would silently unfreeze and rebuild optimizer state);
+        ``wav2letter_kwargs`` (e.g. ``gradient_clip_norm``, ``use_asg``) reach the model
+        constructor on both the fresh and the resume path."""
         from .experiments import available_epochs
 
+        wav2letter_kwargs = dict(wav2letter_kwargs or {})
         net_directory = self.directories.nets_base_directory / run_name
         wav2letter = None
         # Walk back past unreadable checkpoints (e.g. truncated by the crash being
@@ -177,7 +181,8 @@ class Configuration:
             try:
                 wav2letter = self.load_model(load_name=run_name, load_epoch=epoch,
                                              frozen_layer_count=frozen_layer_count,
-                                             allowed_characters_for_loaded_model=None)
+                                             allowed_characters_for_loaded_model=None,
+                                             **wav2letter_kwargs)
                 log("Resuming run {} from epoch {}.".format(run_name, epoch))
                 break
             except Exception as e:
@@ -186,7 +191,8 @@ class Configuration:
         if wav2letter is None:
             log("Starting run {} from scratch.".format(run_name))
             wav2letter = Wav2Letter(self.mel_frequency_count,
-                                    allowed_characters=self.allowed_characters)
+                                    allowed_characters=self.allowed_characters,
+                                    **wav2letter_kwargs)
         self.train(wav2letter, run_name=run_name, **train_kwargs)
 
     def train_transfer_from_best_english_model(
@@ -243,7 +249,8 @@ class Configuration:
                    allowed_characters_for_loaded_model: List[str] = english_frequent_characters,
                    use_kenlm: bool = False,
                    reinitialize_trainable_loaded_layers: bool = False,
-                   language_model_name_extension: str = "") -> Wav2Letter:
+                   language_model_name_extension: str = "",
+                   **wav2letter_kwargs) -> Wav2Letter:
         return Wav2Letter(
             allowed_characters=self.allowed_characters,
             input_size_per_time_step=self.mel_frequency_count,
@@ -254,7 +261,8 @@ class Configuration:
             kenlm_directory=(self.directories.kenlm_base_directory /
                              (self.name.lower() + language_model_name_extension))
             if use_kenlm else None,
-            reinitialize_trainable_loaded_layers=reinitialize_trainable_loaded_layers)
+            reinitialize_trainable_loaded_layers=reinitialize_trainable_loaded_layers,
+            **wav2letter_kwargs)
 
     english_baseline = ("20170314-134351-adam-small-learning-rate-complete-95", 1689)
     freeze0day4hour7 = ("20170420-001258-adam-small-learning-rate-transfer-to-German-freeze-0",

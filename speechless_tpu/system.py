@@ -59,6 +59,7 @@ class Wav2Letter:
                  activation: str = "relu",
                  output_activation: str = "softmax",
                  learning_rate: float = 1e-4,
+                 gradient_clip_norm: Optional[float] = None,
                  dropout: Optional[float] = None,
                  load_model_from_directory: Optional[Path] = None,
                  load_epoch: Optional[int] = None,
@@ -135,7 +136,8 @@ class Wav2Letter:
             # The criterion pseudo-layer (appended below) is always trainable — freezing
             # applies to acoustic-model layers only.
             trainable = trainable + [True]
-        self.optimizer = make_optimizer(learning_rate, trainable=trainable)
+        self.optimizer = make_optimizer(learning_rate, trainable=trainable,
+                                        gradient_clip_norm=gradient_clip_norm)
 
         rng = jax.random.PRNGKey(seed)
         params = None

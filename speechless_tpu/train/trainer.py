@@ -47,9 +47,20 @@ class WavBatch(NamedTuple):
 
 
 def make_optimizer(learning_rate: float = 1e-4,
-                   trainable: Optional[List[bool]] = None) -> optax.GradientTransformation:
-    """Adam with optional per-layer freezing mask."""
+                   trainable: Optional[List[bool]] = None,
+                   gradient_clip_norm: Optional[float] = None
+                   ) -> optax.GradientTransformation:
+    """Adam with optional per-layer freezing mask and global-norm gradient clipping.
+
+    ``gradient_clip_norm`` guards late training on noisy corpora: a near-converged
+    (peaky) model occasionally meets a batch whose CTC gradient is orders of magnitude
+    above steady state, and one such step can throw Adam into a multi-epoch loss
+    blowup (observed on the hard-tier synthetic corpus: loss 0.7 -> 140 in one epoch,
+    ~15 epochs to recover). Off by default — the reference trains unclipped Adam
+    (`net.py:132`) and easy corpora never trip it."""
     optimizer = optax.adam(learning_rate)
+    if gradient_clip_norm is not None:
+        optimizer = optax.chain(optax.clip_by_global_norm(gradient_clip_norm), optimizer)
     if trainable is not None and not all(trainable):
         def labels(params):
             return [jax.tree.map(lambda _: "train" if flag else "freeze", layer)
