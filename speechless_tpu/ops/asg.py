@@ -177,3 +177,65 @@ def asg_loss(emissions: jnp.ndarray, logit_lengths: jnp.ndarray, labels: jnp.nda
     # exclude such transcripts, this guards stragglers.
     feasible = (label_lengths > 0) & (label_lengths <= logit_lengths)
     return jnp.where(feasible, free - constrained, 0.0)
+
+
+def asg_viterbi_decode(emissions: jnp.ndarray, logit_lengths: jnp.ndarray,
+                       transition_log_scores: jnp.ndarray,
+                       initial_log_scores: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Transition-aware best-path decode: argmax over length-T state paths of
+    ``sum_t emit[t, c_t] + trans[c_t, c_{t-1}]`` (+ init at t=0).
+
+    The plain per-frame argmax ignores the transition model entirely; once the tables
+    are trained (`train_asg_transitions=True` — see trainer.loss_fn "asg_trainable")
+    the Viterbi path uses what they learned. Returns the dense (B, T) state sequence
+    (repeat-merge + repetition-grapheme decoding happens in the codec, exactly as for
+    the argmax path). Jit-friendly: one forward `lax.scan` carrying (delta, final
+    state) and emitting backpointers, then a reverse backtrace scan; padded frames
+    (t >= length) repeat the final state.
+    """
+    batch, t_max, class_count = emissions.shape
+    identity_bp = _col_identity(batch, class_count)
+
+    def forward(carry, inputs):
+        t, emit = inputs
+        delta, final_state = carry
+        # expanded[b, to, frm] = delta[b, frm] + trans[to, frm]
+        expanded = delta[:, None, :] + transition_log_scores[None, :, :]
+        best_prev = jnp.argmax(expanded, axis=2).astype(jnp.int32)     # (B, C)
+        new_delta = jnp.max(expanded, axis=2) + emit
+        active = (t < logit_lengths)[:, None]
+        delta = jnp.where(active, new_delta, delta)
+        final_state = jnp.where(t == logit_lengths - 1,
+                                jnp.argmax(delta, axis=1).astype(jnp.int32),
+                                final_state)
+        return (delta, final_state), jnp.where(active, best_prev, identity_bp)
+
+    delta0 = emissions[:, 0] + initial_log_scores[None, :]
+    final0 = jnp.where(logit_lengths == 1, jnp.argmax(delta0, axis=1),
+                       jnp.zeros((batch,), jnp.int32)).astype(jnp.int32)
+    (_, final_state), backpointers = jax.lax.scan(
+        forward, (delta0, final0),
+        (jnp.arange(1, t_max), emissions[:, 1:].swapaxes(0, 1)),
+        unroll=SCAN_UNROLL)
+
+    def backtrace(state, inputs):
+        t, bp = inputs  # bp: (B, C) best-previous at step t
+        prev = jnp.take_along_axis(bp, state[:, None], axis=1)[:, 0]
+        state = jnp.where(t < logit_lengths, prev, state)
+        return state, state
+
+    _, states_rev = jax.lax.scan(
+        backtrace, final_state,
+        (jnp.arange(t_max - 1, 0, -1), backpointers[::-1]),
+        unroll=SCAN_UNROLL)
+    path = jnp.concatenate([states_rev[::-1].T, final_state[:, None]], axis=1)
+    # Pad frames past each length with the final state (merge-repeat absorbs them).
+    t_range = jnp.arange(t_max)[None, :]
+    return jnp.where(t_range < logit_lengths[:, None], path, final_state[:, None])
+
+
+def _col_identity(batch: int, class_count: int) -> jnp.ndarray:
+    """(B, C) backpointer block that maps every state to itself (inactive frames)."""
+    return jnp.broadcast_to(jnp.arange(class_count, dtype=jnp.int32)[None, :],
+                            (batch, class_count))

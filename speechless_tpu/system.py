@@ -250,6 +250,7 @@ class Wav2Letter:
                             if use_asg else (None, None))
         self._train_step = None
         self._forward_jitted = None
+        self._viterbi_jitted = None
         self._eval_step = make_eval_step(self.config, criterion=self._criterion,
                                          asg_transitions=self._asg_tables[0],
                                          asg_initials=self._asg_tables[1])
@@ -331,8 +332,22 @@ class Wav2Letter:
 
     def _decode_tokens(self, log_probs, prediction_lengths) -> List[str]:
         if self.use_asg:
-            # ASG: no blank; argmax + repeat-merge, repetition graphemes decoded by the codec.
-            tokens = np.argmax(np.asarray(log_probs), axis=2)
+            # ASG: no blank; repetition graphemes decoded by the codec after repeat-merge.
+            # With TRAINED transition tables the decode is transition-aware Viterbi
+            # (ops/asg.py::asg_viterbi_decode) — per-frame log-softmax shifts every
+            # path score equally, so ranking over the eval outputs is exact. The
+            # fixed-table path keeps plain argmax (the reference's random tables carry
+            # no signal for the path prior).
+            if self.train_asg_transitions:
+                from .ops.asg import asg_viterbi_decode
+                if self._viterbi_jitted is None:
+                    self._viterbi_jitted = jax.jit(asg_viterbi_decode)
+                tables = self.state.params[-1]
+                tokens = np.asarray(self._viterbi_jitted(
+                    jnp.asarray(log_probs), jnp.asarray(prediction_lengths),
+                    tables["asg_transitions"], tables["asg_initials"]))
+            else:
+                tokens = np.argmax(np.asarray(log_probs), axis=2)
             return self.grapheme_encoding.decode_grapheme_batch(
                 tokens, list(np.asarray(prediction_lengths)), merge_repeated=True)
         blank = self.grapheme_encoding.grapheme_set_size - 1

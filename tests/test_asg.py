@@ -246,3 +246,54 @@ class TestTrainableTransitions:
         assert np.allclose(np.asarray(state.params[0]["w"]), initial[0]["w"])
         assert not np.allclose(np.asarray(state.params[-1]["asg_transitions"]),
                                initial[-1]["asg_transitions"])
+
+
+class TestViterbiDecode:
+    def _brute_force(self, emissions, length, trans_log, init_log):
+        import itertools
+        classes = emissions.shape[1]
+        best, best_path = -1e30, None
+        for path in itertools.product(range(classes), repeat=length):
+            score = init_log[path[0]] + emissions[0, path[0]]
+            for t in range(1, length):
+                score += trans_log[path[t], path[t - 1]] + emissions[t, path[t]]
+            if score > best:
+                best, best_path = score, path
+        return list(best_path)
+
+    def test_matches_brute_force(self, rng):
+        from speechless_tpu.ops.asg import asg_viterbi_decode
+
+        classes, t_max = 4, 6
+        trans = rng.randn(classes, classes).astype(np.float32)
+        init = rng.randn(classes).astype(np.float32)
+        emissions = rng.randn(3, t_max, classes).astype(np.float32)
+        lengths = np.array([6, 4, 1], np.int32)
+        paths = np.asarray(asg_viterbi_decode(
+            jnp.asarray(emissions), jnp.asarray(lengths),
+            jnp.asarray(trans), jnp.asarray(init)))
+        for b, length in enumerate(lengths):
+            expected = self._brute_force(emissions[b], int(length), trans, init)
+            assert list(paths[b, :length]) == expected, (b, paths[b], expected)
+            # Padding repeats the final state (absorbed by repeat-merge).
+            assert (paths[b, length:] == expected[-1]).all()
+
+    def test_transitions_change_the_path(self, rng):
+        """With a strong self-transition bonus the Viterbi path smooths over isolated
+        per-frame argmax flips — the property plain argmax decoding cannot express."""
+        from speechless_tpu.ops.asg import asg_viterbi_decode
+
+        classes, t = 3, 7
+        emissions = np.full((1, t, classes), -5.0, np.float32)
+        emissions[0, :, 0] = 0.0
+        emissions[0, 3, 0] = -1.0
+        emissions[0, 3, 1] = 0.5    # frame 3 argmax flips to class 1
+        stay = np.full((classes, classes), -4.0, np.float32)
+        np.fill_diagonal(stay, 0.0)  # strong self-transition preference
+        init = np.zeros(classes, np.float32)
+        path = np.asarray(asg_viterbi_decode(
+            jnp.asarray(emissions), jnp.asarray([t], dtype=np.int32),
+            jnp.asarray(stay), jnp.asarray(init)))[0]
+        assert list(path) == [0] * t  # smoothed through the flip
+        argmax = emissions[0].argmax(axis=1)
+        assert argmax[3] == 1  # while plain argmax flips
