@@ -1,4 +1,4 @@
-from .asg import asg_loss
+from .asg import asg_loss, asg_viterbi_decode
 from .ctc import ctc_loss, ctc_loss_from_logits
 from .ctc_pallas import ctc_loss_from_logits_pallas, ctc_loss_pallas
 from .decode import beam_search_decode, greedy_decode
@@ -8,6 +8,6 @@ from .decode_pallas_lm import beam_search_decode_pallas_lm
 from .device_beam import beam_search_decode_device
 
 __all__ = ["ctc_loss", "ctc_loss_from_logits", "ctc_loss_pallas", "ctc_loss_from_logits_pallas",
-           "asg_loss", "greedy_decode", "beam_search_decode", "beam_search_decode_jax",
+           "asg_loss", "asg_viterbi_decode", "greedy_decode", "beam_search_decode", "beam_search_decode_jax",
            "beam_search_decode_pallas", "beam_search_decode_pallas_lm",
            "beam_search_decode_device"]
