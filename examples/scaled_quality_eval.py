@@ -96,6 +96,10 @@ def main() -> None:
             "examples": len(result.results),
             "decode_wall_s": round(elapsed, 2),
             "utterances_per_s": round(len(result.results) / elapsed, 1),
+            # The wall includes one-time per-bucket eval-program compiles and tunneled
+            # per-batch dispatch (~24 ms RTT each); steady-state decoder throughput is
+            # the BASELINE.md decode table, not this number.
+            "wall_includes_compiles_and_rtt": True,
         }
         log("[{}] {} ({} utts in {:.1f}s)".format(what, result.summary_line(),
                                                   len(result.results), elapsed))
