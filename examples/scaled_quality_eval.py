@@ -108,9 +108,10 @@ def main() -> None:
     # -- corpus + cache + LM ------------------------------------------------
     corpus_name = ("synthetic" if args.difficulty == "standard"
                    else "synthetic-" + args.difficulty)
-    generate_corpus(directories.corpus_base_directory / "English", corpus_name,
-                    utterance_count=args.utterances, seed=0,
-                    difficulty=args.difficulty)
+    corpus_directory = generate_corpus(
+        directories.corpus_base_directory / "English", corpus_name,
+        utterance_count=args.utterances, seed=0,
+        difficulty=args.difficulty)
     config = Configuration(
         name="English",
         corpus_from_directory=lambda d: LibriSpeechCorpus(
@@ -137,7 +138,14 @@ def main() -> None:
     # -- train (resumable) --------------------------------------------------
     run_name = "quality-english-devres" if args.device_resident else "quality-english"
     if args.difficulty != "standard":
-        run_name += "-" + args.difficulty
+        # Non-standard tiers get recalibrated between runs; keying the run name on the
+        # corpus generation signature makes train_or_resume start fresh whenever the
+        # corpus changed (a tier tweak must never silently resume a model trained on
+        # the previous corpus — that happened in cal6 and invalidated the run).
+        import zlib
+        signature = (corpus_directory / ".complete").read_text()
+        run_name += "-{}-{}".format(args.difficulty,
+                                    format(zlib.crc32(signature.encode()), "08x"))
     t0 = time.time()
     w2l_kwargs = ({"gradient_clip_norm": args.clip_norm}
                   if args.clip_norm is not None else {})

@@ -61,9 +61,18 @@ DIFFICULTY_TIERS = {
     # from a wide (0.02, 0.26) range — like real corpora whose SNR varies per
     # utterance — so held-out error is a smooth mixture of clean and noisy utterances
     # rather than cliff-dominated, and the word LM has a mid-noise band to rescue.
+    # On top of the graded utterance SNR, a fraction of phones take a per-phone noise
+    # burst (a click/cough/dropout analog): isolated in-word corruptions that greedy
+    # decoding tends to get wrong but a word-trigram beam can rescue from context.
+    # Burst design: the burst must DEGRADE the phone, not destroy it. At level 0.35 a
+    # burst buries the two tones completely — the posterior carries no signal for the
+    # beam to re-rank, so beam-vs-greedy stays narrow. Level ~0.2 splits the posterior
+    # between the true character and a neighbor, which greedy argmaxes wrong while the
+    # word LM recovers from context — that asymmetry widens the beam-vs-greedy gap.
     "hard": dict(low_spacing=65.0, high_spacing=170.0, warp=0.05,
                  duration_jitter=0.5, amplitude=(0.09, 0.24),
-                 noise_range=(0.02, 0.26), babble_voices=2),
+                 noise_range=(0.02, 0.14), babble_voices=2,
+                 phone_burst_prob=0.18, phone_burst_level=0.20),
 }
 
 # Two-tone grids: 7 low x 5 high = 35 combinations >= len(_REGISTRY). Tones sit well below
@@ -159,6 +168,8 @@ def synthesize_utterance(text: str, rand: np.random.RandomState,
         noise_level = lo + (hi - lo) * rand.rand()
     amp_lo, amp_hi = tier["amplitude"]
     jitter = tier["duration_jitter"]
+    burst_prob = tier.get("phone_burst_prob", 0.0)
+    burst_level = tier.get("phone_burst_level", 0.0)
     segments = []
     for character in text:
         low, high = character_tones(character, difficulty)
@@ -167,6 +178,12 @@ def synthesize_utterance(text: str, rand: np.random.RandomState,
         amplitude = amp_lo + (amp_hi - amp_lo) * rand.rand()
         tone = amplitude * (np.sin(2 * np.pi * low * warp * t + 2 * np.pi * rand.rand())
                             + np.sin(2 * np.pi * high * warp * t + 2 * np.pi * rand.rand()))
+        # Per-PHONE noise bursts: with probability p this single character is buried
+        # under strong noise (a click/cough/dropout analog) while its neighbors stay
+        # clean — the isolated in-word corruption a word-LM beam can actually rescue
+        # (per-utterance SNR alone makes whole utterances unreadable instead).
+        if burst_prob and rand.rand() < burst_prob:
+            tone = tone + burst_level * rand.randn(len(t))
         envelope = np.hanning(len(t)) if len(t) else np.ones(0)
         segments.append((tone * envelope).astype(np.float32))
     audio = np.concatenate(segments) if segments else np.zeros(1, np.float32)
