@@ -61,18 +61,27 @@ DIFFICULTY_TIERS = {
     # from a wide (0.02, 0.26) range — like real corpora whose SNR varies per
     # utterance — so held-out error is a smooth mixture of clean and noisy utterances
     # rather than cliff-dominated, and the word LM has a mid-noise band to rescue.
-    # On top of the graded utterance SNR, a fraction of phones take a per-phone noise
-    # burst (a click/cough/dropout analog): isolated in-word corruptions that greedy
-    # decoding tends to get wrong but a word-trigram beam can rescue from context.
-    # Burst design: the burst must DEGRADE the phone, not destroy it. At level 0.35 a
-    # burst buries the two tones completely — the posterior carries no signal for the
-    # beam to re-rank, so beam-vs-greedy stays narrow. Level ~0.2 splits the posterior
-    # between the true character and a neighbor, which greedy argmaxes wrong while the
-    # word LM recovers from context — that asymmetry widens the beam-vs-greedy gap.
+    # On top of the graded utterance SNR, a fraction of UTTERANCES carry CONFUSION
+    # bursts: individual phones rendered as a near-50/50 mix of the true character's
+    # tones and another character's tones. The evidence for a burst phone is genuinely
+    # consistent with two characters — no training disambiguates it — so greedy
+    # decoding argmaxes the wrong one about half the time while the word-trigram beam
+    # recovers it from context (a confused character almost always breaks the word).
+    # Two calibration lessons shape the knobs (evidence/QUALITY_r03_hard_cal*.json):
+    # (1) plain per-phone NOISE bursts are learnable — a model trained on them reads
+    # through level-0.2 bursts on 18% of phones (cal7: held-out greedy 2.3% LER,
+    # gap only 1.61x); (2) unconditional confusion bursts on 15% of ALL phones with
+    # grid-NEIGHBOR partners poison the tightest decision margins in every utterance
+    # and tip training over the memorize-vs-learn cliff (cal8: train loss 2.2 but
+    # held-out greedy 53% LER from epoch 5 on — the model never generalizes). Hence:
+    # bursts are confined to a 30% utterance subset (the other 70% provide clean
+    # gradients that keep generalization alive) and the mix partner is a FAR character
+    # (uniform over non-neighbors), which leaves neighbor margins unpoisoned.
     "hard": dict(low_spacing=65.0, high_spacing=170.0, warp=0.05,
                  duration_jitter=0.5, amplitude=(0.09, 0.24),
-                 noise_range=(0.02, 0.14), babble_voices=2,
-                 phone_burst_prob=0.18, phone_burst_level=0.20),
+                 noise_range=(0.02, 0.16), babble_voices=2,
+                 utterance_confusion_prob=0.30, phone_confusion_prob=0.25,
+                 phone_confusion_mix=(0.35, 0.65), confusion_partner="any"),
 }
 
 # Two-tone grids: 7 low x 5 high = 35 combinations >= len(_REGISTRY). Tones sit well below
@@ -90,6 +99,23 @@ def character_tones(character: str, difficulty: str = "standard"
     index = _REGISTRY.index(character)
     return (_LOW_BASE + tier["low_spacing"] * (index % 7),
             _HIGH_BASE + tier["high_spacing"] * (index // 7))
+
+
+def _confusable_neighbors(index: int) -> List[int]:
+    """Registry indices adjacent to ``index`` in the tone grid: same high tone, one
+    low-spacing step away (~2 mel bins at the hard tier); grid-row edges fall back to
+    the adjacent high row. These are the characters a confusion burst mixes in."""
+    row, col = divmod(index, 7)
+    neighbors = []
+    if col > 0:
+        neighbors.append(index - 1)
+    if col < 6 and index + 1 < len(_REGISTRY):
+        neighbors.append(index + 1)
+    if not neighbors:
+        for other in (index - 7, index + 7):
+            if 0 <= other < len(_REGISTRY):
+                neighbors.append(other)
+    return neighbors
 
 
 # English-like vocabulary, including apostrophe words so the full a-z+' charset is voiced.
@@ -170,6 +196,14 @@ def synthesize_utterance(text: str, rand: np.random.RandomState,
     jitter = tier["duration_jitter"]
     burst_prob = tier.get("phone_burst_prob", 0.0)
     burst_level = tier.get("phone_burst_level", 0.0)
+    confusion_prob = tier.get("phone_confusion_prob", 0.0)
+    confusion_mix = tier.get("phone_confusion_mix", (0.0, 0.0))
+    confusion_partner = tier.get("confusion_partner", "neighbor")
+    # Per-utterance gate: most utterances stay burst-free so training sees mostly
+    # clean gradients (unconditional bursts drove training over the memorize-vs-learn
+    # cliff — see the tier comment).
+    if rand.rand() >= tier.get("utterance_confusion_prob", 1.0):
+        confusion_prob = 0.0
     segments = []
     for character in text:
         low, high = character_tones(character, difficulty)
@@ -184,6 +218,27 @@ def synthesize_utterance(text: str, rand: np.random.RandomState,
         # (per-utterance SNR alone makes whole utterances unreadable instead).
         if burst_prob and rand.rand() < burst_prob:
             tone = tone + burst_level * rand.randn(len(t))
+        # Per-PHONE confusion bursts: mix in another character's tones at a ratio near
+        # 0.5. The evidence is then genuinely consistent with TWO characters — no
+        # amount of training disambiguates it — so greedy decoding argmaxes the wrong
+        # one about half the time while the word-LM beam recovers it from context.
+        if confusion_prob and rand.rand() < confusion_prob:
+            index = _REGISTRY.index(character)
+            if confusion_partner == "neighbor":
+                candidates = _confusable_neighbors(index)
+            else:  # "any": a far partner leaves neighbor decision margins unpoisoned
+                # Partners come from the base a-z+' registry shared by every charset:
+                # an umlaut partner in an English corpus would mix in tones that map
+                # to no English character — a learnable noise burst, not a confusion.
+                neighbors = set(_confusable_neighbors(index)) | {index}
+                candidates = [i for i in range(28) if i not in neighbors]
+            other = _REGISTRY[candidates[int(rand.randint(len(candidates)))]]
+            low2, high2 = character_tones(other, difficulty)
+            tone2 = amplitude * (
+                np.sin(2 * np.pi * low2 * warp * t + 2 * np.pi * rand.rand())
+                + np.sin(2 * np.pi * high2 * warp * t + 2 * np.pi * rand.rand()))
+            mix = confusion_mix[0] + (confusion_mix[1] - confusion_mix[0]) * rand.rand()
+            tone = (1.0 - mix) * tone + mix * tone2
         envelope = np.hanning(len(t)) if len(t) else np.ones(0)
         segments.append((tone * envelope).astype(np.float32))
     audio = np.concatenate(segments) if segments else np.zeros(1, np.float32)
