@@ -81,6 +81,13 @@ DIFFICULTY_TIERS = {
     # per-phone rate, so isolated single-character corruptions dominate, and the mix
     # partner is a FAR character (uniform over non-neighbors in the shared base
     # registry), which leaves neighbor decision margins unpoisoned.
+    # Locked operating point (cal11, evidence/QUALITY_r03_hard_cal11.json): greedy
+    # 5.8% LER / 20.4% WER, word-LM beam 3.98% / 11.5% — mid-band with a 1.45x LER /
+    # 1.77x WER beam gap. A thinner/tighter probe (0.85 utt x 0.09 phone, mix .4-.6;
+    # cal12) landed just under band at the same 1.45x gap: the residual unrescued
+    # errors are valid-word substitutions and multi-burst words, which scale with the
+    # burst mass itself, so the gap plateaus while in-band — this point maximizes
+    # measurability on both axes.
     "hard": dict(low_spacing=65.0, high_spacing=170.0, warp=0.05,
                  duration_jitter=0.5, amplitude=(0.09, 0.24),
                  noise_range=(0.02, 0.16), babble_voices=2,
