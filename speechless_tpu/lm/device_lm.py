@@ -8,12 +8,15 @@ The reference's flagship decode runs word-level KenLM fusion inside the beam sea
 * a **vocabulary character trie** packed as a dense ``(nodes, classes)`` int32 transition
   table (row 0 = root) with a per-node completed-word id — beams walk it one gather per
   extension, so the device beam always knows the word a space would complete;
-* **per-order open-addressing hash tables** (linear probing, <=0.5 load factor, build-time
-  max displacement bound) keyed on packed word-id n-grams, holding log10 probabilities and
-  backoff weights. Lookups are a fixed unrolled probe sequence of vectorized gathers — no
-  data-dependent control flow, so the whole Katz backoff recursion
+* **per-order 2-choice (cuckoo) hash tables** keyed on word-id n-grams, holding log10
+  probabilities and backoff weights. Every key lives at one of exactly two slots
+  (build-time eviction insert; the table doubles on an insertion cycle), so a lookup is
+  TWO key gathers + one post-match value gather — no data-dependent control flow, and the
+  whole Katz backoff recursion
   ``P(w|c1,c2) = tri(c1,c2,w) | bo(c1,c2) + [bi(c2,w) | bo(c2) + uni(w)]``
-  jits into ~a dozen gathers per beam step.
+  jits into ~20 gathers per beam step. (Round 2 used linear probing with a build-time
+  displacement bound; at max_probes=10 the probe loops were ~93% of the hybrid Pallas
+  LM beam's wall — the fixed 2-probe layout cut the W=25 fused decode ~4x.)
 
 Scoring matches `lm.ngram.ArpaLanguageModel.score_word` exactly (tests assert equality
 over every (context, word) combination): context registers start as (BOS, BOS) — the ARPA
@@ -28,9 +31,10 @@ import numpy as np
 from .ngram import ArpaLanguageModel, BOS, UNK
 
 # Mixing constants shared by the numpy builder and the jnp prober (uint32 arithmetic).
-_MIX1 = np.uint32(2654435761)
-_MIX2 = np.uint32(40503)
-_MIX3 = np.uint32(2246822519)
+# Two independent sets: every key hashes to one slot per set (2-choice hashing).
+_MIXES = ((np.uint32(2654435761), np.uint32(40503), np.uint32(2246822519)),
+          (np.uint32(3266489917), np.uint32(668265263), np.uint32(374761393)))
+_MIX1, _MIX2, _MIX3 = _MIXES[0]
 EMPTY = np.int32(-1)
 
 
@@ -41,12 +45,12 @@ class DeviceWordLm(NamedTuple):
     node_word: np.ndarray    # (nodes,) int32 word id completed at this node, -1 = none
     uni_logp: np.ndarray     # (V,) f32 log10 P(w)
     uni_bo: np.ndarray       # (V,) f32 log10 backoff(w)
-    bi_k: np.ndarray         # (S2, 2) int32 open-addressing keys (c, w), -1 = empty
+    bi_k: np.ndarray         # (S2, 2) int32 cuckoo keys (c, w), -1 = empty
     bi_logp: np.ndarray      # (S2,) f32
     bi_bo: np.ndarray        # (S2,) f32 log10 backoff(c, w)
     tri_k: np.ndarray        # (S3, 3) int32 keys (c1, c2, w), -1 = empty (order-2: size 1)
     tri_logp: np.ndarray     # (S3,) f32
-    max_probes: int          # static probe bound (build-time max displacement + 1)
+    max_probes: int          # static probe bound (2: every key sits at one of 2 slots)
     bos_id: int
     unk_id: int
     space_index: int
@@ -58,45 +62,67 @@ class DeviceWordLm(NamedTuple):
                               for a in self))
 
 
-def _hash2(k1, k2, size):
-    h = k1.astype(np.uint32) * _MIX1 ^ k2.astype(np.uint32) * _MIX2
+def _hash2(k1, k2, size, side=0):
+    m1, m2, _ = _MIXES[side]
+    with np.errstate(over="ignore"):  # uint32 wraparound is the hash
+        h = k1.astype(np.uint32) * m1 ^ k2.astype(np.uint32) * m2
     return (h % np.uint32(size)).astype(np.int64)
 
 
-def _hash3(k1, k2, k3, size):
-    h = (k1.astype(np.uint32) * _MIX1 ^ k2.astype(np.uint32) * _MIX2
-         ^ k3.astype(np.uint32) * _MIX3)
+def _hash3(k1, k2, k3, size, side=0):
+    m1, m2, m3 = _MIXES[side]
+    with np.errstate(over="ignore"):
+        h = (k1.astype(np.uint32) * m1 ^ k2.astype(np.uint32) * m2
+             ^ k3.astype(np.uint32) * m3)
     return (h % np.uint32(size)).astype(np.int64)
+
+
+def _key_slot(key: np.ndarray, size: int, side: int) -> int:
+    if len(key) == 2:
+        return int(_hash2(key[0], key[1], size, side))
+    return int(_hash3(key[0], key[1], key[2], size, side))
 
 
 def _build_hash_table(keys: np.ndarray, values: List[np.ndarray]
                       ) -> Tuple[np.ndarray, List[np.ndarray], int]:
-    """Linear-probing insert of (keys -> values) rows; returns (key table, value tables,
-    max displacement). Table size = next power of two >= 2 * entries."""
+    """Cuckoo (2-choice) insert of (keys -> values) rows; returns (key table, value
+    tables, probe count == 2). Every key ends up at `_key_slot(key, size, 0)` or
+    `_key_slot(key, size, 1)`, so device lookups are a FIXED two-gather probe.
+    Table size = next power of two >= 2 * entries, doubling on an insertion cycle."""
     entries = len(keys)
+    width = keys.shape[1] if entries else 2
     size = 1
     while size < max(2 * entries, 2):
         size *= 2
-    width = keys.shape[1]
-    table_keys = np.full((size, width), EMPTY, np.int32)
-    table_values = [np.zeros(size, np.float32) for _ in values]
-    max_displacement = 0
-    if entries:
-        if width == 2:
-            slots = _hash2(keys[:, 0], keys[:, 1], size)
-        else:
-            slots = _hash3(keys[:, 0], keys[:, 1], keys[:, 2], size)
+    while True:
+        table_keys = np.full((size, width), EMPTY, np.int32)
+        table_values = [np.zeros(size, np.float32) for _ in values]
+        ok = True
         for row in range(entries):
-            slot = int(slots[row])
-            displacement = 0
-            while table_keys[slot, 0] != EMPTY:
-                slot = (slot + 1) % size
-                displacement += 1
-            table_keys[slot] = keys[row]
-            for t, v in zip(table_values, values):
-                t[slot] = v[row]
-            max_displacement = max(max_displacement, displacement)
-    return table_keys, table_values, max_displacement
+            key = keys[row].copy()
+            vals = [np.float32(v[row]) for v in values]
+            side = 0
+            for _ in range(64 + entries // 4):
+                slot = _key_slot(key, size, side)
+                if table_keys[slot, 0] == EMPTY:
+                    table_keys[slot] = key
+                    for t, v in zip(table_values, vals):
+                        t[slot] = v
+                    break
+                # Evict the occupant; it must move to its alternate slot.
+                old_key = table_keys[slot].copy()
+                old_vals = [t[slot] for t in table_values]
+                table_keys[slot] = key
+                for t, v in zip(table_values, vals):
+                    t[slot] = v
+                key, vals = old_key, old_vals
+                side = 1 if _key_slot(key, size, 0) == slot else 0
+            else:
+                ok = False
+                break
+        if ok:
+            return table_keys, table_values, 2
+        size *= 2
 
 
 def build_device_word_lm(model: ArpaLanguageModel, alphabet: Sequence[str],
@@ -151,13 +177,13 @@ def build_device_word_lm(model: ArpaLanguageModel, alphabet: Sequence[str],
     bi_entries = [(ids(g), p, model._backoffs[1].get(g, 0.0) if model.order >= 2 else 0.0)
                   for g, p in (model._log_probs[1].items() if model.order >= 2 else [])]
     bi_keys = np.asarray([e[0] for e in bi_entries], np.int32).reshape(-1, 2)
-    bi_k, (bi_logp, bi_bo), bi_disp = _build_hash_table(
+    bi_k, (bi_logp, bi_bo), bi_probes = _build_hash_table(
         bi_keys, [np.asarray([e[1] for e in bi_entries], np.float32),
                   np.asarray([e[2] for e in bi_entries], np.float32)])
 
     tri_entries = list(model._log_probs[2].items()) if model.order >= 3 else []
     tri_keys = np.asarray([ids(g) for g, _ in tri_entries], np.int32).reshape(-1, 3)
-    tri_k, (tri_logp,), tri_disp = _build_hash_table(
+    tri_k, (tri_logp,), tri_probes = _build_hash_table(
         tri_keys, [np.asarray([p for _, p in tri_entries], np.float32)])
 
     return DeviceWordLm(
@@ -165,28 +191,27 @@ def build_device_word_lm(model: ArpaLanguageModel, alphabet: Sequence[str],
         uni_logp=uni_logp, uni_bo=uni_bo,
         bi_k=bi_k, bi_logp=bi_logp, bi_bo=bi_bo,
         tri_k=tri_k, tri_logp=tri_logp,
-        max_probes=max(bi_disp, tri_disp) + 1,
+        max_probes=max(bi_probes, tri_probes),
         bos_id=bos_id, unk_id=unk_id, space_index=space_index)
 
 
 # -- device-side lookups (jnp; shapes are vectors over beams) ----------------------------
 
 def _probe2(lm: DeviceWordLm, k1, k2):
-    """Vectorized open-addressing lookup in the bigram table: (logp, backoff, hit)."""
+    """Vectorized 2-choice lookup in the bigram table: (logp, backoff, hit).
+    Exactly two key probes (cuckoo layout), then ONE value gather at the match."""
     import jax.numpy as jnp
 
     size = lm.bi_k.shape[0]
-    h = (k1.astype(jnp.uint32) * _MIX1 ^ k2.astype(jnp.uint32) * _MIX2) % jnp.uint32(size)
-    slot = h.astype(jnp.int32)
-    logp = jnp.zeros(k1.shape, jnp.float32)
-    bo = jnp.zeros(k1.shape, jnp.float32)
-    hit = jnp.zeros(k1.shape, bool)
-    for probe in range(lm.max_probes):
-        idx = (slot + probe) % size
-        match = (lm.bi_k[idx, 0] == k1) & (lm.bi_k[idx, 1] == k2) & ~hit
-        logp = jnp.where(match, lm.bi_logp[idx], logp)
-        bo = jnp.where(match, lm.bi_bo[idx], bo)
-        hit = hit | match
+    k1u, k2u = k1.astype(jnp.uint32), k2.astype(jnp.uint32)
+    slot_a = ((k1u * _MIXES[0][0] ^ k2u * _MIXES[0][1]) % jnp.uint32(size)).astype(jnp.int32)
+    slot_b = ((k1u * _MIXES[1][0] ^ k2u * _MIXES[1][1]) % jnp.uint32(size)).astype(jnp.int32)
+    match_a = (lm.bi_k[slot_a, 0] == k1) & (lm.bi_k[slot_a, 1] == k2)
+    match_b = (lm.bi_k[slot_b, 0] == k1) & (lm.bi_k[slot_b, 1] == k2)
+    hit = match_a | match_b
+    idx = jnp.where(match_a, slot_a, slot_b)
+    logp = jnp.where(hit, lm.bi_logp[idx], 0.0)
+    bo = jnp.where(hit, lm.bi_bo[idx], 0.0)
     return logp, bo, hit
 
 
@@ -194,17 +219,19 @@ def _probe3(lm: DeviceWordLm, k1, k2, k3):
     import jax.numpy as jnp
 
     size = lm.tri_k.shape[0]
-    h = (k1.astype(jnp.uint32) * _MIX1 ^ k2.astype(jnp.uint32) * _MIX2
-         ^ k3.astype(jnp.uint32) * _MIX3) % jnp.uint32(size)
-    slot = h.astype(jnp.int32)
-    logp = jnp.zeros(k1.shape, jnp.float32)
-    hit = jnp.zeros(k1.shape, bool)
-    for probe in range(lm.max_probes):
-        idx = (slot + probe) % size
-        match = (lm.tri_k[idx, 0] == k1) & (lm.tri_k[idx, 1] == k2) \
-            & (lm.tri_k[idx, 2] == k3) & ~hit
-        logp = jnp.where(match, lm.tri_logp[idx], logp)
-        hit = hit | match
+    k1u, k2u, k3u = (k1.astype(jnp.uint32), k2.astype(jnp.uint32),
+                     k3.astype(jnp.uint32))
+    slot_a = ((k1u * _MIXES[0][0] ^ k2u * _MIXES[0][1] ^ k3u * _MIXES[0][2])
+              % jnp.uint32(size)).astype(jnp.int32)
+    slot_b = ((k1u * _MIXES[1][0] ^ k2u * _MIXES[1][1] ^ k3u * _MIXES[1][2])
+              % jnp.uint32(size)).astype(jnp.int32)
+    match_a = (lm.tri_k[slot_a, 0] == k1) & (lm.tri_k[slot_a, 1] == k2) \
+        & (lm.tri_k[slot_a, 2] == k3)
+    match_b = (lm.tri_k[slot_b, 0] == k1) & (lm.tri_k[slot_b, 1] == k2) \
+        & (lm.tri_k[slot_b, 2] == k3)
+    hit = match_a | match_b
+    idx = jnp.where(match_a, slot_a, slot_b)
+    logp = jnp.where(hit, lm.tri_logp[idx], 0.0)
     return logp, hit
 
 
