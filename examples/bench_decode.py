@@ -30,7 +30,8 @@ from speechless_tpu.lm.ngram import ArpaLanguageModel, NativeArpaLanguageModel
 from speechless_tpu.ops.decode import beam_search_decode, greedy_decode
 from speechless_tpu.ops.decode_jax import beam_search_decode_jax
 from speechless_tpu.ops.decode_pallas import beam_search_decode_pallas
-from speechless_tpu.ops.decode_pallas_lm import beam_search_decode_pallas_lm
+from speechless_tpu.ops.decode_pallas_lm import (beam_search_decode_pallas_frames,
+                                                 beam_search_decode_pallas_lm)
 
 ALPHABET = list("abcdefghijklmnopqrstuvwxyz '")
 BLANK = len(ALPHABET)
@@ -100,6 +101,11 @@ def main():
               lambda w=width: np.asarray(
             beam_search_decode_pallas(dev_lp, dev_len, BLANK, beam_width=w,
                                       max_decoded_length=256, prune_classes=8)[0]))
+        timed("beam W={} no LM (Pallas frames kernel, prune 8)".format(width),
+              lambda w=width: np.asarray(
+            beam_search_decode_pallas_frames(dev_lp, dev_len, BLANK, beam_width=w,
+                                             max_decoded_length=256,
+                                             prune_classes=8)[0]))
         timed("beam W={} word-LM fusion (device)".format(width), lambda w=width: np.asarray(
             beam_search_decode_jax(dev_lp, dev_len, BLANK, beam_width=w,
                                    max_decoded_length=256, word_lm=device_lm,

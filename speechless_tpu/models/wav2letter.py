@@ -182,10 +182,11 @@ def conv_flops_per_example(config: Wav2LetterConfig, input_frames: int,
 
 
 # bf16 peak TFLOP/s per chip by device kind (public figures; the MFU denominator).
+# NB v5e's oft-quoted 394 is the int8 TOPS number; bf16 peak is 197.
 TPU_PEAK_TFLOPS = {
     "TPU v4": 275.0,
-    "TPU v5 lite": 394.0,
-    "TPU v5e": 394.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
     "TPU v5": 459.0,
     "TPU v5p": 459.0,
     "TPU v6 lite": 918.0,

@@ -3,7 +3,10 @@
 Production call sites (`serving.py`, eval paths) should decode through
 `beam_search_decode_device`, which routes:
 
-* no LM  -> the blocked Pallas kernel (`decode_pallas.py`), ~2.4x the XLA beam;
+* no LM  -> the sublane-batched frame-step Pallas kernel
+  (`decode_pallas_lm.beam_search_decode_pallas_frames`, ~10x the XLA beam), unless the
+  caller asks for the `skip_blank_log_prob` fast path, which only the whole-loop
+  kernel (`decode_pallas.py`) can express;
 * word LM -> the hybrid Pallas-step + XLA-gather beam (`decode_pallas_lm.py`);
 * char-table LM, unpruned search, or a charset too large for the packed 128-lane
   frame row (``classes + 2*prune > 128``) -> the XLA beam (`decode_jax.py`), with a
@@ -20,7 +23,8 @@ import jax.numpy as jnp
 
 from .decode_jax import beam_search_decode_jax
 from .decode_pallas import FRAME_LANES, beam_search_decode_pallas
-from .decode_pallas_lm import beam_search_decode_pallas_lm
+from .decode_pallas_lm import (beam_search_decode_pallas_frames,
+                               beam_search_decode_pallas_lm)
 
 logger = logging.getLogger(__name__)
 
@@ -70,7 +74,12 @@ def beam_search_decode_device(log_probs: jnp.ndarray, lengths: jnp.ndarray, blan
             word_count_weight=word_count_weight,
             valid_word_count_weight=valid_word_count_weight,
             prune_classes=prune_classes)
-    return beam_search_decode_pallas(
+    if skip_blank_log_prob is not None:
+        # Only the whole-loop kernel can skip blank-dominated frames per utterance.
+        return beam_search_decode_pallas(
+            log_probs, lengths, blank, beam_width=beam_width,
+            max_decoded_length=max_decoded_length, prune_classes=prune_classes,
+            skip_blank_log_prob=skip_blank_log_prob)
+    return beam_search_decode_pallas_frames(
         log_probs, lengths, blank, beam_width=beam_width,
-        max_decoded_length=max_decoded_length, prune_classes=prune_classes,
-        skip_blank_log_prob=skip_blank_log_prob)
+        max_decoded_length=max_decoded_length, prune_classes=prune_classes)

@@ -119,6 +119,44 @@ class TestPallasLmBeamParity:
         _assert_parity(lp, lengths, device_lm, width=25)
 
 
+class TestFramesKernelNoLm:
+    """The frame-step kernel without an LM (`beam_search_decode_pallas_frames`) — the
+    dispatcher's default no-LM path — must match the XLA beam token-for-token."""
+
+    def _assert_no_lm_parity(self, lp, lengths, width=8, prune=8, max_len=64):
+        from speechless_tpu.ops.decode_pallas_lm import beam_search_decode_pallas_frames
+
+        ref = beam_search_decode_jax(lp, lengths, blank=BLANK, beam_width=width,
+                                     max_decoded_length=max_len, prune_classes=prune)
+        new = beam_search_decode_pallas_frames(lp, lengths, blank=BLANK,
+                                               beam_width=width,
+                                               max_decoded_length=max_len,
+                                               prune_classes=prune)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(new[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(new[1]))
+
+    def test_peaky_batch(self):
+        lp, lengths = _batch(["the cat sat", "a dog ran", "the mat"])
+        self._assert_no_lm_parity(lp, lengths)
+
+    def test_noisy_uneven_lengths(self):
+        rngs = [np.random.RandomState(s) for s in range(3)]
+        lp, lengths = _batch(["the cat ran to the dog", "a dog sat on a log",
+                              "it's the cat"], peak=3.0, rngs=rngs)
+        self._assert_no_lm_parity(lp, lengths)
+
+    def test_wide_beam_w25_duplicate_mass_regime(self):
+        lp, lengths = _batch(["the cat sat on the mat"], peak=3.0,
+                             rngs=[np.random.RandomState(7)])
+        self._assert_no_lm_parity(lp, lengths, width=25)
+
+    def test_batch_padding_to_sublane_grid(self):
+        texts = ["the cat", "a dog", "the mat", "a log", "the dog ran",
+                 "it's a cat", "the", "a", "dog"]
+        lp, lengths = _batch(texts, peak=6.0)
+        self._assert_no_lm_parity(lp, lengths, width=4)
+
+
 class TestDeviceBeamDispatch:
     def test_word_lm_routes_to_pallas_and_matches(self, device_lm):
         lp, lengths = _batch(["the cat sat"])
