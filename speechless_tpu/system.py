@@ -72,8 +72,12 @@ class Wav2Letter:
                  train_asg_transitions: bool = False,
                  kenlm_directory: Optional[Path] = None,
                  beam_width: int = DEFAULT_BEAM_WIDTH,
+                 lm_weight: float = KENLM_WEIGHT,
+                 word_count_weight: float = WORD_COUNT_WEIGHT,
+                 valid_word_count_weight: float = VALID_WORD_COUNT_WEIGHT,
                  compute_dtype: Any = None,
                  mesh: Any = None,
+                 spec_augment: Any = None,
                  seed: int = 0):
         if frozen_layer_count > 0 and load_model_from_directory is None:
             raise ValueError("Layers cannot be frozen if model is trained from scratch.")
@@ -100,6 +104,18 @@ class Wav2Letter:
         self.asg_initial_probabilities = asg_initial_probabilities
         self.kenlm_directory = Path(kenlm_directory) if kenlm_directory else None
         self.beam_width = beam_width
+        # Decoder-weight knobs; defaults are the reference's hardcoded KenLM-fork values
+        # (`net.py:449-451`). Exposed as kwargs so eval sweeps can tune them per corpus.
+        self.lm_weight = lm_weight
+        self.word_count_weight = word_count_weight
+        self.valid_word_count_weight = valid_word_count_weight
+        # On-device SpecAugment (ops/specaugment.py) — beyond-reference training
+        # regularization; True selects the default policy. Training only; eval and
+        # decode paths never see augmented features.
+        if spec_augment is True:
+            from .ops.specaugment import SpecAugment
+            spec_augment = SpecAugment()
+        self.spec_augment = spec_augment
         self.frozen_layer_count = frozen_layer_count
         self.load_epoch = load_epoch
         self.input_size_per_time_step = input_size_per_time_step
@@ -357,8 +373,8 @@ class Wav2Letter:
                 beam_width=self.beam_width,
                 alphabet=self.grapheme_encoding.allowed_characters,
                 lm=self.language_model,
-                lm_weight=KENLM_WEIGHT, word_count_weight=WORD_COUNT_WEIGHT,
-                valid_word_count_weight=VALID_WORD_COUNT_WEIGHT,
+                lm_weight=self.lm_weight, word_count_weight=self.word_count_weight,
+                valid_word_count_weight=self.valid_word_count_weight,
                 # Production pruning (native path): classes below 1e-5 per frame cannot
                 # influence a trained model's beam; verified output-identical in tests.
                 prune_log_prob_floor=math.log(1e-5))
@@ -478,7 +494,8 @@ class Wav2Letter:
                                 make(self.config, self.optimizer, donate=True,
                                      criterion=self._criterion,
                                      asg_transitions=self._asg_tables[0],
-                                     asg_initials=self._asg_tables[1]))
+                                     asg_initials=self._asg_tables[1],
+                                     spec_augment=self.spec_augment))
         train_step = self._train_step[1]
 
         def print_preview_batch():
@@ -579,7 +596,8 @@ class Wav2Letter:
         epoch_fn = make_device_epoch_step(
             self.config, self.optimizer, batch_size=batch_size, steps=batches_per_epoch,
             donate=True, criterion=self._criterion, shard_batch=self.mesh is not None,
-            asg_transitions=self._asg_tables[0], asg_initials=self._asg_tables[1])
+            asg_transitions=self._asg_tables[0], asg_initials=self._asg_tables[1],
+            spec_augment=self.spec_augment)
 
         def print_preview_batch():
             log(self.test_and_predict_batch(preview_labeled_spectrogram_batch))

@@ -151,9 +151,13 @@ def loss_fn(config: w2l.Wav2LetterConfig, params: Any, batch: Batch,
 
 def _update_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
                  criterion: str, asg_transitions: Optional[jnp.ndarray],
-                 asg_initials: Optional[jnp.ndarray], from_wav: bool = False):
+                 asg_initials: Optional[jnp.ndarray], from_wav: bool = False,
+                 spec_augment=None):
     """The un-jitted update body shared by the single-step, multi-step, and fused-features
-    train steps: ``(state, batch) -> (state, metrics)``."""
+    train steps: ``(state, batch) -> (state, metrics)``.
+
+    ``spec_augment``: optional `ops.specaugment.SpecAugment` — masks the feature batch
+    on device before the forward pass (training only; eval is never augmented)."""
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         if from_wav:
@@ -163,6 +167,14 @@ def _update_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransfor
             batch = Batch(inputs=features, input_lengths=frame_counts,
                           labels=batch.labels, label_lengths=batch.label_lengths)
         dropout_rng, next_rng = jax.random.split(state.dropout_rng)
+        if spec_augment is not None:
+            from ..ops.specaugment import apply_spec_augment
+
+            augment_rng, dropout_rng = jax.random.split(dropout_rng)
+            batch = Batch(inputs=apply_spec_augment(augment_rng, batch.inputs,
+                                                    batch.input_lengths, spec_augment),
+                          input_lengths=batch.input_lengths, labels=batch.labels,
+                          label_lengths=batch.label_lengths)
         (loss, per_example), grads = jax.value_and_grad(
             lambda p: loss_fn(config, p, batch, dropout_rng=dropout_rng,
                               criterion=criterion, asg_transitions=asg_transitions,
@@ -180,10 +192,11 @@ def _update_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransfor
 def make_train_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
                     donate: bool = True, criterion: str = "ctc",
                     asg_transitions: Optional[jnp.ndarray] = None,
-                    asg_initials: Optional[jnp.ndarray] = None):
+                    asg_initials: Optional[jnp.ndarray] = None,
+                    spec_augment=None):
     """Build the jitted update step: ``(state, batch) -> (state, metrics)``."""
     return jax.jit(_update_step(config, optimizer, criterion, asg_transitions,
-                                asg_initials),
+                                asg_initials, spec_augment=spec_augment),
                    donate_argnums=(0,) if donate else ())
 
 
@@ -191,14 +204,15 @@ def make_wav_train_step(config: w2l.Wav2LetterConfig,
                         optimizer: optax.GradientTransformation,
                         donate: bool = True, criterion: str = "ctc",
                         asg_transitions: Optional[jnp.ndarray] = None,
-                        asg_initials: Optional[jnp.ndarray] = None):
+                        asg_initials: Optional[jnp.ndarray] = None,
+                        spec_augment=None):
     """Fully-fused update step from raw audio: feature extraction runs on device inside the
     same XLA program as forward/backward/Adam (the bench and multichip-dryrun path).
 
     ``(state, WavBatch) -> (state, metrics)``; sharding carried by input/param shardings.
     """
     return jax.jit(_update_step(config, optimizer, criterion, asg_transitions,
-                                asg_initials, from_wav=True),
+                                asg_initials, from_wav=True, spec_augment=spec_augment),
                    donate_argnums=(0,) if donate else ())
 
 
@@ -222,13 +236,14 @@ def _scan_steps(single_step):
 def make_multi_step(config: w2l.Wav2LetterConfig, optimizer: optax.GradientTransformation,
                     donate: bool = True, criterion: str = "ctc",
                     asg_transitions: Optional[jnp.ndarray] = None,
-                    asg_initials: Optional[jnp.ndarray] = None):
+                    asg_initials: Optional[jnp.ndarray] = None,
+                    spec_augment=None):
     """Device-side multi-step training: ``(state, stacked_batch) -> (state, metrics)``
     where every `Batch` field carries a leading steps axis (see
     `data.batching.stack_batches`). The steps count is static per compilation; the train
     loop keeps it fixed so exactly one program serves the whole run."""
     return jax.jit(_scan_steps(_update_step(config, optimizer, criterion, asg_transitions,
-                                            asg_initials)),
+                                            asg_initials, spec_augment=spec_augment)),
                    donate_argnums=(0,) if donate else ())
 
 
@@ -236,11 +251,13 @@ def make_multi_wav_step(config: w2l.Wav2LetterConfig,
                         optimizer: optax.GradientTransformation,
                         donate: bool = True, criterion: str = "ctc",
                         asg_transitions: Optional[jnp.ndarray] = None,
-                        asg_initials: Optional[jnp.ndarray] = None):
+                        asg_initials: Optional[jnp.ndarray] = None,
+                        spec_augment=None):
     """Multi-step over `WavBatch`es with a leading steps axis: k fused
     (features + fwd/bwd + Adam) updates per device dispatch."""
     return jax.jit(_scan_steps(_update_step(config, optimizer, criterion, asg_transitions,
-                                            asg_initials, from_wav=True)),
+                                            asg_initials, from_wav=True,
+                                            spec_augment=spec_augment)),
                    donate_argnums=(0,) if donate else ())
 
 
@@ -250,7 +267,8 @@ def make_device_epoch_step(config: w2l.Wav2LetterConfig,
                            donate: bool = True, criterion: str = "ctc",
                            shard_batch: bool = False,
                            asg_transitions: Optional[jnp.ndarray] = None,
-                           asg_initials: Optional[jnp.ndarray] = None):
+                           asg_initials: Optional[jnp.ndarray] = None,
+                           spec_augment=None):
     """Whole-epoch training over a device-resident corpus (`data.device_dataset`):
     ``(state, dataset, rng) -> (state, metrics)`` runs ``steps`` optimizer updates in ONE
     device dispatch — each step samples ``batch_size`` corpus rows uniformly without
@@ -261,7 +279,8 @@ def make_device_epoch_step(config: w2l.Wav2LetterConfig,
     ``shard_batch``: under a mesh (call inside `jax.set_mesh`), constrain the gathered
     batch onto the data axis so DP compute splits across chips even though the dataset
     itself is replicated."""
-    update = _update_step(config, optimizer, criterion, asg_transitions, asg_initials)
+    update = _update_step(config, optimizer, criterion, asg_transitions, asg_initials,
+                          spec_augment=spec_augment)
 
     def epoch_step(state: TrainState, dataset, rng: jax.Array
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:

@@ -44,6 +44,36 @@ class TestWav2LetterFacade:
         w = Wav2Letter(128, english_frequent_characters, kenlm_directory=kenlm_dir)
         assert w.language_model is None
 
+    def test_decoder_weight_kwargs_reach_the_beam(self, tmp_path, monkeypatch):
+        # The reference hardcodes the KenLM-fork fusion weights (`net.py:449-451`);
+        # here they are constructor kwargs (defaults unchanged) so eval sweeps can
+        # tune them per corpus. Pin that the facade routes them into the decoder.
+        import speechless_tpu.system as system_module
+        kenlm_dir = tmp_path / "kenlm"
+        kenlm_dir.mkdir()
+        (kenlm_dir / "vocabulary").write_text("".join(english_frequent_characters))
+        (kenlm_dir / "lm.arpa").write_text(
+            "\\data\\\nngram 1=3\n\n\\1-grams:\n-0.5\t<s>\n-0.5\t</s>\n-0.3\tthe\n\n\\end\\\n")
+        w = Wav2Letter(128, english_frequent_characters, kenlm_directory=kenlm_dir,
+                       beam_width=7, lm_weight=1.7, word_count_weight=0.25,
+                       valid_word_count_weight=4.2)
+        seen = {}
+
+        def fake_beam(log_probs, lengths, blank, **kwargs):
+            seen.update(kwargs)
+            import numpy as np
+            return (np.full((len(lengths), 1), -1, dtype=np.int32),
+                    np.zeros(len(lengths), dtype=np.int32))
+
+        monkeypatch.setattr(system_module, "beam_search_decode", fake_beam)
+        import numpy as np
+        w._decode_tokens(np.zeros((1, 4, w.grapheme_encoding.grapheme_set_size)),
+                         np.array([4]))
+        assert seen["beam_width"] == 7
+        assert seen["lm_weight"] == 1.7
+        assert seen["word_count_weight"] == 0.25
+        assert seen["valid_word_count_weight"] == 4.2
+
     def test_asg_system(self, config):
         # The reference stubs ASG training with NotImplementedError (`net.py:396-399`);
         # here the criterion is implemented end-to-end.
