@@ -47,6 +47,10 @@ def main() -> None:
                         help="global-norm gradient clipping (guards late-training loss "
                              "blowups on the noisy hard tier; None = reference-parity "
                              "unclipped Adam)")
+    parser.add_argument("--spec-augment", action="store_true",
+                        help="train with on-device SpecAugment (ops/specaugment.py, "
+                             "default policy); runs under a '-sa' run name so it never "
+                             "resumes an unaugmented checkpoint")
     parser.add_argument("--device-resident", action="store_true",
                         help="pack the corpus into HBM and sample batches on device "
                              "(zero steady-state host->device transfer)")
@@ -146,9 +150,13 @@ def main() -> None:
         signature = (corpus_directory / ".complete").read_text()
         run_name += "-{}-{}".format(args.difficulty,
                                     format(zlib.crc32(signature.encode()), "08x"))
+    if args.spec_augment:
+        run_name += "-sa"
     t0 = time.time()
     w2l_kwargs = ({"gradient_clip_norm": args.clip_norm}
                   if args.clip_norm is not None else {})
+    if args.spec_augment:
+        w2l_kwargs["spec_augment"] = True
     if args.device_resident:
         config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
                                device_resident=True, wav2letter_kwargs=w2l_kwargs)
@@ -172,6 +180,8 @@ def main() -> None:
 
     # -- transfer: English -> German charset ---------------------------------
     suffix = "" if args.difficulty == "standard" else "-" + args.difficulty
+    if args.spec_augment:
+        suffix += "-sa"
     if not args.skip_transfer:
         german_corpus_name = ("synthetic-de" if args.difficulty == "standard"
                               else "synthetic-de-" + args.difficulty)
@@ -216,8 +226,12 @@ def main() -> None:
 
     results["difficulty"] = args.difficulty
     results["gradient_clip_norm"] = args.clip_norm
-    out = args.data_dir / ("quality_results.json" if args.difficulty == "standard"
-                           else "quality_results_{}.json".format(args.difficulty))
+    results["spec_augment"] = args.spec_augment
+    out_stem = ("quality_results" if args.difficulty == "standard"
+                else "quality_results_" + args.difficulty)
+    if args.spec_augment:
+        out_stem += "_sa"
+    out = args.data_dir / (out_stem + ".json")
     out.write_text(json.dumps(results, indent=2))
     log("results written to {}".format(out))
     print(json.dumps(results, indent=2))

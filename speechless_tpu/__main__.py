@@ -50,6 +50,12 @@ def main(argv=None) -> None:
     p_train.add_argument("--device-resident", action="store_true",
                          help="pack the corpus into device HBM and sample batches on "
                               "device (zero steady-state host->device transfer)")
+    p_train.add_argument("--spec-augment", action="store_true",
+                         help="on-device SpecAugment masking during training "
+                              "(ops/specaugment.py, default policy)")
+    p_train.add_argument("--clip-norm", type=float, default=None,
+                         help="global-norm gradient clipping (default: unclipped, "
+                              "reference parity)")
 
     p_transfer = sub.add_parser("transfer", help="transfer-train from the best English model")
     add_config_arg(p_transfer)
@@ -62,6 +68,11 @@ def main(argv=None) -> None:
     p_test.add_argument("--run", required=True, help="run name under nets/")
     p_test.add_argument("--epoch", type=int, required=True)
     p_test.add_argument("--kenlm", action="store_true", help="beam search with LM fusion")
+    p_test.add_argument("--beam-width", type=int, default=None)
+    p_test.add_argument("--lm-weight", type=float, default=None,
+                        help="LM fusion weight (default: the reference's 0.8)")
+    p_test.add_argument("--word-count-weight", type=float, default=None)
+    p_test.add_argument("--valid-word-count-weight", type=float, default=None)
 
     p_validate = sub.add_parser("validate", help="epoch-sweep evaluation to CSV")
     add_config_arg(p_validate)
@@ -83,8 +94,14 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     if args.command == "train":
+        wav2letter_kwargs = {}
+        if args.spec_augment:
+            wav2letter_kwargs["spec_augment"] = True
+        if args.clip_norm is not None:
+            wav2letter_kwargs["gradient_clip_norm"] = args.clip_norm
         _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).train_from_beginning(
-            epoch_limit=args.epochs, device_resident=args.device_resident)
+            epoch_limit=args.epochs, device_resident=args.device_resident,
+            wav2letter_kwargs=wav2letter_kwargs)
     elif args.command == "transfer":
         _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).train_transfer_from_best_english_model(
             frozen_layer_count=args.freeze,
@@ -92,9 +109,15 @@ def main(argv=None) -> None:
             epoch_limit=args.epochs)
     elif args.command == "test":
         configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)
+        decoder_kwargs = {name: value for name, value in (
+            ("beam_width", args.beam_width), ("lm_weight", args.lm_weight),
+            ("word_count_weight", args.word_count_weight),
+            ("valid_word_count_weight", args.valid_word_count_weight))
+            if value is not None}
         wav2letter = configuration.load_model(
             load_name=args.run, load_epoch=args.epoch,
-            allowed_characters_for_loaded_model=None, use_kenlm=args.kenlm)
+            allowed_characters_for_loaded_model=None, use_kenlm=args.kenlm,
+            **decoder_kwargs)
         configuration.test_model_grouped_by_loaded_corpus_name(wav2letter)
     elif args.command == "validate":
         from .experiments import validate_to_csv

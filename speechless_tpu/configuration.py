@@ -151,9 +151,13 @@ class Configuration:
             net_directory=self.directories.nets_base_directory / run_name,
             batches_per_epoch=self.training_batches_per_epoch, **train_kwargs)
 
-    def train_from_beginning(self, **train_kwargs) -> None:
+    def train_from_beginning(self, wav2letter_kwargs: Optional[dict] = None,
+                             **train_kwargs) -> None:
+        """``wav2letter_kwargs`` (e.g. ``spec_augment``, ``gradient_clip_norm``) reach
+        the model constructor; everything else goes to :meth:`train`."""
         wav2letter = Wav2Letter(self.mel_frequency_count,
-                                allowed_characters=self.allowed_characters)
+                                allowed_characters=self.allowed_characters,
+                                **(wav2letter_kwargs or {}))
         self.train(wav2letter,
                    run_name=timestamp() + "-adam-small-learning-rate-complete-training-{}{}"
                    .format(self.name, self.sampled_training_example_count_extension()),

@@ -53,6 +53,38 @@ class TestCli:
         assert captured["batch_size"] == 2
         assert len(captured["device_resident_examples"]) == 3  # the training corpus
 
+    def test_train_spec_augment_and_clip_flags(self, data_dir):
+        # E2E: the augmented + clipped train step runs for a real epoch and checkpoints.
+        main(["train", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--epochs", "1", "--batch-size", "2", "--batches-per-epoch", "2",
+              "--spec-augment", "--clip-norm", "0.5"])
+        runs = list((data_dir / "nets").iterdir())
+        assert len(runs) == 1
+        assert (runs[0] / "weights-epoch1.npz").exists()
+
+    def test_test_decoder_weight_flags_route(self, data_dir, monkeypatch):
+        from speechless_tpu.configuration import Configuration
+        captured = {}
+
+        class _StubModel:
+            pass
+
+        def fake_load_model(self, **kwargs):
+            captured.update(kwargs)
+            return _StubModel()
+
+        monkeypatch.setattr(Configuration, "load_model", fake_load_model)
+        monkeypatch.setattr(Configuration, "test_model_grouped_by_loaded_corpus_name",
+                            lambda self, model: None)
+        main(["test", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--run", "r", "--epoch", "3", "--kenlm", "--beam-width", "50",
+              "--lm-weight", "2.4", "--valid-word-count-weight", "4.0"])
+        assert captured["use_kenlm"] is True
+        assert captured["beam_width"] == 50
+        assert captured["lm_weight"] == 2.4
+        assert captured["valid_word_count_weight"] == 4.0
+        assert "word_count_weight" not in captured  # unset flags keep the default
+
     def test_summarize_and_fill_cache(self, data_dir):
         main(["summarize", "--config", "minimal_english", "--data-dir", str(data_dir)])
         assert (data_dir / "corpus" / "English" / "corpus.csv").exists()
