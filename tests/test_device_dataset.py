@@ -77,6 +77,30 @@ def test_epoch_step_trains_and_counts_steps(rng):
     assert float(metrics["step_losses"][-1]) < first * 1.2  # training proceeds
 
 
+def test_epoch_step_with_spec_augment(rng):
+    # SpecAugment composes with the whole-epoch device program: masks differ per step
+    # (rng threading through the scan), training still proceeds, and the same data with
+    # augmentation disabled yields a different loss trajectory.
+    from speechless_tpu.ops.specaugment import SpecAugment
+
+    config = tiny_config()
+    codec = CtcGraphemeEncoding(allowed_characters=list("abcd"))
+    dataset, _ = build_device_dataset(_examples(rng, count=8), codec)
+    optimizer = make_optimizer(1e-3)
+
+    def run(spec_augment):
+        state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+        epoch_fn = make_device_epoch_step(config, optimizer, batch_size=4, steps=4,
+                                          donate=False, spec_augment=spec_augment)
+        state, metrics = epoch_fn(state, dataset, jax.random.PRNGKey(1))
+        return state, np.asarray(metrics["step_losses"])
+
+    state, augmented = run(SpecAugment(frequency_mask_width=3, time_mask_fraction=0.2))
+    assert int(state.step) == 4 and np.isfinite(augmented).all()
+    _, plain = run(None)
+    assert not np.allclose(augmented, plain)
+
+
 def test_sampling_is_without_replacement_within_batch(rng):
     """A gathered batch never repeats a corpus row (reference `random.sample` semantics)."""
     codec = CtcGraphemeEncoding(allowed_characters=list("abcd"))
