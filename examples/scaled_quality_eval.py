@@ -140,6 +140,10 @@ def main() -> None:
         allowed_characters=config.allowed_characters, order=3)
 
     # -- train (resumable) --------------------------------------------------
+    # One variant marker shared by the run name, the transfer run names, and the output
+    # stem — a variant flag missing from any of the three would silently resume or
+    # overwrite a non-variant artifact.
+    variant = "-sa" if args.spec_augment else ""
     run_name = "quality-english-devres" if args.device_resident else "quality-english"
     if args.difficulty != "standard":
         # Non-standard tiers get recalibrated between runs; keying the run name on the
@@ -150,8 +154,7 @@ def main() -> None:
         signature = (corpus_directory / ".complete").read_text()
         run_name += "-{}-{}".format(args.difficulty,
                                     format(zlib.crc32(signature.encode()), "08x"))
-    if args.spec_augment:
-        run_name += "-sa"
+    run_name += variant
     t0 = time.time()
     w2l_kwargs = ({"gradient_clip_norm": args.clip_norm}
                   if args.clip_norm is not None else {})
@@ -179,9 +182,7 @@ def main() -> None:
     evaluate(beam, config.batch_generator, "beam_lm")
 
     # -- transfer: English -> German charset ---------------------------------
-    suffix = "" if args.difficulty == "standard" else "-" + args.difficulty
-    if args.spec_augment:
-        suffix += "-sa"
+    suffix = ("" if args.difficulty == "standard" else "-" + args.difficulty) + variant
     if not args.skip_transfer:
         german_corpus_name = ("synthetic-de" if args.difficulty == "standard"
                               else "synthetic-de-" + args.difficulty)
@@ -228,9 +229,7 @@ def main() -> None:
     results["gradient_clip_norm"] = args.clip_norm
     results["spec_augment"] = args.spec_augment
     out_stem = ("quality_results" if args.difficulty == "standard"
-                else "quality_results_" + args.difficulty)
-    if args.spec_augment:
-        out_stem += "_sa"
+                else "quality_results_" + args.difficulty) + variant.replace("-", "_")
     out = args.data_dir / (out_stem + ".json")
     out.write_text(json.dumps(results, indent=2))
     log("results written to {}".format(out))

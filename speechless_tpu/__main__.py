@@ -62,6 +62,10 @@ def main(argv=None) -> None:
     p_transfer.add_argument("--freeze", type=int, default=0, help="frozen layer count")
     p_transfer.add_argument("--reinitialize", action="store_true")
     p_transfer.add_argument("--epochs", type=int, default=None)
+    p_transfer.add_argument("--spec-augment", action="store_true",
+                            help="on-device SpecAugment masking during training")
+    p_transfer.add_argument("--clip-norm", type=float, default=None,
+                            help="global-norm gradient clipping (default: unclipped)")
 
     p_test = sub.add_parser("test", help="evaluate a checkpoint grouped by sub-corpus")
     add_config_arg(p_test)
@@ -93,20 +97,24 @@ def main(argv=None) -> None:
 
     args = parser.parse_args(argv)
 
-    if args.command == "train":
-        wav2letter_kwargs = {}
+    def training_wav2letter_kwargs():
+        kwargs = {}
         if args.spec_augment:
-            wav2letter_kwargs["spec_augment"] = True
+            kwargs["spec_augment"] = True
         if args.clip_norm is not None:
-            wav2letter_kwargs["gradient_clip_norm"] = args.clip_norm
+            kwargs["gradient_clip_norm"] = args.clip_norm
+        return kwargs
+
+    if args.command == "train":
         _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).train_from_beginning(
             epoch_limit=args.epochs, device_resident=args.device_resident,
-            wav2letter_kwargs=wav2letter_kwargs)
+            wav2letter_kwargs=training_wav2letter_kwargs())
     elif args.command == "transfer":
         _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).train_transfer_from_best_english_model(
             frozen_layer_count=args.freeze,
             reinitialize_trainable_loaded_layers=args.reinitialize,
-            epoch_limit=args.epochs)
+            epoch_limit=args.epochs,
+            wav2letter_kwargs=training_wav2letter_kwargs())
     elif args.command == "test":
         configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)
         decoder_kwargs = {name: value for name, value in (
@@ -114,6 +122,12 @@ def main(argv=None) -> None:
             ("word_count_weight", args.word_count_weight),
             ("valid_word_count_weight", args.valid_word_count_weight))
             if value is not None}
+        if decoder_kwargs and not args.kenlm:
+            # Without --kenlm the decode path is greedy and every weight flag would be
+            # a silent no-op; fail loudly instead of letting a sweep "show no effect".
+            raise SystemExit("--beam-width/--lm-weight/--word-count-weight/"
+                             "--valid-word-count-weight require --kenlm (greedy decode "
+                             "uses no beam).")
         wav2letter = configuration.load_model(
             load_name=args.run, load_epoch=args.epoch,
             allowed_characters_for_loaded_model=None, use_kenlm=args.kenlm,

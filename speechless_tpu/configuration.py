@@ -201,7 +201,8 @@ class Configuration:
 
     def train_transfer_from_best_english_model(
             self, frozen_layer_count: int,
-            reinitialize_trainable_loaded_layers: bool = False, **train_kwargs) -> None:
+            reinitialize_trainable_loaded_layers: bool = False,
+            wav2letter_kwargs: Optional[dict] = None, **train_kwargs) -> None:
         run_name = timestamp() + "-adam-small-learning-rate-transfer-to-{}-freeze-{}{}{}".format(
             self.name, frozen_layer_count,
             "-reinitialize" if reinitialize_trainable_loaded_layers else "",
@@ -209,7 +210,8 @@ class Configuration:
         log("Run: " + run_name)
         wav2letter = self.load_best_english_model(
             frozen_layer_count=frozen_layer_count,
-            reinitialize_trainable_loaded_layers=reinitialize_trainable_loaded_layers)
+            reinitialize_trainable_loaded_layers=reinitialize_trainable_loaded_layers,
+            **(wav2letter_kwargs or {}))
         self.train(wav2letter, run_name=run_name, **train_kwargs)
 
     def sampled_training_example_count_extension(self) -> str:
@@ -273,13 +275,14 @@ class Configuration:
                         2066)
 
     def load_best_english_model(self, frozen_layer_count: int = 0, use_ken_lm: bool = False,
-                                reinitialize_trainable_loaded_layers: bool = False
-                                ) -> Wav2Letter:
+                                reinitialize_trainable_loaded_layers: bool = False,
+                                **wav2letter_kwargs) -> Wav2Letter:
         return self.load_model(
             load_name=Configuration.english_baseline[0],
             load_epoch=Configuration.english_baseline[1],
             frozen_layer_count=frozen_layer_count, use_kenlm=use_ken_lm,
-            reinitialize_trainable_loaded_layers=reinitialize_trainable_loaded_layers)
+            reinitialize_trainable_loaded_layers=reinitialize_trainable_loaded_layers,
+            **wav2letter_kwargs)
 
     def test_best_english_model(self, use_kenlm: bool = False) -> None:
         self.test_model_grouped_by_loaded_corpus_name(

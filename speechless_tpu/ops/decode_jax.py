@@ -19,12 +19,16 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..lm.char_ngram import advance_context
 
 NEG_INF = -1e30
-HASH_MULTIPLIER = jnp.uint32(0x01000193)  # FNV-ish
-EMPTY_HASH = jnp.uint32(0x811C9DC5)
+# numpy (not jnp) scalars: module import must never initialize the JAX backend —
+# spawn-pool cache-fill workers import this package, and host-only use (e.g. the C++
+# beam path) must survive an unreachable TPU tunnel.
+HASH_MULTIPLIER = np.uint32(0x01000193)  # FNV-ish
+EMPTY_HASH = np.uint32(0x811C9DC5)
 
 
 def backtrace_tokens(parents, emit_chars, best, count, max_decoded_length):

@@ -85,6 +85,27 @@ class TestCli:
         assert captured["valid_word_count_weight"] == 4.0
         assert "word_count_weight" not in captured  # unset flags keep the default
 
+    def test_decoder_weight_flags_without_kenlm_exit(self, data_dir):
+        # Greedy decode would silently ignore them; the CLI refuses instead.
+        with pytest.raises(SystemExit, match="require --kenlm"):
+            main(["test", "--config", "minimal_english", "--data-dir", str(data_dir),
+                  "--run", "r", "--epoch", "1", "--lm-weight", "2.4"])
+
+    def test_transfer_training_flags_route(self, data_dir, monkeypatch):
+        from speechless_tpu.configuration import Configuration
+        captured = {}
+
+        def fake_transfer(self, **kwargs):
+            captured.update(kwargs)
+
+        monkeypatch.setattr(Configuration, "train_transfer_from_best_english_model",
+                            fake_transfer)
+        main(["transfer", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--freeze", "8", "--spec-augment", "--clip-norm", "1.0"])
+        assert captured["frozen_layer_count"] == 8
+        assert captured["wav2letter_kwargs"] == {"spec_augment": True,
+                                                 "gradient_clip_norm": 1.0}
+
     def test_summarize_and_fill_cache(self, data_dir):
         main(["summarize", "--config", "minimal_english", "--data-dir", str(data_dir)])
         assert (data_dir / "corpus" / "English" / "corpus.csv").exists()
