@@ -90,6 +90,18 @@ def main(argv=None) -> None:
     add_config_arg(p_cache)
     p_cache.add_argument("--repair", action="store_true", help="verify + repair entries")
 
+    p_export = sub.add_parser("export",
+                              help="write an AOT serving bundle (StableHLO + weights)")
+    add_config_arg(p_export)
+    p_export.add_argument("--run", required=True, help="run name under nets/")
+    p_export.add_argument("--epoch", type=int, required=True)
+    p_export.add_argument("--out", required=True, help="bundle output directory")
+    p_export.add_argument("--kenlm", action="store_true",
+                          help="export the word-LM-fused beam programs")
+    p_export.add_argument("--platforms", nargs="+", default=None,
+                          help="lowering targets, e.g. tpu cpu (default: current "
+                               "backend)")
+
     p_record = sub.add_parser("record", help="record from the microphone and transcribe")
     add_config_arg(p_record)
     p_record.add_argument("--run", default=None, help="run name to load (default: best)")
@@ -140,6 +152,17 @@ def main(argv=None) -> None:
         _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).summarize_and_save_corpus()
     elif args.command == "fill-cache":
         _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).fill_cache(repair_incorrect=args.repair)
+    elif args.command == "export":
+        configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)
+        from .serving import Transcriber
+        from .serving_export import export_transcriber
+        transcriber = Transcriber.from_checkpoint(
+            configuration.directories.nets_base_directory / args.run, args.epoch,
+            configuration.allowed_characters,
+            mel_frequency_count=configuration.mel_frequency_count,
+            kenlm_directory=(configuration.directories.kenlm_base_directory /
+                             configuration.name.lower()) if args.kenlm else None)
+        export_transcriber(transcriber, Path(args.out), platforms=args.platforms)
     elif args.command == "record":
         from .io import record_plot_and_save
         configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)

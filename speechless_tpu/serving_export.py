@@ -1,0 +1,135 @@
+"""AOT deployment bundles: serialized StableHLO serving programs + weights.
+
+The reference's deployment story is its Keras HDF5 checkpoint plus the Python model code
+to rebuild the graph (`net.py:518-530` load_model); serving anywhere means shipping the
+whole framework. Here deployment is `jax.export`: every per-bucket transcription program
+(feature extraction -> acoustic model -> greedy or LM-fused beam decode, one fused XLA
+program per length bucket, see `serving.Transcriber`) serializes to versioned portable
+StableHLO with JAX's compatibility guarantees, alongside the weights and a small JSON
+manifest. The loader (`ExportedTranscriber`) replays those programs with NO model-building
+code — the module never imports the model, the feature pipeline, or the decoders — so a
+serving fleet can pin a bundle while training code keeps moving, and a bundle exported
+for `platforms=("tpu",)` on a CPU host runs unchanged on the serving TPUs.
+
+Bundle layout::
+
+    <dir>/manifest.json          charset, buckets, platforms, format version
+    <dir>/weights-epoch0.npz     params in the standard checkpoint format
+    <dir>/program-<bucket>.shlo  one serialized exported program per sample bucket
+"""
+import json
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .text.graphemes import CtcGraphemeCodec
+from .utils.tools import log, mkdir
+
+FORMAT_VERSION = 1
+_MANIFEST = "manifest.json"
+
+
+def export_transcriber(transcriber, directory: Path,
+                       platforms: Optional[Sequence[str]] = None,
+                       sample_buckets: Optional[Sequence[int]] = None) -> Path:
+    """Write an AOT serving bundle for ``transcriber`` (a `serving.Transcriber`).
+
+    ``platforms``: lowering targets (e.g. ``("tpu",)`` to export for TPU serving from a
+    CPU build host, or ``("tpu", "cpu")`` for a bundle that runs on both; loading on a
+    platform the bundle was not exported for raises). Default is the current backend's
+    platform. ``sample_buckets`` defaults to the transcriber's own buckets — pass a
+    subset to bound bundle size.
+
+    Caveat: the LM-fused beam picks Pallas-vs-interpreted at trace time from the
+    *current* backend (`ops/decode_pallas*.py` ``interpret=``), so export LM-fused
+    TPU bundles on a TPU host to capture the Mosaic kernel; a CPU-host export for TPU
+    is still correct but bakes the emulated (slower) beam. Greedy bundles are pure XLA
+    and lower identically everywhere.
+    """
+    import jax
+    from jax import export as jax_export
+
+    directory = Path(directory)
+    mkdir(directory)
+    buckets = tuple(sorted(sample_buckets or transcriber.sample_buckets))
+    unknown = set(buckets) - set(transcriber.sample_buckets)
+    if unknown:
+        raise ValueError("sample_buckets {} are not buckets of this transcriber ({})"
+                         .format(sorted(unknown), transcriber.sample_buckets))
+
+    params_shapes = jax.tree.map(
+        lambda leaf: jax.ShapeDtypeStruct(np.shape(leaf), np.asarray(leaf).dtype),
+        transcriber.params)
+    kwargs = {} if platforms is None else {"platforms": list(platforms)}
+    for bucket in buckets:
+        exported = jax_export.export(transcriber._transcribe, **kwargs)(
+            params_shapes,
+            jax.ShapeDtypeStruct((bucket,), np.float32),
+            jax.ShapeDtypeStruct((), np.int32))
+        blob = exported.serialize()
+        (directory / "program-{}.shlo".format(bucket)).write_bytes(blob)
+        log("exported bucket {} for {} ({} KiB)".format(
+            bucket, ",".join(exported.platforms), len(blob) // 1024))
+
+    from .train.checkpoint import save_checkpoint
+    save_checkpoint(directory, epoch=0, params=transcriber.params)
+    (directory / _MANIFEST).write_text(json.dumps({
+        "format_version": FORMAT_VERSION,
+        "allowed_characters": list(transcriber.codec.allowed_characters),
+        "sample_buckets": list(buckets),
+        "platforms": (list(platforms) if platforms is not None
+                      else [jax.default_backend()]),
+        "lm_fused": transcriber.word_lm is not None,
+    }, indent=2))
+    return directory
+
+
+class ExportedTranscriber:
+    """Serve from an AOT bundle with no model code.
+
+    Mirrors `serving.Transcriber.transcribe_audio` (pad to bucket -> one device call ->
+    token decode) but every device program is a deserialized `jax.export` artifact.
+    """
+
+    def __init__(self, directory: Path):
+        from jax import export as jax_export
+        from .train.checkpoint import load_params
+
+        directory = Path(directory)
+        manifest = json.loads((directory / _MANIFEST).read_text())
+        if manifest["format_version"] > FORMAT_VERSION:
+            raise ValueError("bundle format {} is newer than this loader ({})"
+                             .format(manifest["format_version"], FORMAT_VERSION))
+        self.manifest = manifest
+        self.codec = CtcGraphemeCodec(list(manifest["allowed_characters"]))
+        self.sample_buckets = tuple(manifest["sample_buckets"])
+        self.params = load_params(directory, epoch=0)
+        self._programs = {
+            bucket: jax_export.deserialize(
+                (directory / "program-{}.shlo".format(bucket)).read_bytes())
+            for bucket in self.sample_buckets}
+
+    def transcribe_audio(self, audio: np.ndarray) -> str:
+        """Transcribe a mono 16 kHz float32 waveform."""
+        import jax.numpy as jnp
+
+        length = len(audio)
+        # Unlike the live Transcriber (which jit-compiles a fresh program for oversize
+        # audio), a bundle only contains its exported buckets.
+        bucket = next((b for b in self.sample_buckets if length <= b), None)
+        if bucket is None:
+            raise ValueError(
+                "audio of {} samples exceeds the largest exported bucket ({}); "
+                "re-export with a larger sample_buckets entry or segment the audio"
+                .format(length, self.sample_buckets[-1]))
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[:length] = audio
+        tokens, count = self._programs[bucket].call(
+            self.params, jnp.asarray(padded), jnp.asarray(length, jnp.int32))
+        tokens = np.asarray(tokens)[: int(count)]
+        return self.codec.decode_graphemes(tokens.tolist(), merge_repeated=False)
+
+    def transcribe_file(self, path: Path, sample_rate: int = 16000) -> str:
+        from .features import audio_io
+        return self.transcribe_audio(audio_io.load_audio(path, sample_rate))

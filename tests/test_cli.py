@@ -114,6 +114,19 @@ class TestCli:
         cached = list((data_dir / "spectrogram-cache" / "English").glob("*.npy"))
         assert len(cached) == 3
 
+    def test_export_bundle_roundtrip(self, data_dir):
+        main(["train", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--epochs", "1", "--batch-size", "2", "--batches-per-epoch", "2"])
+        run = next((data_dir / "nets").iterdir()).name
+        out = data_dir / "bundle"
+        main(["export", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--run", run, "--epoch", "1", "--out", str(out)])
+        assert (out / "manifest.json").exists()
+        assert (out / "weights-epoch0.npz").exists()
+        from speechless_tpu.serving_export import ExportedTranscriber
+        audio = (np.random.RandomState(0).randn(8000) * 0.1).astype(np.float32)
+        assert isinstance(ExportedTranscriber(out).transcribe_audio(audio), str)
+
     def test_unknown_config_exits(self, data_dir):
         with pytest.raises(SystemExit):
             main(["train", "--config", "bogus", "--data-dir", str(data_dir)])

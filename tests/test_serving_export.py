@@ -1,0 +1,104 @@
+"""AOT serving bundles (`serving_export.py`): export -> reload -> transcription parity.
+
+The reference deploys by shipping the framework + HDF5 weights (`net.py:518-530`);
+here a bundle of serialized `jax.export` programs replays with no model code."""
+import json
+
+import numpy as np
+import pytest
+
+from speechless_tpu.models import wav2letter as w2l
+from speechless_tpu.serving import Transcriber
+from speechless_tpu.serving_export import (ExportedTranscriber, export_transcriber)
+
+
+ALPHABET = list(" 'abcdefghijklmnopqrstuvwxyz")
+
+
+@pytest.fixture(scope="module")
+def transcriber():
+    import jax
+    config = w2l.Wav2LetterConfig(input_size_per_time_step=128,
+                                  grapheme_set_size=len(ALPHABET) + 1)
+    params = w2l.init_params(config, jax.random.PRNGKey(0))
+    return Transcriber(config, params, ALPHABET, sample_buckets=(16384, 32768))
+
+
+@pytest.fixture(scope="module")
+def bundle(transcriber, tmp_path_factory):
+    return export_transcriber(transcriber, tmp_path_factory.mktemp("bundle"))
+
+
+class TestExportRoundtrip:
+    def test_bundle_layout(self, bundle):
+        manifest = json.loads((bundle / "manifest.json").read_text())
+        assert manifest["sample_buckets"] == [16384, 32768]
+        assert manifest["allowed_characters"] == ALPHABET
+        assert manifest["lm_fused"] is False
+        assert (bundle / "weights-epoch0.npz").exists()
+        for bucket in (16384, 32768):
+            assert (bundle / "program-{}.shlo".format(bucket)).stat().st_size > 0
+
+    def test_transcription_parity_with_live_transcriber(self, transcriber, bundle):
+        loaded = ExportedTranscriber(bundle)
+        rng = np.random.RandomState(0)
+        for length in (9000, 16384, 20000):  # inside both buckets + exact boundary
+            audio = (rng.randn(length) * 0.1).astype(np.float32)
+            assert loaded.transcribe_audio(audio) == \
+                transcriber.transcribe_audio(audio)
+
+    def test_oversize_audio_raises(self, bundle):
+        loaded = ExportedTranscriber(bundle)
+        with pytest.raises(ValueError, match="largest exported bucket"):
+            loaded.transcribe_audio(np.zeros(40000, dtype=np.float32))
+
+    def test_bucket_subset_and_unknown_bucket(self, transcriber, tmp_path):
+        out = export_transcriber(transcriber, tmp_path / "subset",
+                                 sample_buckets=(16384,))
+        assert json.loads((out / "manifest.json").read_text())["sample_buckets"] == [16384]
+        with pytest.raises(ValueError, match="not buckets"):
+            export_transcriber(transcriber, tmp_path / "bad", sample_buckets=(999,))
+
+    def test_multi_platform_bundle_runs_here_tpu_only_refuses(self, transcriber,
+                                                              tmp_path):
+        out = export_transcriber(transcriber, tmp_path / "xplat",
+                                 platforms=("tpu", "cpu"), sample_buckets=(16384,))
+        audio = (np.random.RandomState(1).randn(9000) * 0.1).astype(np.float32)
+        assert ExportedTranscriber(out).transcribe_audio(audio) == \
+            transcriber.transcribe_audio(audio)
+
+        tpu_only = export_transcriber(transcriber, tmp_path / "tpu-only",
+                                      platforms=("tpu",), sample_buckets=(16384,))
+        with pytest.raises(ValueError, match="exported for platforms"):
+            ExportedTranscriber(tpu_only).transcribe_audio(audio)
+
+    def test_newer_format_version_rejected(self, bundle, tmp_path):
+        import shutil
+        copy = tmp_path / "newer"
+        shutil.copytree(bundle, copy)
+        manifest = json.loads((copy / "manifest.json").read_text())
+        manifest["format_version"] = 99
+        (copy / "manifest.json").write_text(json.dumps(manifest))
+        with pytest.raises(ValueError, match="newer than this loader"):
+            ExportedTranscriber(copy)
+
+
+def test_lm_fused_bundle_roundtrip(tmp_path):
+    """The LM-fused serving program (features -> model -> word-LM beam, HBM tables as
+    program constants) exports and replays identically."""
+    import jax
+    from speechless_tpu.lm.arpa_builder import build_kenlm_directory
+
+    lm_dir = tmp_path / "kenlm"
+    build_kenlm_directory(["the cat sat", "a dog ran", "the dog sat"], lm_dir,
+                          allowed_characters=ALPHABET, order=3)
+    config = w2l.Wav2LetterConfig(input_size_per_time_step=128,
+                                  grapheme_set_size=len(ALPHABET) + 1)
+    params = w2l.init_params(config, jax.random.PRNGKey(1))
+    live = Transcriber(config, params, ALPHABET, kenlm_directory=lm_dir,
+                       beam_width=4, sample_buckets=(16384,))
+    bundle = export_transcriber(live, tmp_path / "bundle")
+    assert json.loads((bundle / "manifest.json").read_text())["lm_fused"] is True
+    loaded = ExportedTranscriber(bundle)
+    audio = (np.random.RandomState(3).randn(12000) * 0.1).astype(np.float32)
+    assert loaded.transcribe_audio(audio) == live.transcribe_audio(audio)
