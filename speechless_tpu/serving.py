@@ -63,6 +63,14 @@ class Transcriber:
             logits = w2l.apply(config, params, features)
             logit_lengths = w2l.prediction_lengths(config, frame_counts)
             log_probs = jax.nn.log_softmax(logits, axis=-1)
+            # Decode confidence: mean per-frame max posterior over the real frames —
+            # the standard CTC proxy (1.0 = the model is certain frame-by-frame; near
+            # 1/classes = uniform). Rides in the same program; costs one reduce.
+            frames = jnp.arange(log_probs.shape[1])[None, :]
+            in_range = frames < logit_lengths[:, None]
+            frame_max = jnp.exp(jnp.max(log_probs, axis=-1))
+            confidence = (jnp.sum(jnp.where(in_range, frame_max, 0.0), axis=1)
+                          / jnp.maximum(logit_lengths, 1))
             if word_lm is not None:
                 # Routed to the LM-fused Pallas beam when the charset fits the packed
                 # frame row; falls back to the XLA beam otherwise (ops/device_beam.py).
@@ -75,7 +83,7 @@ class Transcriber:
             else:
                 tokens, counts = greedy_decode(log_probs, logit_lengths,
                                                config.grapheme_set_size - 1)
-            return tokens[0], counts[0]
+            return tokens[0], counts[0], confidence[0]
 
         self._transcribe = jax.jit(transcribe_fn)
 
@@ -97,15 +105,23 @@ class Transcriber:
 
     def transcribe_audio(self, audio: np.ndarray) -> str:
         """Transcribe a mono 16 kHz float32 waveform."""
+        return self.transcribe_audio_with_confidence(audio)[0]
+
+    def transcribe_audio_with_confidence(self, audio: np.ndarray) -> Tuple[str, float]:
+        """Returns ``(text, confidence)``: confidence is the mean per-frame max
+        posterior in (0, 1] — near 1 when the acoustic model is certain, near the
+        uniform 1/classes floor when it is guessing. Computed inside the same device
+        program as the transcription (no extra dispatch)."""
         jnp = self._jnp
         length = len(audio)
         bucket = self._bucket(length)
         padded = np.zeros(bucket, dtype=np.float32)
         padded[:length] = audio
-        tokens, count = self._transcribe(self.params, jnp.asarray(padded),
-                                         jnp.asarray(length, jnp.int32))
+        tokens, count, confidence = self._transcribe(
+            self.params, jnp.asarray(padded), jnp.asarray(length, jnp.int32))
         tokens = np.asarray(tokens)[: int(count)]
-        return self.codec.decode_graphemes(tokens.tolist(), merge_repeated=False)
+        return (self.codec.decode_graphemes(tokens.tolist(), merge_repeated=False),
+                float(confidence))
 
     def transcribe_file(self, path: Path, sample_rate: int = 16000) -> str:
         return self.transcribe_audio(audio_io.load_audio(path, sample_rate))

@@ -112,6 +112,11 @@ class ExportedTranscriber:
 
     def transcribe_audio(self, audio: np.ndarray) -> str:
         """Transcribe a mono 16 kHz float32 waveform."""
+        return self.transcribe_audio_with_confidence(audio)[0]
+
+    def transcribe_audio_with_confidence(self, audio: np.ndarray):
+        """``(text, confidence)`` — same contract as
+        `serving.Transcriber.transcribe_audio_with_confidence`."""
         import jax.numpy as jnp
 
         length = len(audio)
@@ -125,10 +130,11 @@ class ExportedTranscriber:
                 .format(length, self.sample_buckets[-1]))
         padded = np.zeros(bucket, dtype=np.float32)
         padded[:length] = audio
-        tokens, count = self._programs[bucket].call(
+        tokens, count, confidence = self._programs[bucket].call(
             self.params, jnp.asarray(padded), jnp.asarray(length, jnp.int32))
         tokens = np.asarray(tokens)[: int(count)]
-        return self.codec.decode_graphemes(tokens.tolist(), merge_repeated=False)
+        return (self.codec.decode_graphemes(tokens.tolist(), merge_repeated=False),
+                float(confidence))
 
     def transcribe_file(self, path: Path, sample_rate: int = 16000) -> str:
         from .features import audio_io

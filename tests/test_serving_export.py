@@ -44,8 +44,14 @@ class TestExportRoundtrip:
         rng = np.random.RandomState(0)
         for length in (9000, 16384, 20000):  # inside both buckets + exact boundary
             audio = (rng.randn(length) * 0.1).astype(np.float32)
-            assert loaded.transcribe_audio(audio) == \
-                transcriber.transcribe_audio(audio)
+            text, confidence = loaded.transcribe_audio_with_confidence(audio)
+            live_text, live_confidence = \
+                transcriber.transcribe_audio_with_confidence(audio)
+            assert text == live_text
+            assert confidence == pytest.approx(live_confidence, abs=1e-5)
+            # Mean per-frame max posterior: bounded by the uniform floor and 1.
+            assert 1.0 / (len(ALPHABET) + 1) <= confidence <= 1.0
+            assert loaded.transcribe_audio(audio) == live_text
 
     def test_oversize_audio_raises(self, bundle):
         loaded = ExportedTranscriber(bundle)
