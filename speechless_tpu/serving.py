@@ -55,11 +55,11 @@ class Transcriber:
             word_lm = None
         self.word_lm = word_lm
 
-        def transcribe_fn(params, wav, length):
+        def transcribe_batch_fn(params, wavs, lengths):
             from .features.spectrogram import features_batch
             from .ops.device_beam import beam_search_decode_device
 
-            features, frame_counts = features_batch(wav[None], length[None])
+            features, frame_counts = features_batch(wavs, lengths)
             logits = w2l.apply(config, params, features)
             logit_lengths = w2l.prediction_lengths(config, frame_counts)
             log_probs = jax.nn.log_softmax(logits, axis=-1)
@@ -83,9 +83,15 @@ class Transcriber:
             else:
                 tokens, counts = greedy_decode(log_probs, logit_lengths,
                                                config.grapheme_set_size - 1)
+            return tokens, counts, confidence
+
+        def transcribe_fn(params, wav, length):
+            tokens, counts, confidence = transcribe_batch_fn(
+                params, wav[None], length[None])
             return tokens[0], counts[0], confidence[0]
 
         self._transcribe = jax.jit(transcribe_fn)
+        self._transcribe_batch = jax.jit(transcribe_batch_fn)
 
     @staticmethod
     def from_checkpoint(net_directory: Path, epoch: int, allowed_characters: List[str],
@@ -125,6 +131,43 @@ class Transcriber:
 
     def transcribe_file(self, path: Path, sample_rate: int = 16000) -> str:
         return self.transcribe_audio(audio_io.load_audio(path, sample_rate))
+
+    def transcribe_batch(self, audios: Sequence[np.ndarray],
+                         batch_size: int = 16) -> List[Tuple[str, float]]:
+        """Offline throughput path: transcribe many waveforms with batched device
+        programs instead of one dispatch per utterance.
+
+        Utterances are grouped by sample bucket and decoded ``batch_size`` at a time
+        (short final groups zero-pad up to ``batch_size``, so exactly one program
+        compiles per touched bucket). Returns ``(text, confidence)`` per input, in
+        input order. On the tunneled benchmark chip a dispatch costs ~24 ms of RTT
+        alone — batching amortizes it ``batch_size``-fold.
+        """
+        jnp = self._jnp
+        results: List[Optional[Tuple[str, float]]] = [None] * len(audios)
+        by_bucket: dict = {}
+        for index, audio in enumerate(audios):
+            by_bucket.setdefault(self._bucket(len(audio)), []).append(index)
+        for bucket, indices in sorted(by_bucket.items()):
+            for group_start in range(0, len(indices), batch_size):
+                group = indices[group_start:group_start + batch_size]
+                wavs = np.zeros((batch_size, bucket), dtype=np.float32)
+                lengths = np.zeros(batch_size, dtype=np.int32)
+                for row, index in enumerate(group):
+                    audio = audios[index]
+                    wavs[row, :len(audio)] = audio
+                    lengths[row] = len(audio)
+                tokens, counts, confidences = self._transcribe_batch(
+                    self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+                tokens = np.asarray(tokens)
+                counts = np.asarray(counts)
+                confidences = np.asarray(confidences)
+                for row, index in enumerate(group):
+                    text = self.codec.decode_graphemes(
+                        tokens[row, : int(counts[row])].tolist(),
+                        merge_repeated=False)
+                    results[index] = (text, float(confidences[row]))
+        return results
 
     def warm_up(self, durations_s: Optional[Sequence[float]] = None) -> None:
         """Compile the per-bucket programs ahead of serving.
