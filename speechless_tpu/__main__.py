@@ -82,6 +82,8 @@ def main(argv=None) -> None:
     add_config_arg(p_validate)
     p_validate.add_argument("--run", required=True)
     p_validate.add_argument("--csv", required=True)
+    p_validate.add_argument("--kenlm", action="store_true",
+                            help="sweep with the LM-fused beam instead of greedy")
 
     p_summarize = sub.add_parser("summarize", help="summarize + save the corpus CSV")
     add_config_arg(p_summarize)
@@ -147,7 +149,8 @@ def main(argv=None) -> None:
         configuration.test_model_grouped_by_loaded_corpus_name(wav2letter)
     elif args.command == "validate":
         from .experiments import validate_to_csv
-        validate_to_csv(_configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch), args.run, Path(args.csv))
+        validate_to_csv(_configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch), args.run, Path(args.csv),
+                        use_ken_lm=args.kenlm)
     elif args.command == "summarize":
         _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).summarize_and_save_corpus()
     elif args.command == "fill-cache":
