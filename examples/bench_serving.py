@@ -30,6 +30,10 @@ def main() -> None:
     parser.add_argument("--run", default="quality-english-devres")
     parser.add_argument("--epoch", type=int, default=40)
     parser.add_argument("--duration-s", type=float, default=4.0)
+    parser.add_argument("--offline-utterances", type=int, default=64,
+                        help="also measure offline throughput: transcribe_batch over "
+                             "this many utterances (0 disables)")
+    parser.add_argument("--offline-batch-size", type=int, default=16)
     args = parser.parse_args()
 
     print("platform:", jax.devices()[0].platform, flush=True)
@@ -50,6 +54,31 @@ def main() -> None:
         wavs = sorted((args.data_dir / "corpus" / "English" / "synthetic").rglob("*.wav"))
         if wavs:
             print("  sample: {!r}".format(transcriber.transcribe_file(wavs[0])),
+                  flush=True)
+
+        if args.offline_utterances:
+            # Offline throughput: batched dispatches vs one dispatch per utterance.
+            import time
+
+            import numpy as np
+            rng = np.random.RandomState(0)
+            n = int(args.duration_s * 16000)
+            audios = [(0.1 * rng.randn(n)).astype(np.float32)
+                      for _ in range(args.offline_utterances)]
+            transcriber.transcribe_batch(audios[:args.offline_batch_size],
+                                         batch_size=args.offline_batch_size)  # compile
+            start = time.time()
+            results = transcriber.transcribe_batch(
+                audios, batch_size=args.offline_batch_size)
+            wall = time.time() - start
+            start = time.time()
+            for audio in audios:
+                transcriber.transcribe_audio(audio)
+            single_wall = time.time() - start
+            print("  offline: {} utts batched(bs={}) {:6.2f}s = {:6.1f} utt/s "
+                  "vs single-dispatch {:6.2f}s = {:6.1f} utt/s ({:.1f}x)".format(
+                      len(results), args.offline_batch_size, wall, len(results) / wall,
+                      single_wall, len(results) / single_wall, single_wall / wall),
                   flush=True)
 
 
