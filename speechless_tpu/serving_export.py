@@ -32,7 +32,8 @@ _MANIFEST = "manifest.json"
 
 def export_transcriber(transcriber, directory: Path,
                        platforms: Optional[Sequence[str]] = None,
-                       sample_buckets: Optional[Sequence[int]] = None) -> Path:
+                       sample_buckets: Optional[Sequence[int]] = None,
+                       batch_sizes: Sequence[int] = (1,)) -> Path:
     """Write an AOT serving bundle for ``transcriber`` (a `serving.Transcriber`).
 
     ``platforms``: lowering targets (e.g. ``("tpu",)`` to export for TPU serving from a
@@ -40,6 +41,10 @@ def export_transcriber(transcriber, directory: Path,
     platform the bundle was not exported for raises). Default is the current backend's
     platform. ``sample_buckets`` defaults to the transcriber's own buckets — pass a
     subset to bound bundle size.
+
+    ``batch_sizes``: additionally export batched programs (one per (bucket, B) pair,
+    B > 1) so `ExportedTranscriber.transcribe_batch` can serve offline workloads with
+    batched dispatches; (1,) exports only the single-utterance programs.
 
     Caveat: the LM-fused beam picks Pallas-vs-interpreted at trace time from the
     *current* backend (`ops/decode_pallas*.py` ``interpret=``), so export LM-fused
@@ -61,16 +66,29 @@ def export_transcriber(transcriber, directory: Path,
     params_shapes = jax.tree.map(
         lambda leaf: jax.ShapeDtypeStruct(np.shape(leaf), np.asarray(leaf).dtype),
         transcriber.params)
+    batch_sizes = tuple(sorted(set(batch_sizes)))
+    if any(b < 1 for b in batch_sizes) or 1 not in batch_sizes:
+        raise ValueError("batch_sizes must be positive and include 1 (the "
+                         "single-utterance programs); got {}".format(batch_sizes))
     kwargs = {} if platforms is None else {"platforms": list(platforms)}
     for bucket in buckets:
-        exported = jax_export.export(transcriber._transcribe, **kwargs)(
-            params_shapes,
-            jax.ShapeDtypeStruct((bucket,), np.float32),
-            jax.ShapeDtypeStruct((), np.int32))
-        blob = exported.serialize()
-        (directory / "program-{}.shlo".format(bucket)).write_bytes(blob)
-        log("exported bucket {} for {} ({} KiB)".format(
-            bucket, ",".join(exported.platforms), len(blob) // 1024))
+        for batch in batch_sizes:
+            if batch == 1:
+                exported = jax_export.export(transcriber._transcribe, **kwargs)(
+                    params_shapes,
+                    jax.ShapeDtypeStruct((bucket,), np.float32),
+                    jax.ShapeDtypeStruct((), np.int32))
+                name = "program-{}.shlo".format(bucket)
+            else:
+                exported = jax_export.export(transcriber._transcribe_batch, **kwargs)(
+                    params_shapes,
+                    jax.ShapeDtypeStruct((batch, bucket), np.float32),
+                    jax.ShapeDtypeStruct((batch,), np.int32))
+                name = "program-{}-b{}.shlo".format(bucket, batch)
+            blob = exported.serialize()
+            (directory / name).write_bytes(blob)
+            log("exported bucket {} batch {} for {} ({} KiB)".format(
+                bucket, batch, ",".join(exported.platforms), len(blob) // 1024))
 
     from .train.checkpoint import save_checkpoint
     save_checkpoint(directory, epoch=0, params=transcriber.params)
@@ -78,6 +96,7 @@ def export_transcriber(transcriber, directory: Path,
         "format_version": FORMAT_VERSION,
         "allowed_characters": list(transcriber.codec.allowed_characters),
         "sample_buckets": list(buckets),
+        "batch_sizes": list(batch_sizes),
         "platforms": (list(platforms) if platforms is not None
                       else [jax.default_backend()]),
         "lm_fused": transcriber.word_lm is not None,
@@ -105,10 +124,16 @@ class ExportedTranscriber:
         self.codec = CtcGraphemeCodec(list(manifest["allowed_characters"]))
         self.sample_buckets = tuple(manifest["sample_buckets"])
         self.params = load_params(directory, epoch=0)
+        self.batch_sizes = tuple(manifest.get("batch_sizes", [1]))
         self._programs = {
             bucket: jax_export.deserialize(
                 (directory / "program-{}.shlo".format(bucket)).read_bytes())
             for bucket in self.sample_buckets}
+        self._batch_programs = {
+            (bucket, batch): jax_export.deserialize(
+                (directory / "program-{}-b{}.shlo".format(bucket, batch)).read_bytes())
+            for bucket in self.sample_buckets
+            for batch in self.batch_sizes if batch > 1}
 
     def transcribe_audio(self, audio: np.ndarray) -> str:
         """Transcribe a mono 16 kHz float32 waveform."""
@@ -139,3 +164,44 @@ class ExportedTranscriber:
     def transcribe_file(self, path: Path, sample_rate: int = 16000) -> str:
         from .features import audio_io
         return self.transcribe_audio(audio_io.load_audio(path, sample_rate))
+
+    def transcribe_batch(self, audios: Sequence[np.ndarray]):
+        """Offline throughput from a bundle: same grouping contract as
+        `serving.Transcriber.transcribe_batch`, using the bundle's exported batched
+        programs (largest exported batch size per dispatch). Requires the bundle to
+        have been exported with ``batch_sizes`` beyond 1."""
+        import jax.numpy as jnp
+
+        batched = [b for b in self.batch_sizes if b > 1]
+        if not batched:
+            raise ValueError("bundle has no batched programs; re-export with "
+                             "batch_sizes=(1, N)")
+        batch_size = max(batched)
+        results: List[Optional[tuple]] = [None] * len(audios)
+        by_bucket: dict = {}
+        for index, audio in enumerate(audios):
+            length = len(audio)
+            bucket = next((b for b in self.sample_buckets if length <= b), None)
+            if bucket is None:
+                raise ValueError(
+                    "audio of {} samples exceeds the largest exported bucket ({})"
+                    .format(length, self.sample_buckets[-1]))
+            by_bucket.setdefault(bucket, []).append(index)
+        for bucket, indices in sorted(by_bucket.items()):
+            program = self._batch_programs[(bucket, batch_size)]
+            for group_start in range(0, len(indices), batch_size):
+                group = indices[group_start:group_start + batch_size]
+                wavs = np.zeros((batch_size, bucket), dtype=np.float32)
+                lengths = np.zeros(batch_size, dtype=np.int32)
+                for row, index in enumerate(group):
+                    wavs[row, :len(audios[index])] = audios[index]
+                    lengths[row] = len(audios[index])
+                tokens, counts, confidences = program.call(
+                    self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+                tokens, counts = np.asarray(tokens), np.asarray(counts)
+                confidences = np.asarray(confidences)
+                for row, index in enumerate(group):
+                    text = self.codec.decode_graphemes(
+                        tokens[row, : int(counts[row])].tolist(), merge_repeated=False)
+                    results[index] = (text, float(confidences[row]))
+        return results

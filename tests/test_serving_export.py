@@ -78,6 +78,28 @@ class TestExportRoundtrip:
         with pytest.raises(ValueError, match="exported for platforms"):
             ExportedTranscriber(tpu_only).transcribe_audio(audio)
 
+    def test_batched_programs_roundtrip(self, transcriber, tmp_path):
+        out = export_transcriber(transcriber, tmp_path / "batched",
+                                 sample_buckets=(16384,), batch_sizes=(1, 4))
+        loaded = ExportedTranscriber(out)
+        rng = np.random.RandomState(2)
+        audios = [(rng.randn(n) * 0.1).astype(np.float32)
+                  for n in (9000, 12000, 16384, 5000, 7000)]  # 5 utts -> 2 dispatches
+        bundle_results = loaded.transcribe_batch(audios)
+        live_results = transcriber.transcribe_batch(audios, batch_size=4)
+        for (text, conf), (live_text, live_conf) in zip(bundle_results, live_results):
+            assert text == live_text
+            assert conf == pytest.approx(live_conf, abs=1e-5)
+
+    def test_transcribe_batch_requires_batched_export(self, bundle):
+        with pytest.raises(ValueError, match="no batched programs"):
+            ExportedTranscriber(bundle).transcribe_batch(
+                [np.zeros(100, dtype=np.float32)])
+
+    def test_batch_sizes_must_include_one(self, transcriber, tmp_path):
+        with pytest.raises(ValueError, match="include 1"):
+            export_transcriber(transcriber, tmp_path / "nope", batch_sizes=(4,))
+
     def test_newer_format_version_rejected(self, bundle, tmp_path):
         import shutil
         copy = tmp_path / "newer"
