@@ -103,6 +103,9 @@ def main(argv=None) -> None:
     p_export.add_argument("--platforms", nargs="+", default=None,
                           help="lowering targets, e.g. tpu cpu (default: current "
                                "backend)")
+    p_export.add_argument("--batch-sizes", nargs="+", type=int, default=[1],
+                          help="also export batched programs for offline serving, "
+                               "e.g. 1 16")
 
     p_record = sub.add_parser("record", help="record from the microphone and transcribe")
     add_config_arg(p_record)
@@ -165,7 +168,8 @@ def main(argv=None) -> None:
             mel_frequency_count=configuration.mel_frequency_count,
             kenlm_directory=(configuration.directories.kenlm_base_directory /
                              configuration.name.lower()) if args.kenlm else None)
-        export_transcriber(transcriber, Path(args.out), platforms=args.platforms)
+        export_transcriber(transcriber, Path(args.out), platforms=args.platforms,
+                           batch_sizes=tuple(args.batch_sizes))
     elif args.command == "record":
         from .io import record_plot_and_save
         configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)

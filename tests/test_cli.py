@@ -120,12 +120,16 @@ class TestCli:
         run = next((data_dir / "nets").iterdir()).name
         out = data_dir / "bundle"
         main(["export", "--config", "minimal_english", "--data-dir", str(data_dir),
-              "--run", run, "--epoch", "1", "--out", str(out)])
+              "--run", run, "--epoch", "1", "--out", str(out),
+              "--batch-sizes", "1", "2"])
         assert (out / "manifest.json").exists()
         assert (out / "weights-epoch0.npz").exists()
+        assert list(out.glob("program-*-b2.shlo"))
         from speechless_tpu.serving_export import ExportedTranscriber
+        loaded = ExportedTranscriber(out)
         audio = (np.random.RandomState(0).randn(8000) * 0.1).astype(np.float32)
-        assert isinstance(ExportedTranscriber(out).transcribe_audio(audio), str)
+        assert isinstance(loaded.transcribe_audio(audio), str)
+        assert len(loaded.transcribe_batch([audio, audio, audio])) == 3
 
     def test_unknown_config_exits(self, data_dir):
         with pytest.raises(SystemExit):
