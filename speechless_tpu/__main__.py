@@ -106,6 +106,9 @@ def main(argv=None) -> None:
     p_export.add_argument("--batch-sizes", nargs="+", type=int, default=[1],
                           help="also export batched programs for offline serving, "
                                "e.g. 1 16")
+    p_export.add_argument("--quantize", action="store_true",
+                          help="int8 per-channel weight quantization: 4x smaller "
+                               "bundle, 4x less HBM weight traffic per request")
 
     p_record = sub.add_parser("record", help="record from the microphone and transcribe")
     add_config_arg(p_record)
@@ -167,7 +170,8 @@ def main(argv=None) -> None:
             configuration.allowed_characters,
             mel_frequency_count=configuration.mel_frequency_count,
             kenlm_directory=(configuration.directories.kenlm_base_directory /
-                             configuration.name.lower()) if args.kenlm else None)
+                             configuration.name.lower()) if args.kenlm else None,
+            quantize_weights=args.quantize)
         export_transcriber(transcriber, Path(args.out), platforms=args.platforms,
                            batch_sizes=tuple(args.batch_sizes))
     elif args.command == "record":

@@ -128,7 +128,13 @@ def apply(config: Wav2LetterConfig, params: Params, inputs: jnp.ndarray, *,
         # Conv runs natively in the compute dtype: on TPU the MXU accumulates bf16 inputs
         # in f32 internally; keeping in/out dtypes equal also keeps the transposed
         # (backward) convs dtype-consistent.
-        w = layer_params["w"].astype(config.compute_dtype)
+        if "w" in layer_params:
+            w = layer_params["w"].astype(config.compute_dtype)
+        else:
+            # int8 weight-only quantization (models/quantize.py): dequantize in-program
+            # so XLA fuses the multiply into the conv's operand read (inference only).
+            w = (layer_params["w_q"].astype(jnp.float32) * layer_params["w_scale"]
+                 ).astype(config.compute_dtype)
         x = jax.lax.conv_general_dilated(
             x, w, window_strides=(spec.stride,), padding="SAME",
             dimension_numbers=("NWC", "WIO", "NWC"))

@@ -30,14 +30,23 @@ class Transcriber:
                  lm_weight: float = 0.8,
                  word_count_weight: float = 0.0,
                  valid_word_count_weight: float = 2.3,
-                 prune_classes: Optional[int] = 8):
+                 prune_classes: Optional[int] = 8,
+                 quantize_weights: bool = False):
         """``kenlm_directory``: serve LM-fused transcriptions — the word n-gram rides in
         HBM (`lm/device_lm.py`) and the beam runs inside the same device program as the
-        features and the acoustic model, so fusion costs no extra host round-trip."""
+        features and the acoustic model, so fusion costs no extra host round-trip.
+
+        ``quantize_weights``: serve from int8 per-channel weights (`models/quantize.py`)
+        — 4x less HBM weight traffic per request and 4x smaller exported bundles;
+        dequantization fuses into the conv reads inside the program."""
         import jax
         import jax.numpy as jnp
 
         self.config = config
+        if quantize_weights:
+            from .models.quantize import quantize_params_int8
+            params = quantize_params_int8(params)
+        self.quantized = quantize_weights
         self.params = params
         self.codec = CtcGraphemeCodec(allowed_characters)
         self.sample_buckets = tuple(sorted(sample_buckets))
@@ -97,6 +106,7 @@ class Transcriber:
     def from_checkpoint(net_directory: Path, epoch: int, allowed_characters: List[str],
                         mel_frequency_count: int = 128,
                         kenlm_directory: Optional[Path] = None,
+                        quantize_weights: bool = False,
                         **config_kwargs) -> "Transcriber":
         from .train.checkpoint import load_params
 
@@ -104,7 +114,8 @@ class Transcriber:
             input_size_per_time_step=mel_frequency_count,
             grapheme_set_size=len(allowed_characters) + 1, **config_kwargs)
         return Transcriber(config, load_params(net_directory, epoch), allowed_characters,
-                           kenlm_directory=kenlm_directory)
+                           kenlm_directory=kenlm_directory,
+                           quantize_weights=quantize_weights)
 
     def _bucket(self, num_samples: int) -> int:
         return bucket_length(num_samples, self.sample_buckets, fallback_multiple=65536)

@@ -100,6 +100,7 @@ def export_transcriber(transcriber, directory: Path,
         "platforms": (list(platforms) if platforms is not None
                       else [jax.default_backend()]),
         "lm_fused": transcriber.word_lm is not None,
+        "quantized": bool(getattr(transcriber, "quantized", False)),
     }, indent=2))
     return directory
 

@@ -1,0 +1,78 @@
+"""Weight-only int8 quantization (`models/quantize.py`): round-trip bounds, apply()
+acceptance of the quantized layout, serving + bundle integration, size reduction."""
+import numpy as np
+import pytest
+
+from speechless_tpu.models import wav2letter as w2l
+from speechless_tpu.models.quantize import (dequantize_params, quantization_error,
+                                            quantize_params_int8)
+
+ALPHABET = list(" 'abcdefghijklmnopqrstuvwxyz")
+
+
+@pytest.fixture(scope="module")
+def config_and_params():
+    import jax
+    config = w2l.Wav2LetterConfig(input_size_per_time_step=128,
+                                  grapheme_set_size=len(ALPHABET) + 1)
+    return config, w2l.init_params(config, jax.random.PRNGKey(0))
+
+
+def test_round_trip_error_bounded_by_half_step(config_and_params):
+    _, params = config_and_params
+    qparams = quantize_params_int8(params)
+    round_trip = dequantize_params(qparams)
+    for layer, qlayer, back in zip(params, qparams, round_trip):
+        assert qlayer["w_q"].dtype == np.int8
+        # Symmetric rounding: per-channel error <= scale/2 (+ f32 division noise).
+        err = np.abs(np.asarray(layer["w"], np.float32) - back["w"])
+        bound = qlayer["w_scale"][None, None, :] / 2
+        assert np.all(err <= bound * (1 + 1e-4))
+        np.testing.assert_array_equal(np.asarray(layer["b"]), back["b"])
+    assert quantization_error(params) < 0.01  # Glorot weights are small
+
+
+def test_apply_accepts_quantized_params(config_and_params):
+    config, params = config_and_params
+    rng = np.random.RandomState(0)
+    inputs = rng.randn(2, 64, 128).astype(np.float32)
+    full = np.asarray(w2l.apply(config, params, inputs))
+    quantized = np.asarray(w2l.apply(config, quantize_params_int8(params), inputs))
+    assert quantized.shape == full.shape
+    # Logit perturbation stays small relative to the logit scale.
+    scale = np.maximum(np.abs(full).max(), 1.0)
+    assert np.max(np.abs(full - quantized)) / scale < 0.05
+
+
+def test_non_weight_layers_pass_through():
+    layers = [{"w": np.ones((3, 4, 5), np.float32), "b": np.zeros(5, np.float32)},
+              {"asg_transitions": np.ones((4, 4), np.float32)}]
+    qparams = quantize_params_int8(layers)
+    assert set(qparams[1]) == {"asg_transitions"}
+
+
+def test_serving_and_bundle_quantized(config_and_params, tmp_path):
+    from speechless_tpu.serving import Transcriber
+    from speechless_tpu.serving_export import ExportedTranscriber, export_transcriber
+
+    config, params = config_and_params
+    full = Transcriber(config, params, ALPHABET, sample_buckets=(16384,))
+    quantized = Transcriber(config, params, ALPHABET, sample_buckets=(16384,),
+                            quantize_weights=True)
+    audio = (np.random.RandomState(0).randn(9000) * 0.1).astype(np.float32)
+    text_full, conf_full = full.transcribe_audio_with_confidence(audio)
+    text_q, conf_q = quantized.transcribe_audio_with_confidence(audio)
+    assert isinstance(text_q, str)
+    assert conf_q == pytest.approx(conf_full, abs=0.02)
+
+    bundle_full = export_transcriber(full, tmp_path / "full")
+    bundle_q = export_transcriber(quantized, tmp_path / "q")
+    import json
+    assert json.loads((bundle_q / "manifest.json").read_text())["quantized"] is True
+    size_full = (bundle_full / "weights-epoch0.npz").stat().st_size
+    size_q = (bundle_q / "weights-epoch0.npz").stat().st_size
+    assert size_q < size_full / 3.5  # int8 weights ~4x smaller than f32
+    loaded = ExportedTranscriber(bundle_q)
+    replay_text, replay_conf = loaded.transcribe_audio_with_confidence(audio)
+    assert replay_text == text_q
+    assert replay_conf == pytest.approx(conf_q, abs=1e-5)
