@@ -40,11 +40,13 @@ def main() -> None:
     net_directory = args.data_dir / "nets" / args.run
     kenlm_directory = args.data_dir / "kenlm" / "english"
 
-    for label, lm_dir in (("greedy", None), ("word-LM beam (device, W=25, prune 8)",
-                                             kenlm_directory)):
+    for label, lm_dir, quantize in (
+            ("greedy", None, False),
+            ("greedy int8 weights", None, True),
+            ("word-LM beam (device, W=25, prune 8)", kenlm_directory, False)):
         transcriber = Transcriber.from_checkpoint(
             net_directory, args.epoch, english_frequent_characters,
-            kenlm_directory=lm_dir)
+            kenlm_directory=lm_dir, quantize_weights=quantize)
         transcriber.warm_up(durations_s=[args.duration_s])
         p50, p95 = transcriber.measure_latency(duration_s=args.duration_s)
         print("{:42s} p50 {:6.1f} ms   p95 {:6.1f} ms".format(
