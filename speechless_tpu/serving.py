@@ -99,8 +99,20 @@ class Transcriber:
                 params, wav[None], length[None])
             return tokens[0], counts[0], confidence[0]
 
+        def frame_tokens_fn(params, wav, length):
+            # Per-frame argmax tokens + frame count (no collapse): the streaming
+            # decoder (serving_streaming.py) merges repeats across window boundaries
+            # itself, so it needs raw frame-level decisions, not collapsed tokens.
+            from .features.spectrogram import features_batch
+
+            features, frame_counts = features_batch(wav[None], length[None])
+            logits = w2l.apply(config, params, features)
+            frames = jnp.argmax(logits, axis=-1)
+            return frames[0], w2l.prediction_lengths(config, frame_counts)[0]
+
         self._transcribe = jax.jit(transcribe_fn)
         self._transcribe_batch = jax.jit(transcribe_batch_fn)
+        self._frame_tokens = jax.jit(frame_tokens_fn)
 
     @staticmethod
     def from_checkpoint(net_directory: Path, epoch: int, allowed_characters: List[str],
@@ -142,6 +154,24 @@ class Transcriber:
 
     def transcribe_file(self, path: Path, sample_rate: int = 16000) -> str:
         return self.transcribe_audio(audio_io.load_audio(path, sample_rate))
+
+    def frame_tokens(self, audio: np.ndarray) -> np.ndarray:
+        """Per-frame argmax grapheme indices (uncollapsed) for ``audio`` — the raw
+        frame decisions the streaming decoder merges across window boundaries."""
+        jnp = self._jnp
+        length = len(audio)
+        bucket = self._bucket(length)
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[:length] = audio
+        frames, count = self._frame_tokens(self.params, jnp.asarray(padded),
+                                           jnp.asarray(length, jnp.int32))
+        return np.asarray(frames)[: int(count)]
+
+    @property
+    def samples_per_frame(self) -> int:
+        """Input samples per output frame: the 128-sample feature hop times the conv
+        stack's stride ratio."""
+        return 128 * self.config.input_to_prediction_length_ratio
 
     def transcribe_batch(self, audios: Sequence[np.ndarray],
                          batch_size: int = 16) -> List[Tuple[str, float]]:

@@ -1,0 +1,100 @@
+"""Streaming transcription (`serving_streaming.py`): cross-window CTC merge, offline
+exactness for single-window streams, bounded buffering, reuse."""
+import numpy as np
+import pytest
+
+from speechless_tpu.models import wav2letter as w2l
+from speechless_tpu.serving import Transcriber
+from speechless_tpu.serving_streaming import StreamingTranscriber
+
+ALPHABET = list(" 'abcdefghijklmnopqrstuvwxyz")
+
+
+def _tiny_config():
+    layers = (
+        w2l.ConvSpec("striding_conv", 8, 48, 2, "relu", False),
+        w2l.ConvSpec("inner_conv_1", 8, 7, 1, "relu", False),
+        w2l.ConvSpec("big_conv_1", 16, 32, 1, "relu", False),
+        w2l.ConvSpec("big_conv_2", 16, 1, 1, "relu", False),
+        w2l.ConvSpec("output_conv", len(ALPHABET) + 1, 1, 1, "linear", False),
+    )
+    return w2l.Wav2LetterConfig(input_size_per_time_step=128,
+                                grapheme_set_size=len(ALPHABET) + 1, layers=layers)
+
+
+def _constant_token_params(config, token_index):
+    """Zero weights + output bias peaked on one grapheme: every frame decodes to it."""
+    import jax
+    params = w2l.init_params(config, jax.random.PRNGKey(0))
+    out = []
+    for i, layer in enumerate(params):
+        layer = {k: np.zeros_like(np.asarray(v)) for k, v in layer.items()}
+        if i == len(params) - 1:
+            layer["b"] = layer["b"].copy()
+            layer["b"][token_index] = 10.0
+        out.append(layer)
+    return out
+
+
+def test_cross_window_merge_emits_single_token():
+    # Every frame decodes to 'a' over a 30 s stream crossing many windows; CTC merge
+    # must carry across window boundaries and emit exactly ONE 'a' total (a per-window
+    # decoder without carry would emit one per window).
+    config = _tiny_config()
+    params = _constant_token_params(config, ALPHABET.index("a"))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    stream = StreamingTranscriber(transcriber, window_s=4.0, margin_s=1.0)
+    rng = np.random.RandomState(0)
+    increments = []
+    for _ in range(30):
+        increments.append(stream.feed((rng.randn(16000) * 0.1).astype(np.float32)))
+    increments.append(stream.finish())
+    assert "".join(increments) == stream.text == "a"
+    assert transcriber.transcribe_audio(
+        (rng.randn(32000) * 0.1).astype(np.float32)) == "a"  # offline agrees
+
+
+def test_single_window_stream_matches_offline_exactly():
+    import jax
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(1))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(2).randn(24000) * 0.3).astype(np.float32)  # 1.5 s
+    stream = StreamingTranscriber(transcriber, window_s=8.0, margin_s=2.0)
+    early = stream.feed(audio)
+    assert early == ""  # inside the right margin: nothing is final yet
+    final = stream.finish()
+    assert early + final == transcriber.transcribe_audio(audio)
+
+
+def test_buffer_stays_bounded():
+    config = _tiny_config()
+    params = _constant_token_params(config, ALPHABET.index("b"))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    stream = StreamingTranscriber(transcriber, window_s=4.0, margin_s=1.0)
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        stream.feed((rng.randn(16000) * 0.1).astype(np.float32))
+        assert len(stream._buffer) <= stream._window + 16000
+    stream.finish()
+
+
+def test_reset_reuses_stream():
+    config = _tiny_config()
+    params = _constant_token_params(config, ALPHABET.index("c"))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    stream = StreamingTranscriber(transcriber, window_s=4.0, margin_s=1.0)
+    audio = (np.random.RandomState(4).randn(32000) * 0.1).astype(np.float32)
+    stream.feed(audio)
+    first = stream.text + stream.finish()
+    stream.reset()
+    stream.feed(audio)
+    assert stream.text + stream.finish() == first == "c"
+
+
+def test_window_must_exceed_twice_margin():
+    config = _tiny_config()
+    params = _constant_token_params(config, 0)
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    with pytest.raises(ValueError, match="exceed 2\\*margin_s"):
+        StreamingTranscriber(transcriber, window_s=2.0, margin_s=1.0)
