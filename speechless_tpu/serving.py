@@ -173,6 +173,10 @@ class Transcriber:
         stack's stride ratio."""
         return 128 * self.config.input_to_prediction_length_ratio
 
+    @property
+    def blank_index(self) -> int:
+        return self.config.grapheme_set_size - 1
+
     def transcribe_batch(self, audios: Sequence[np.ndarray],
                          batch_size: int = 16) -> List[Tuple[str, float]]:
         """Offline throughput path: transcribe many waveforms with batched device

@@ -33,7 +33,8 @@ _MANIFEST = "manifest.json"
 def export_transcriber(transcriber, directory: Path,
                        platforms: Optional[Sequence[str]] = None,
                        sample_buckets: Optional[Sequence[int]] = None,
-                       batch_sizes: Sequence[int] = (1,)) -> Path:
+                       batch_sizes: Sequence[int] = (1,),
+                       streaming: bool = False) -> Path:
     """Write an AOT serving bundle for ``transcriber`` (a `serving.Transcriber`).
 
     ``platforms``: lowering targets (e.g. ``("tpu",)`` to export for TPU serving from a
@@ -45,6 +46,10 @@ def export_transcriber(transcriber, directory: Path,
     ``batch_sizes``: additionally export batched programs (one per (bucket, B) pair,
     B > 1) so `ExportedTranscriber.transcribe_batch` can serve offline workloads with
     batched dispatches; (1,) exports only the single-utterance programs.
+
+    ``streaming``: additionally export the per-frame argmax programs
+    (`Transcriber.frame_tokens`) so the bundle supports online decoding —
+    `serving_streaming.StreamingTranscriber(ExportedTranscriber(dir))`.
 
     Caveat: the LM-fused beam picks Pallas-vs-interpreted at trace time from the
     *current* backend (`ops/decode_pallas*.py` ``interpret=``), so export LM-fused
@@ -89,6 +94,13 @@ def export_transcriber(transcriber, directory: Path,
             (directory / name).write_bytes(blob)
             log("exported bucket {} batch {} for {} ({} KiB)".format(
                 bucket, batch, ",".join(exported.platforms), len(blob) // 1024))
+        if streaming:
+            exported = jax_export.export(transcriber._frame_tokens, **kwargs)(
+                params_shapes,
+                jax.ShapeDtypeStruct((bucket,), np.float32),
+                jax.ShapeDtypeStruct((), np.int32))
+            (directory / "frames-{}.shlo".format(bucket)).write_bytes(
+                exported.serialize())
 
     from .train.checkpoint import save_checkpoint
     save_checkpoint(directory, epoch=0, params=transcriber.params)
@@ -101,6 +113,9 @@ def export_transcriber(transcriber, directory: Path,
                       else [jax.default_backend()]),
         "lm_fused": transcriber.word_lm is not None,
         "quantized": bool(getattr(transcriber, "quantized", False)),
+        "streaming": bool(streaming),
+        "samples_per_frame": transcriber.samples_per_frame,
+        "blank_index": transcriber.blank_index,
     }, indent=2))
     return directory
 
@@ -135,6 +150,10 @@ class ExportedTranscriber:
                 (directory / "program-{}-b{}.shlo".format(bucket, batch)).read_bytes())
             for bucket in self.sample_buckets
             for batch in self.batch_sizes if batch > 1}
+        self._frame_programs = {
+            bucket: jax_export.deserialize(
+                (directory / "frames-{}.shlo".format(bucket)).read_bytes())
+            for bucket in self.sample_buckets} if manifest.get("streaming") else {}
 
     def transcribe_audio(self, audio: np.ndarray) -> str:
         """Transcribe a mono 16 kHz float32 waveform."""
@@ -165,6 +184,34 @@ class ExportedTranscriber:
     def transcribe_file(self, path: Path, sample_rate: int = 16000) -> str:
         from .features import audio_io
         return self.transcribe_audio(audio_io.load_audio(path, sample_rate))
+
+    @property
+    def samples_per_frame(self) -> int:
+        return self.manifest["samples_per_frame"]
+
+    @property
+    def blank_index(self) -> int:
+        return self.manifest["blank_index"]
+
+    def frame_tokens(self, audio: np.ndarray) -> np.ndarray:
+        """Per-frame argmax tokens from the bundle's streaming programs — lets
+        `serving_streaming.StreamingTranscriber` run on an exported bundle."""
+        import jax.numpy as jnp
+
+        if not self._frame_programs:
+            raise ValueError("bundle has no streaming programs; re-export with "
+                             "streaming=True")
+        length = len(audio)
+        bucket = next((b for b in self.sample_buckets if length <= b), None)
+        if bucket is None:
+            raise ValueError(
+                "audio of {} samples exceeds the largest exported bucket ({})"
+                .format(length, self.sample_buckets[-1]))
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[:length] = audio
+        frames, count = self._frame_programs[bucket].call(
+            self.params, jnp.asarray(padded), jnp.asarray(length, jnp.int32))
+        return np.asarray(frames)[: int(count)]
 
     def transcribe_batch(self, audios: Sequence[np.ndarray]):
         """Offline throughput from a bundle: same grouping contract as

@@ -2,7 +2,8 @@
 
 The reference's interactive path records a complete utterance, then predicts
 (`main.py:239-253` record -> predict); nothing streams. Here `StreamingTranscriber`
-wraps a `serving.Transcriber` and decodes incrementally:
+wraps a `serving.Transcriber` — or a `serving_export.ExportedTranscriber` whose bundle
+was written with ``streaming=True`` — and decodes incrementally:
 
 * audio accumulates in a ring buffer; each `feed()` runs the per-frame argmax program
   (`Transcriber.frame_tokens` — features + acoustic model, no collapse) over a bounded
@@ -63,9 +64,17 @@ class StreamingTranscriber:
         return the newly finalized text. The stream can be reused after `reset()`."""
         return self._drain(flush=True)
 
+    def transcribe_stream(self, audio: np.ndarray, chunk_samples: int = 8000) -> str:
+        """Convenience: reset, feed ``audio`` in fixed-size chunks, flush; returns the
+        complete streamed transcript."""
+        self.reset()
+        for start in range(0, len(audio), chunk_samples):
+            self.feed(audio[start:start + chunk_samples])
+        return self.text + self.finish()
+
     def _drain(self, flush: bool) -> str:
         emitted_before = len(self._parts)
-        blank = self._transcriber.config.grapheme_set_size - 1
+        blank = self._transcriber.blank_index
         codec = self._transcriber.codec
         while True:
             available = len(self._buffer)

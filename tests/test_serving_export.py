@@ -91,6 +91,24 @@ class TestExportRoundtrip:
             assert text == live_text
             assert conf == pytest.approx(live_conf, abs=1e-5)
 
+    def test_streaming_from_bundle(self, transcriber, tmp_path):
+        from speechless_tpu.serving_streaming import StreamingTranscriber
+        out = export_transcriber(transcriber, tmp_path / "streaming",
+                                 sample_buckets=(16384, 32768), streaming=True)
+        loaded = ExportedTranscriber(out)
+        assert loaded.samples_per_frame == transcriber.samples_per_frame
+        audio = (np.random.RandomState(4).randn(24000) * 0.3).astype(np.float32)
+        np.testing.assert_array_equal(loaded.frame_tokens(audio),
+                                      transcriber.frame_tokens(audio))
+        bundle_stream = StreamingTranscriber(loaded, window_s=2.0, margin_s=0.9)
+        live_stream = StreamingTranscriber(transcriber, window_s=2.0, margin_s=0.9)
+        assert bundle_stream.transcribe_stream(audio, 4000) == \
+            live_stream.transcribe_stream(audio, 4000)
+
+    def test_frame_tokens_requires_streaming_export(self, bundle):
+        with pytest.raises(ValueError, match="no streaming programs"):
+            ExportedTranscriber(bundle).frame_tokens(np.zeros(100, dtype=np.float32))
+
     def test_transcribe_batch_requires_batched_export(self, bundle):
         with pytest.raises(ValueError, match="no batched programs"):
             ExportedTranscriber(bundle).transcribe_batch(
