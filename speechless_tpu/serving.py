@@ -177,6 +177,41 @@ class Transcriber:
     def blank_index(self) -> int:
         return self.config.grapheme_set_size - 1
 
+    def transcribe_audio_with_timestamps(self, audio: np.ndarray
+                                         ) -> List[Tuple[str, float, float]]:
+        """Word-level timestamps: ``[(word, start_s, end_s), ...]`` from the greedy
+        frame decisions (CTC emission times — each word spans its first to last
+        non-blank character emission; the reference tracks word positions only for
+        corpus labels, `labeled_example.py` PositionalLabel, never for predictions)."""
+        frames = self.frame_tokens(audio)
+        seconds_per_frame = self.samples_per_frame / 16000.0
+        blank = self.blank_index
+        space = self.codec.allowed_characters.index(" ") \
+            if " " in self.codec.allowed_characters else -1
+        words: List[Tuple[str, float, float]] = []
+        chars: List[str] = []
+        start_frame = None
+        last_frame = 0
+        previous = -1
+        for f, token in enumerate(np.asarray(frames).tolist()):
+            if token != previous and token != blank:
+                if token == space:
+                    if chars:
+                        words.append(("".join(chars), start_frame * seconds_per_frame,
+                                      (last_frame + 1) * seconds_per_frame))
+                    chars, start_frame = [], None
+                else:
+                    chars.append(self.codec.decode_graphemes([token],
+                                                             merge_repeated=False))
+                    if start_frame is None:
+                        start_frame = f
+                    last_frame = f
+            previous = token
+        if chars:
+            words.append(("".join(chars), start_frame * seconds_per_frame,
+                          (last_frame + 1) * seconds_per_frame))
+        return words
+
     def transcribe_batch(self, audios: Sequence[np.ndarray],
                          batch_size: int = 16) -> List[Tuple[str, float]]:
         """Offline throughput path: transcribe many waveforms with batched device

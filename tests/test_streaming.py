@@ -92,6 +92,24 @@ def test_reset_reuses_stream():
     assert stream.text + stream.finish() == first == "c"
 
 
+def test_word_timestamps_match_transcription():
+    import jax
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(7))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(8).randn(48000) * 0.3).astype(np.float32)
+    words = transcriber.transcribe_audio_with_timestamps(audio)
+    text = transcriber.transcribe_audio(audio)
+    assert " ".join(w for w, _, _ in words) == " ".join(text.split())
+    duration = len(audio) / 16000.0
+    previous_end = 0.0
+    for word, start, end in words:
+        assert word and " " not in word
+        assert 0.0 <= start < end <= duration + 0.05
+        assert start >= previous_end - 1e-6  # words ordered, non-overlapping
+        previous_end = end
+
+
 def test_window_must_exceed_twice_margin():
     config = _tiny_config()
     params = _constant_token_params(config, 0)
