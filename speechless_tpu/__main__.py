@@ -110,6 +110,27 @@ def main(argv=None) -> None:
                           help="int8 per-channel weight quantization: 4x smaller "
                                "bundle, 4x less HBM weight traffic per request")
 
+    p_serve = sub.add_parser("serve",
+                             help="HTTP transcription service (dynamic micro-batching)")
+    add_config_arg(p_serve)
+    p_serve.add_argument("--run", default=None, help="run name under nets/ (live model)")
+    p_serve.add_argument("--epoch", type=int, default=None)
+    p_serve.add_argument("--bundle", default=None,
+                         help="serve from an AOT bundle directory (see `export`) "
+                              "instead of a checkpoint — no model code on the host")
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.add_argument("--kenlm", action="store_true",
+                         help="serve LM-fused beam transcriptions")
+    p_serve.add_argument("--quantize", action="store_true",
+                         help="serve from int8 per-channel weights")
+    p_serve.add_argument("--max-batch", type=int, default=16,
+                         help="dynamic batcher: max requests per device dispatch")
+    p_serve.add_argument("--max-wait-ms", type=float, default=10.0,
+                         help="dynamic batcher: batching window after the first request")
+    p_serve.add_argument("--no-warm-up", action="store_true",
+                         help="skip compiling all bucket programs before binding")
+
     p_record = sub.add_parser("record", help="record from the microphone and transcribe")
     add_config_arg(p_record)
     p_record.add_argument("--run", default=None, help="run name to load (default: best)")
@@ -174,6 +195,32 @@ def main(argv=None) -> None:
             quantize_weights=args.quantize)
         export_transcriber(transcriber, Path(args.out), platforms=args.platforms,
                            batch_sizes=tuple(args.batch_sizes))
+    elif args.command == "serve":
+        from .serving_http import TranscriptionServer
+        if (args.bundle is None) == (args.run is None):
+            raise SystemExit("serve needs exactly one of --bundle or --run/--epoch")
+        if args.bundle is not None:
+            from .serving_export import ExportedTranscriber
+            backend = ExportedTranscriber(Path(args.bundle))
+        else:
+            if args.epoch is None:
+                raise SystemExit("--run requires --epoch")
+            configuration = _configuration(args.config, args.data_dir,
+                                           args.batch_size, args.batches_per_epoch)
+            from .serving import Transcriber
+            backend = Transcriber.from_checkpoint(
+                configuration.directories.nets_base_directory / args.run, args.epoch,
+                configuration.allowed_characters,
+                mel_frequency_count=configuration.mel_frequency_count,
+                kenlm_directory=(configuration.directories.kenlm_base_directory /
+                                 configuration.name.lower()) if args.kenlm else None,
+                quantize_weights=args.quantize)
+            if not args.no_warm_up:
+                backend.warm_up()
+        server = TranscriptionServer(backend, host=args.host, port=args.port,
+                                     max_batch=args.max_batch,
+                                     max_wait_ms=args.max_wait_ms)
+        server.serve_forever()
     elif args.command == "record":
         from .io import record_plot_and_save
         configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)

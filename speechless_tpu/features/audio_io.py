@@ -22,6 +22,21 @@ def _decode_wav(path: Path) -> Tuple[np.ndarray, int]:
     import scipy.io.wavfile as wavfile
 
     sample_rate, data = wavfile.read(str(path))
+    return _normalize_pcm(data), int(sample_rate)
+
+
+def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode an in-memory wav payload (e.g. an HTTP request body) to
+    (mono float32, sample_rate) — same normalization as the file path."""
+    import io
+
+    import scipy.io.wavfile as wavfile
+
+    sample_rate, pcm = wavfile.read(io.BytesIO(data))
+    return _normalize_pcm(pcm), int(sample_rate)
+
+
+def _normalize_pcm(data: np.ndarray) -> np.ndarray:
     if data.dtype == np.int16:
         audio = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -32,7 +47,7 @@ def _decode_wav(path: Path) -> Tuple[np.ndarray, int]:
         audio = data.astype(np.float32)
     if audio.ndim > 1:
         audio = audio.mean(axis=1)
-    return audio, int(sample_rate)
+    return audio
 
 
 def _decode_flac(path: Path) -> Tuple[np.ndarray, int]:

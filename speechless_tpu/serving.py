@@ -19,6 +19,39 @@ from .ops.decode import greedy_decode
 from .text.graphemes import CtcGraphemeCodec
 
 
+def words_from_frame_tokens(frames: np.ndarray, codec: CtcGraphemeCodec,
+                            blank_index: int, seconds_per_frame: float
+                            ) -> List[Tuple[str, float, float]]:
+    """Word-level timestamps ``[(word, start_s, end_s), ...]`` from uncollapsed
+    per-frame argmax tokens (CTC emission times: each word spans its first to last
+    non-blank character emission). Shared by the live `Transcriber` and by bundle-based
+    serving (`serving_export.ExportedTranscriber` exposes the same `frame_tokens`)."""
+    space = codec.allowed_characters.index(" ") \
+        if " " in codec.allowed_characters else -1
+    words: List[Tuple[str, float, float]] = []
+    chars: List[str] = []
+    start_frame = None
+    last_frame = 0
+    previous = -1
+    for f, token in enumerate(np.asarray(frames).tolist()):
+        if token != previous and token != blank_index:
+            if token == space:
+                if chars:
+                    words.append(("".join(chars), start_frame * seconds_per_frame,
+                                  (last_frame + 1) * seconds_per_frame))
+                chars, start_frame = [], None
+            else:
+                chars.append(codec.decode_graphemes([token], merge_repeated=False))
+                if start_frame is None:
+                    start_frame = f
+                last_frame = f
+        previous = token
+    if chars:
+        words.append(("".join(chars), start_frame * seconds_per_frame,
+                      (last_frame + 1) * seconds_per_frame))
+    return words
+
+
 class Transcriber:
     """Serve transcriptions from a trained wav2letter checkpoint."""
 
@@ -183,34 +216,9 @@ class Transcriber:
         frame decisions (CTC emission times — each word spans its first to last
         non-blank character emission; the reference tracks word positions only for
         corpus labels, `labeled_example.py` PositionalLabel, never for predictions)."""
-        frames = self.frame_tokens(audio)
-        seconds_per_frame = self.samples_per_frame / 16000.0
-        blank = self.blank_index
-        space = self.codec.allowed_characters.index(" ") \
-            if " " in self.codec.allowed_characters else -1
-        words: List[Tuple[str, float, float]] = []
-        chars: List[str] = []
-        start_frame = None
-        last_frame = 0
-        previous = -1
-        for f, token in enumerate(np.asarray(frames).tolist()):
-            if token != previous and token != blank:
-                if token == space:
-                    if chars:
-                        words.append(("".join(chars), start_frame * seconds_per_frame,
-                                      (last_frame + 1) * seconds_per_frame))
-                    chars, start_frame = [], None
-                else:
-                    chars.append(self.codec.decode_graphemes([token],
-                                                             merge_repeated=False))
-                    if start_frame is None:
-                        start_frame = f
-                    last_frame = f
-            previous = token
-        if chars:
-            words.append(("".join(chars), start_frame * seconds_per_frame,
-                          (last_frame + 1) * seconds_per_frame))
-        return words
+        return words_from_frame_tokens(self.frame_tokens(audio), self.codec,
+                                       self.blank_index,
+                                       self.samples_per_frame / 16000.0)
 
     def transcribe_batch(self, audios: Sequence[np.ndarray],
                          batch_size: int = 16) -> List[Tuple[str, float]]:

@@ -1,0 +1,351 @@
+"""Network-facing inference: an HTTP transcription service with dynamic micro-batching.
+
+The reference's serving story ends at an interactive microphone loop
+(`/root/reference/main.py:77-89` record_plot_and_save + predict); a production fleet
+needs a network surface. This module puts a `serving.Transcriber` (or an AOT bundle via
+`serving_export.ExportedTranscriber`) behind a threaded stdlib HTTP server with a
+dynamic batcher: requests that arrive within a short window are decoded through ONE
+batched device program (`transcribe_batch`) instead of one dispatch each, so under
+concurrent load QPS scales with the batch program's throughput rather than the
+per-dispatch round-trip (~24 ms of RTT alone on a tunneled chip).
+
+Threading contract: all device dispatch happens on the single batcher thread — HTTP
+handler threads only parse the request, enqueue it, and wait on a per-request event.
+JAX programs therefore never race, and a slow compile blocks the queue, not the server.
+
+Endpoints::
+
+    GET  /healthz                       liveness + model metadata
+    GET  /v1/metrics                    request/batch counters, latency percentiles
+    POST /v1/transcribe                 body: audio/wav bytes, or JSON
+                                        {"pcm": [...], "sample_rate": 16000}
+         ?timestamps=1                  adds word-level emission timestamps
+
+Responses are JSON: ``{"text": ..., "confidence": ...}`` (+ ``"words"`` with
+``{"word", "start_s", "end_s"}`` when timestamps are requested).
+"""
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .utils.tools import log
+
+_MAX_BODY_BYTES = 64 * 1024 * 1024  # ~35 min of 16 kHz float32; guards the heap
+_LATENCY_WINDOW = 512  # rolling window for the p50/p95 metrics
+
+
+class RequestError(ValueError):
+    """A client error (HTTP 4xx) with a status code."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+class _Pending:
+    __slots__ = ("audio", "want_timestamps", "done", "result", "error", "enqueued_at")
+
+    def __init__(self, audio: np.ndarray, want_timestamps: bool):
+        self.audio = audio
+        self.want_timestamps = want_timestamps
+        self.done = threading.Event()
+        self.result: Optional[dict] = None
+        self.error: Optional[BaseException] = None
+        self.enqueued_at = time.time()
+
+
+class DynamicBatcher:
+    """Collect concurrent requests into micro-batches for one device dispatch each.
+
+    The first queued request opens a window of ``max_wait_ms``; everything that arrives
+    before it closes (up to ``max_batch``) is served by a single
+    ``backend.transcribe_batch`` call. A lone request short-circuits to the
+    single-utterance program (no padding to the batch width), so the unloaded-latency
+    path is identical to calling the transcriber directly.
+    """
+
+    def __init__(self, backend, max_batch: int = 16, max_wait_ms: float = 10.0):
+        import inspect
+
+        self.backend = backend
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        # The live Transcriber pads groups to an explicit batch_size — size its device
+        # program to the batcher width; bundles fix the width at export time.
+        try:
+            parameters = inspect.signature(backend.transcribe_batch).parameters
+            self._batch_kwargs = ({"batch_size": max_batch}
+                                  if "batch_size" in parameters else {})
+        except (TypeError, ValueError):
+            self._batch_kwargs = {}
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="transcribe-batcher")
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.batches = 0
+        self.errors = 0
+        self._latencies: List[float] = []
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._queue.put(None)  # wake the loop
+        self._thread.join(timeout=30)
+
+    def submit(self, audio: np.ndarray, want_timestamps: bool = False) -> dict:
+        """Enqueue one request and block until its batch is served."""
+        pending = _Pending(audio, want_timestamps)
+        self._queue.put(pending)
+        pending.done.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.result
+
+    def metrics(self) -> dict:
+        with self._lock:
+            latencies = sorted(self._latencies)
+            out = {
+                "requests": self.requests,
+                "batches": self.batches,
+                "errors": self.errors,
+                "mean_batch_size": (self.requests / self.batches
+                                    if self.batches else 0.0),
+                "queue_depth": self._queue.qsize(),
+            }
+            if latencies:
+                out["latency_p50_s"] = latencies[len(latencies) // 2]
+                out["latency_p95_s"] = latencies[min(len(latencies) - 1,
+                                                     int(len(latencies) * 0.95))]
+            return out
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            batch = [first]
+            deadline = time.time() + self.max_wait_ms / 1000.0
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    break
+                batch.append(item)
+            self._serve(batch)
+
+    def _serve(self, batch: List[_Pending]) -> None:
+        try:
+            if len(batch) == 1:
+                text, confidence = self.backend.transcribe_audio_with_confidence(
+                    batch[0].audio)
+                decoded = [(text, confidence)]
+            else:
+                decoded = self.backend.transcribe_batch(
+                    [pending.audio for pending in batch], **self._batch_kwargs)
+            for pending, (text, confidence) in zip(batch, decoded):
+                result = {"text": text, "confidence": confidence}
+                if pending.want_timestamps:
+                    try:
+                        result["words"] = self._timestamps(pending.audio)
+                    except BaseException as error:  # 501s must not poison the batch
+                        with self._lock:
+                            self.errors += 1
+                        pending.error = error
+                        continue
+                pending.result = result
+        except BaseException as error:  # surface compile/OOM errors to every waiter
+            with self._lock:
+                self.errors += len(batch)
+            for pending in batch:
+                if pending.error is None:
+                    pending.error = error
+        finally:
+            now = time.time()
+            with self._lock:
+                self.requests += len(batch)
+                self.batches += 1
+                self._latencies.extend(now - pending.enqueued_at
+                                       for pending in batch)
+                del self._latencies[:-_LATENCY_WINDOW]
+            for pending in batch:
+                pending.done.set()
+
+    def _timestamps(self, audio: np.ndarray) -> List[dict]:
+        from .serving import words_from_frame_tokens
+
+        try:
+            frames = self.backend.frame_tokens(audio)
+        except ValueError as error:  # bundle exported without streaming programs
+            raise RequestError(501, str(error))
+        words = words_from_frame_tokens(
+            frames, self.backend.codec, self.backend.blank_index,
+            self.backend.samples_per_frame / 16000.0)
+        return [{"word": word, "start_s": round(start, 4), "end_s": round(end, 4)}
+                for word, start, end in words]
+
+
+def _parse_audio(content_type: str, body: bytes) -> np.ndarray:
+    """Decode a request body to a mono 16 kHz float32 waveform.
+
+    ``audio/wav`` bodies are decoded + downmixed + polyphase-resampled; JSON bodies
+    carry raw PCM floats (``{"pcm": [...], "sample_rate": 16000}``).
+    """
+    from .features.audio_io import decode_wav_bytes, resample
+
+    kind = (content_type or "").split(";")[0].strip().lower()
+    if kind in ("audio/wav", "audio/x-wav", "audio/wave"):
+        try:
+            audio, rate = decode_wav_bytes(body)
+        except Exception as error:
+            raise RequestError(400, "invalid wav payload: {}".format(error))
+        return resample(audio, rate, 16000)
+    if kind == "application/json" or kind == "":
+        try:
+            payload = json.loads(body.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as error:
+            raise RequestError(400, "invalid JSON body: {}".format(error))
+        if not isinstance(payload, dict) or "pcm" not in payload:
+            raise RequestError(400, 'JSON body must be {"pcm": [...]} '
+                                    '(+ optional "sample_rate")')
+        try:
+            audio = np.asarray(payload["pcm"], dtype=np.float32)
+        except (TypeError, ValueError) as error:
+            raise RequestError(400, "pcm must be a flat float list: {}".format(error))
+        if audio.ndim != 1 or audio.size == 0:
+            raise RequestError(400, "pcm must be a non-empty 1-D float list")
+        rate = int(payload.get("sample_rate", 16000))
+        if rate <= 0:
+            raise RequestError(400, "sample_rate must be positive")
+        return resample(audio, rate, 16000)
+    raise RequestError(415, "unsupported Content-Type {!r}; send audio/wav or "
+                            "application/json".format(content_type))
+
+
+class TranscriptionServer:
+    """A threaded HTTP server over a transcription backend.
+
+    ``backend`` is anything with the `serving.Transcriber` surface
+    (``transcribe_audio_with_confidence``, ``transcribe_batch``, ``frame_tokens``,
+    ``codec``, ``blank_index``, ``samples_per_frame``) — the live transcriber or an
+    `ExportedTranscriber` bundle. Pass ``port=0`` to bind an ephemeral port
+    (``server.port`` reports the bound one).
+    """
+
+    def __init__(self, backend, host: str = "127.0.0.1", port: int = 8000,
+                 max_batch: int = 16, max_wait_ms: float = 10.0):
+        self.backend = backend
+        self.batcher = DynamicBatcher(backend, max_batch=max_batch,
+                                      max_wait_ms=max_wait_ms)
+        self.started_at = time.time()
+        self.httpd = ThreadingHTTPServer((host, port), self._handler_class())
+        self.httpd.daemon_threads = True
+        self._serve_thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> None:
+        """Start serving in a background thread (tests / embedding)."""
+        self.batcher.start()
+        self._serve_thread = threading.Thread(target=self.httpd.serve_forever,
+                                              daemon=True, name="transcribe-http")
+        self._serve_thread.start()
+
+    def serve_forever(self) -> None:
+        """Start serving on the calling thread (the CLI path)."""
+        self.batcher.start()
+        log("serving on http://{}:{} (max_batch={}, max_wait_ms={})".format(
+            self.httpd.server_address[0], self.port,
+            self.batcher.max_batch, self.batcher.max_wait_ms))
+        try:
+            self.httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.stop()
+
+    def _health(self) -> dict:
+        return {
+            "status": "ok",
+            "uptime_s": round(time.time() - self.started_at, 1),
+            "charset_size": len(self.backend.codec.allowed_characters),
+            "sample_buckets": list(getattr(self.backend, "sample_buckets", ())),
+            "max_batch": self.batcher.max_batch,
+        }
+
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, format, *args):  # route through our logger
+                log("http {} {}".format(self.address_string(), format % args))
+
+            def _reply(self, status: int, payload: dict) -> None:
+                body = json.dumps(payload).encode("utf-8")
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    self._reply(200, server._health())
+                elif path == "/v1/metrics":
+                    self._reply(200, server.batcher.metrics())
+                else:
+                    self._reply(404, {"error": "unknown path {}".format(path)})
+
+            def do_POST(self):
+                parsed = urlparse(self.path)
+                if parsed.path != "/v1/transcribe":
+                    self._reply(404, {"error": "unknown path {}".format(parsed.path)})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    if length <= 0:
+                        raise RequestError(411, "Content-Length required")
+                    if length > _MAX_BODY_BYTES:
+                        raise RequestError(413, "body exceeds {} bytes"
+                                           .format(_MAX_BODY_BYTES))
+                    body = self.rfile.read(length)
+                    audio = _parse_audio(self.headers.get("Content-Type", ""), body)
+                    query = parse_qs(parsed.query)
+                    want_timestamps = query.get("timestamps", ["0"])[0] in (
+                        "1", "true", "yes")
+                    result = server.batcher.submit(audio, want_timestamps)
+                    self._reply(200, result)
+                except RequestError as error:
+                    self._reply(error.status, {"error": str(error)})
+                except Exception as error:  # noqa: BLE001 — a serving loop must not die
+                    self._reply(500, {"error": "{}: {}".format(
+                        type(error).__name__, error)})
+
+        return Handler

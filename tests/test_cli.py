@@ -131,6 +131,14 @@ class TestCli:
         assert isinstance(loaded.transcribe_audio(audio), str)
         assert len(loaded.transcribe_batch([audio, audio, audio])) == 3
 
+    def test_serve_requires_exactly_one_model_source(self, data_dir):
+        with pytest.raises(SystemExit, match="exactly one of"):
+            main(["serve", "--data-dir", str(data_dir)])
+        with pytest.raises(SystemExit, match="exactly one of"):
+            main(["serve", "--data-dir", str(data_dir), "--bundle", "b", "--run", "r"])
+        with pytest.raises(SystemExit, match="requires --epoch"):
+            main(["serve", "--data-dir", str(data_dir), "--run", "r"])
+
     def test_unknown_config_exits(self, data_dir):
         with pytest.raises(SystemExit):
             main(["train", "--config", "bogus", "--data-dir", str(data_dir)])

@@ -1,0 +1,135 @@
+"""HTTP transcription service (`serving_http`): endpoint contracts, body decoding,
+dynamic micro-batching, and parity with the direct `Transcriber` calls."""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from speechless_tpu.models import wav2letter as w2l
+from speechless_tpu.serving import Transcriber
+from speechless_tpu.serving_http import (RequestError, TranscriptionServer,
+                                         _parse_audio)
+
+ALPHABET = list(" 'abcdefghijklmnopqrstuvwxyz")
+
+
+@pytest.fixture(scope="module")
+def transcriber():
+    import jax
+    config = w2l.Wav2LetterConfig(input_size_per_time_step=128,
+                                  grapheme_set_size=len(ALPHABET) + 1)
+    params = w2l.init_params(config, jax.random.PRNGKey(0))
+    return Transcriber(config, params, ALPHABET, sample_buckets=(16384,))
+
+
+@pytest.fixture(scope="module")
+def server(transcriber):
+    srv = TranscriptionServer(transcriber, port=0, max_batch=4, max_wait_ms=30.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _request(server, path, data=None, content_type="application/json", method=None):
+    req = urllib.request.Request(
+        "http://127.0.0.1:{}{}".format(server.port, path), data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", content_type)
+    try:
+        with urllib.request.urlopen(req, timeout=300) as response:
+            return response.status, json.loads(response.read())
+    except urllib.error.HTTPError as error:
+        return error.code, json.loads(error.read())
+
+
+def _pcm_body(audio, sample_rate=16000):
+    return json.dumps({"pcm": [float(x) for x in audio],
+                       "sample_rate": sample_rate}).encode()
+
+
+def test_healthz(server):
+    status, payload = _request(server, "/healthz")
+    assert status == 200
+    assert payload["status"] == "ok"
+    assert payload["sample_buckets"] == [16384]
+
+
+def test_transcribe_json_matches_direct_call(server, transcriber):
+    audio = (np.random.RandomState(0).randn(9000) * 0.1).astype(np.float32)
+    status, payload = _request(server, "/v1/transcribe", _pcm_body(audio))
+    assert status == 200
+    text, confidence = transcriber.transcribe_audio_with_confidence(audio)
+    assert payload["text"] == text
+    assert payload["confidence"] == pytest.approx(confidence, abs=1e-5)
+
+
+def test_transcribe_wav_body(server, transcriber):
+    import scipy.io.wavfile as wavfile
+    # An 8 kHz int16 wav: exercises bytes decode + polyphase resample to 16 kHz.
+    audio = (np.random.RandomState(1).randn(4000) * 0.1).astype(np.float32)
+    buffer = io.BytesIO()
+    wavfile.write(buffer, 8000, (audio * 32767).astype(np.int16))
+    status, payload = _request(server, "/v1/transcribe", buffer.getvalue(),
+                               content_type="audio/wav")
+    assert status == 200
+    assert isinstance(payload["text"], str)
+    assert 0 < payload["confidence"] <= 1
+
+
+def test_timestamps(server, transcriber):
+    audio = (np.random.RandomState(2).randn(9000) * 0.1).astype(np.float32)
+    status, payload = _request(server, "/v1/transcribe?timestamps=1",
+                               _pcm_body(audio))
+    assert status == 200
+    expected = transcriber.transcribe_audio_with_timestamps(audio)
+    assert [w["word"] for w in payload["words"]] == [w for w, _, _ in expected]
+    for got, (_, start, end) in zip(payload["words"], expected):
+        assert got["start_s"] == pytest.approx(start, abs=1e-3)
+        assert got["end_s"] == pytest.approx(end, abs=1e-3)
+
+
+def test_concurrent_requests_are_batched(server, transcriber):
+    before = _request(server, "/v1/metrics")[1]
+    rng = np.random.RandomState(3)
+    audios = [(rng.randn(6000) * 0.1).astype(np.float32) for _ in range(4)]
+    results = [None] * 4
+
+    def post(i):
+        results[i] = _request(server, "/v1/transcribe", _pcm_body(audios[i]))
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for audio, (status, payload) in zip(audios, results):
+        assert status == 200
+        assert payload["text"] == transcriber.transcribe_audio(audio)
+    after = _request(server, "/v1/metrics")[1]
+    assert after["requests"] - before.get("requests", 0) == 4
+    # 4 concurrent posts against a 30 ms window must coalesce below 1 batch each.
+    assert after["batches"] - before.get("batches", 0) < 4
+
+
+def test_error_statuses(server):
+    assert _request(server, "/nope")[0] == 404
+    assert _request(server, "/v1/transcribe", b"{not json")[0] == 400
+    assert _request(server, "/v1/transcribe", b'{"volume": 11}')[0] == 400
+    assert _request(server, "/v1/transcribe", b'{"pcm": []}')[0] == 400
+    assert _request(server, "/v1/transcribe", b"RIFFbogus",
+                    content_type="audio/ogg")[0] == 415
+    assert _request(server, "/v1/transcribe", b"notawav",
+                    content_type="audio/wav")[0] == 400
+
+
+def test_parse_audio_resamples_json_pcm():
+    audio = np.sin(np.linspace(0, 40 * np.pi, 8000)).astype(np.float32)
+    parsed = _parse_audio("application/json",
+                          _pcm_body(audio, sample_rate=8000))
+    assert len(parsed) == 16000  # 8 kHz -> 16 kHz doubles the sample count
+    with pytest.raises(RequestError):
+        _parse_audio("application/json", b'{"pcm": [[1.0]]}')
