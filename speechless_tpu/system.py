@@ -527,9 +527,10 @@ class Wav2Letter:
                                  prepare=prepare_stacked, depth=2)
         initial_epoch = self.load_epoch if self.load_epoch is not None else 0
         epoch = initial_epoch
+        from .train.preemption import GracefulShutdown
         # `tensorboard` joins the with-block so an interrupt ("train until interrupted" is a
         # documented workflow) still flushes and closes the event file.
-        with batches, tensorboard, self._mesh_scope(), \
+        with batches, tensorboard, self._mesh_scope(), GracefulShutdown() as shutdown, \
                 scalar_log.open("a", newline="") as scalar_file:
             writer = csv.writer(scalar_file)
             if new_log:
@@ -567,6 +568,12 @@ class Wav2Letter:
                     print_preview_batch()
                 if epoch % save_step == 0 and epoch > 0:
                     self.save(net_directory, epoch)
+                if shutdown.requested:
+                    if epoch % save_step != 0:
+                        self.save(net_directory, epoch)
+                    log("Preemption ({}): checkpointed epoch {}; exiting the training "
+                        "loop.".format(shutdown.signal_name, epoch))
+                    break
 
     def _train_device_resident(self,
                                examples: List[LabeledSpectrogram],
@@ -612,7 +619,9 @@ class Wav2Letter:
         epoch = initial_epoch
         # Deterministic per-epoch sampling streams (seed 42: the corpus-split convention).
         base_rng = jax.random.PRNGKey(42)
-        with tensorboard, self._mesh_scope(), scalar_log.open("a", newline="") as scalar_file:
+        from .train.preemption import GracefulShutdown
+        with tensorboard, self._mesh_scope(), GracefulShutdown() as shutdown, \
+                scalar_log.open("a", newline="") as scalar_file:
             writer = csv.writer(scalar_file)
             if new_log:
                 writer.writerow(["epoch", "step", "loss", "utterances_per_second",
@@ -641,6 +650,12 @@ class Wav2Letter:
                     print_preview_batch()
                 if epoch % save_step == 0 and epoch > 0:
                     self.save(net_directory, epoch)
+                if shutdown.requested:
+                    if epoch % save_step != 0:
+                        self.save(net_directory, epoch)
+                    log("Preemption ({}): checkpointed epoch {}; exiting the training "
+                        "loop.".format(shutdown.signal_name, epoch))
+                    break
 
     def save(self, net_directory: Path, epoch: int) -> Path:
         """Checkpoint weights + optimizer state. Mesh-sharded leaves are gathered to host
