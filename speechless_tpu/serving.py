@@ -80,7 +80,11 @@ class Transcriber:
             from .models.quantize import quantize_params_int8
             params = quantize_params_int8(params)
         self.quantized = quantize_weights
-        self.params = params
+        # Pin the weights in HBM once: passing host (numpy) leaves to a jitted call
+        # re-uploads them EVERY request (the quantizer returns numpy; measured 605 ms
+        # of pure transfer per int8 request over a 37 MB/s tunneled link vs 2 ms with
+        # device-resident weights).
+        self.params = jax.device_put(params)
         self.codec = CtcGraphemeCodec(allowed_characters)
         self.sample_buckets = tuple(sorted(sample_buckets))
         self._jnp = jnp

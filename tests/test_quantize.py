@@ -76,3 +76,17 @@ def test_serving_and_bundle_quantized(config_and_params, tmp_path):
     replay_text, replay_conf = loaded.transcribe_audio_with_confidence(audio)
     assert replay_text == text_q
     assert replay_conf == pytest.approx(conf_q, abs=1e-5)
+
+
+def test_transcriber_pins_weights_on_device(config_and_params):
+    """Quantized params arrive as numpy; the Transcriber must device_put them once or
+    every request re-uploads the whole weight set (measured 605 ms/request of pure
+    transfer on a tunneled TPU link)."""
+    import jax
+
+    from speechless_tpu.serving import Transcriber
+    config, params = config_and_params
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(16384,),
+                              quantize_weights=True)
+    leaves = jax.tree.leaves(transcriber.params)
+    assert leaves and all(isinstance(leaf, jax.Array) for leaf in leaves)
