@@ -43,7 +43,8 @@ def main() -> None:
     for label, lm_dir, quantize in (
             ("greedy", None, False),
             ("greedy int8 weights", None, True),
-            ("word-LM beam (device, W=25, prune 8)", kenlm_directory, False)):
+            ("word-LM beam (device, W=25, prune 8)", kenlm_directory, False),
+            ("word-LM beam + int8 weights", kenlm_directory, True)):
         transcriber = Transcriber.from_checkpoint(
             net_directory, args.epoch, english_frequent_characters,
             kenlm_directory=lm_dir, quantize_weights=quantize)

@@ -242,17 +242,29 @@ def pad_to_bucket(spectrograms: List[np.ndarray], labels: List[str], codec: Grap
                  labels=padded_labels, label_lengths=label_lengths)
 
 
+# Raw-wave inputs bucket on sample counts: the frame buckets scaled by the 128-sample
+# feature hop, so a corpus buckets identically whether fed as mel frames or raw samples.
+RAW_WAVE_SAMPLE_BUCKETS = tuple(b * 128 for b in DEFAULT_TIME_BUCKETS)
+
+
 def batch_from_spectrograms(batch: List[LabeledSpectrogram], codec: GraphemeCodec,
-                            **kwargs) -> Tuple[Batch, List[str]]:
+                            raw_wave: bool = False, **kwargs) -> Tuple[Batch, List[str]]:
     """Load features for a list of `LabeledSpectrogram`s and bucket-pad them.
 
-    Honors `HintedBatch.bucket_hints` (multi-host shape consistency). Returns the
-    device-ready Batch plus the expected transcripts."""
+    ``raw_wave=True`` feeds (samples, 1) z-normalized waveforms instead of mel features
+    (the `use_raw_wave_input` model family; sample-count buckets). Honors
+    `HintedBatch.bucket_hints` (multi-host shape consistency). Returns the device-ready
+    Batch plus the expected transcripts."""
     hints = getattr(batch, "bucket_hints", None)
     if hints is not None:
-        kwargs.setdefault("min_frames", hints[0])
+        scale = 128 if raw_wave else 1  # frame hints -> sample hints under raw wave
+        kwargs.setdefault("min_frames", hints[0] * scale)
         kwargs.setdefault("min_label_length", hints[1])
-    spectrograms = [s.z_normalized_transposed_spectrogram() for s in batch]
+    if raw_wave:
+        kwargs.setdefault("time_buckets", RAW_WAVE_SAMPLE_BUCKETS)
+        spectrograms = [s.z_normalized_raw_wave() for s in batch]
+    else:
+        spectrograms = [s.z_normalized_transposed_spectrogram() for s in batch]
     labels = [s.label for s in batch]
     return pad_to_bucket(spectrograms, labels, codec, **kwargs), labels
 

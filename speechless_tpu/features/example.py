@@ -79,6 +79,9 @@ class LabeledSpectrogram:
     def z_normalized_transposed_spectrogram(self) -> np.ndarray:
         raise NotImplementedError
 
+    def z_normalized_raw_wave(self) -> np.ndarray:
+        raise NotImplementedError
+
 
 class LabeledExample(LabeledSpectrogram):
     """An utterance with lazily loaded raw audio and on-demand feature extraction."""
@@ -131,6 +134,13 @@ class LabeledExample(LabeledSpectrogram):
             self.get_raw_audio(), n_fft=self.fourier_window_length,
             hop_length=self.hop_length, n_mels=self.mel_frequency_count,
             sample_rate=self.sample_rate)
+
+    def z_normalized_raw_wave(self) -> np.ndarray:
+        """(samples, 1) float32 z-normalized waveform: the `use_raw_wave_input` model
+        input. The reference declares the wave-conv frontend (`net.py:309-316`) but its
+        batch assembly always feeds spectrograms (`net.py:593`) — the raw path never
+        actually ran there; here it trains end-to-end."""
+        return z_normalize(self.get_raw_audio().astype(np.float32))[:, np.newaxis]
 
     def mel_frequencies(self) -> List[float]:
         return list(sg.mel_frequencies(self.mel_frequency_count + 2,
@@ -253,6 +263,11 @@ class CachedLabeledSpectrogram(LabeledSpectrogram):
     def z_normalized_transposed_spectrogram(self) -> np.ndarray:
         cached = self._read_cache_entry()
         return cached if cached is not None else self._refresh_cache_entry()
+
+    def z_normalized_raw_wave(self) -> np.ndarray:
+        # Raw audio is not disk-cached: decoding it is cheap relative to the feature
+        # DSP this cache exists to skip.
+        return self.original.z_normalized_raw_wave()
 
     def _read_cache_entry(self) -> Optional[np.ndarray]:
         """The cache entry's array, or None if it is absent or unreadable."""

@@ -86,6 +86,10 @@ class Wav2Letter:
                              "(kenlm_directory would be silently ignored).")
         if train_asg_transitions and not use_asg:
             raise ValueError("train_asg_transitions requires use_asg=True.")
+        if use_raw_wave_input and input_size_per_time_step != 1:
+            raise ValueError("Raw-wave input feeds (samples, 1) waveforms; "
+                             "input_size_per_time_step must be 1, got {}."
+                             .format(input_size_per_time_step))
         self.train_asg_transitions = use_asg and train_asg_transitions
 
         self.use_asg = use_asg
@@ -332,7 +336,8 @@ class Wav2Letter:
     def _prepare_batch(self, labeled_spectrogram_batch: List[LabeledSpectrogram],
                        for_training: bool = True):
         batch, labels = batch_from_spectrograms(labeled_spectrogram_batch,
-                                                self.grapheme_encoding)
+                                                self.grapheme_encoding,
+                                                raw_wave=self.config.use_raw_wave_input)
         return self._device_batch(batch, for_training=for_training), labels
 
     # -- decoding / evaluation -------------------------------------------
@@ -517,7 +522,9 @@ class Wav2Letter:
                                  prepare=self._prepare_batch, depth=2)
         else:
             def prepare_stacked(batch_group):
-                prepared = [batch_from_spectrograms(group, self.grapheme_encoding)
+                prepared = [batch_from_spectrograms(
+                                group, self.grapheme_encoding,
+                                raw_wave=self.config.use_raw_wave_input)
                             for group in batch_group]
                 stacked = stack_batches([host_batch for host_batch, _ in prepared])
                 return (self._device_batch(stacked),
@@ -590,6 +597,11 @@ class Wav2Letter:
         `data.device_dataset` / `trainer.make_device_epoch_step`)."""
         from .data.device_dataset import build_device_dataset
         from .train.trainer import make_device_epoch_step
+
+        if self.config.use_raw_wave_input:
+            raise ValueError("device_resident training packs mel features; the "
+                             "raw-wave model family trains on the host pipeline "
+                             "(drop device_resident=True).")
 
         if batch_size > len(examples):
             raise ValueError("batch_size {} exceeds corpus size {}".format(

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speechless_tpu.models import wav2letter as w2l
 
@@ -33,3 +34,103 @@ class TestRawWaveModel:
         assert config.layers[0].kernel_size == 250
         assert config.layers[0].stride == 160
         assert config.input_to_prediction_length_ratio == 320
+
+
+class TestRawWaveDataPath:
+    """The reference declares the wave-conv frontend but its batch assembly always feeds
+    spectrograms (`net.py:593`) — the raw path never ran there. Here it trains E2E."""
+
+    def test_batch_from_raw_waves_shapes_and_buckets(self):
+        from speechless_tpu.data.batching import (RAW_WAVE_SAMPLE_BUCKETS,
+                                                  batch_from_spectrograms)
+        from speechless_tpu.features.example import LabeledExample
+        from speechless_tpu.text.graphemes import CtcGraphemeCodec
+
+        rng = np.random.RandomState(0)
+        examples = [LabeledExample(get_raw_audio=lambda n=n: rng.randn(n).astype(np.float32),
+                                   id="u{}".format(n), label="hi there")
+                    for n in (9000, 16000)]
+        codec = CtcGraphemeCodec(list(" 'abcdefghijklmnopqrstuvwxyz"))
+        batch, labels = batch_from_spectrograms(examples, codec, raw_wave=True)
+        assert batch.inputs.shape == (2, RAW_WAVE_SAMPLE_BUCKETS[0], 1)  # 16384 samples
+        assert list(batch.input_lengths) == [9000, 16000]
+        assert labels == ["hi there", "hi there"]
+        # z-normalization holds per utterance over the REAL samples.
+        assert abs(float(batch.inputs[0, :9000, 0].mean())) < 1e-4
+        assert float(batch.inputs[0, :9000, 0].std()) == pytest.approx(1.0, abs=1e-3)
+
+    def test_raw_wave_train_step_learns(self):
+        """Overfit a tiny raw-wave model through the real raw-wave batch assembly."""
+        from speechless_tpu.data.batching import batch_from_spectrograms
+        from speechless_tpu.features.example import LabeledExample
+        from speechless_tpu.text.graphemes import CtcGraphemeCodec
+        from speechless_tpu.train import (init_train_state, make_optimizer,
+                                          make_train_step)
+
+        chars = list(" ab")
+        codec = CtcGraphemeCodec(chars)
+        layers = (
+            w2l.ConvSpec("wave_conv", 8, 250, 160, "relu", False),
+            w2l.ConvSpec("striding_conv", 8, 48, 2, "relu", False),
+            w2l.ConvSpec("output_conv", codec.grapheme_set_size, 1, 1, "linear", False),
+        )
+        config = w2l.Wav2LetterConfig(input_size_per_time_step=1,
+                                      grapheme_set_size=codec.grapheme_set_size,
+                                      use_raw_wave_input=True, layers=layers)
+        rng = np.random.RandomState(0)
+
+        def tone_example(label, freq, n=12800):
+            t = np.arange(n) / 16000.0
+            wave = np.sin(2 * np.pi * freq * t).astype(np.float32) \
+                + 0.01 * rng.randn(n).astype(np.float32)
+            return LabeledExample(get_raw_audio=lambda w=wave: w,
+                                  id="{}-{}".format(label, freq), label=label)
+
+        examples = [tone_example("a", 440.0), tone_example("b", 1320.0)]
+        batch, _ = batch_from_spectrograms(examples, codec, raw_wave=True,
+                                           time_buckets=(12800,))
+        optimizer = make_optimizer(3e-3)
+        state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+        step = make_train_step(config, optimizer, donate=False)
+        losses = []
+        for _ in range(120):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.2, losses[::24]
+
+    def test_facade_guards(self, tmp_path):
+        from speechless_tpu.system import Wav2Letter
+
+        with pytest.raises(ValueError, match="must be 1"):
+            Wav2Letter(128, list(" ab"), use_raw_wave_input=True)
+
+    def test_facade_raw_wave_train_and_predict(self, tmp_path):
+        """Full Configuration workflow on raw waves: train 1 epoch through the real
+        pipeline (cache/bucketing/preview), checkpoint, and predict."""
+        from test_corpus import make_librispeech_tree
+
+        from speechless_tpu.configuration import Configuration, DataDirectories
+        from speechless_tpu.data import LibriSpeechCorpus, TrainingTestSplit
+        from speechless_tpu.system import Wav2Letter
+
+        corpus_root = tmp_path / "data" / "corpus" / "English"
+        make_librispeech_tree(corpus_root / "mini", ["hey there", "what's up", "yes"])
+        config = Configuration(
+            name="English",
+            corpus_from_directory=lambda d: LibriSpeechCorpus(
+                base_directory=d, corpus_name="mini",
+                training_test_split=TrainingTestSplit.overfit(2)),
+            directories=DataDirectories(tmp_path / "data"),
+            batch_size=2, training_batches_per_epoch=2)
+        wav2letter = Wav2Letter(1, config.allowed_characters, use_raw_wave_input=True)
+        config.train(wav2letter, run_name="rawrun", epoch_limit=1)
+        assert (tmp_path / "data" / "nets" / "rawrun" / "weights-epoch1.npz").exists()
+        prediction = wav2letter.predict(config.corpus.examples[0])
+        assert isinstance(prediction, str)
+
+    def test_device_resident_raw_wave_rejected(self):
+        from speechless_tpu.system import Wav2Letter
+
+        wav2letter = Wav2Letter(1, list(" ab"), use_raw_wave_input=True)
+        with pytest.raises(ValueError, match="host pipeline"):
+            wav2letter._train_device_resident([], [], None, None, 1)
