@@ -54,6 +54,9 @@ def main() -> None:
     parser.add_argument("--device-resident", action="store_true",
                         help="pack the corpus into HBM and sample batches on device "
                              "(zero steady-state host->device transfer)")
+    parser.add_argument("--raw-wave", action="store_true",
+                        help="train the raw-wave model family (wave-conv frontend on "
+                             "(samples,1) waveforms; host pipeline only)")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny corpus + few epochs on CPU, to validate the flow")
     parser.add_argument("--skip-transfer", action="store_true")
@@ -144,6 +147,11 @@ def main() -> None:
     # stem — a variant flag missing from any of the three would silently resume or
     # overwrite a non-variant artifact.
     variant = "-sa" if args.spec_augment else ""
+    if args.raw_wave:
+        if args.device_resident:
+            raise SystemExit("--raw-wave trains on the host pipeline (drop "
+                             "--device-resident: device packing is mel-only)")
+        variant += "-raw"
     run_name = "quality-english-devres" if args.device_resident else "quality-english"
     if args.difficulty != "standard":
         # Non-standard tiers get recalibrated between runs; keying the run name on the
@@ -160,6 +168,8 @@ def main() -> None:
                   if args.clip_norm is not None else {})
     if args.spec_augment:
         w2l_kwargs["spec_augment"] = True
+    if args.raw_wave:
+        w2l_kwargs["use_raw_wave_input"] = True
     if args.device_resident:
         config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
                                device_resident=True, wav2letter_kwargs=w2l_kwargs)
@@ -174,11 +184,13 @@ def main() -> None:
     log("training wall-clock: {:.1f}s".format(train_wall_s))
 
     # -- decode matrix on held-out test utterances ---------------------------
+    load_kwargs = {"use_raw_wave_input": True} if args.raw_wave else {}
     greedy = config.load_model(run_name, args.epochs,
-                               allowed_characters_for_loaded_model=None)
+                               allowed_characters_for_loaded_model=None, **load_kwargs)
     evaluate(greedy, config.batch_generator, "greedy")
     beam = config.load_model(run_name, args.epochs,
-                             allowed_characters_for_loaded_model=None, use_kenlm=True)
+                             allowed_characters_for_loaded_model=None, use_kenlm=True,
+                             **load_kwargs)
     evaluate(beam, config.batch_generator, "beam_lm")
 
     # -- transfer: English -> German charset ---------------------------------
@@ -226,6 +238,7 @@ def main() -> None:
         evaluate(scratch, german.batch_generator, "scratch_same_budget")
 
     results["difficulty"] = args.difficulty
+    results["raw_wave"] = args.raw_wave
     results["gradient_clip_norm"] = args.clip_norm
     results["spec_augment"] = args.spec_augment
     out_stem = ("quality_results" if args.difficulty == "standard"

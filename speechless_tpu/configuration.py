@@ -151,13 +151,20 @@ class Configuration:
             net_directory=self.directories.nets_base_directory / run_name,
             batches_per_epoch=self.training_batches_per_epoch, **train_kwargs)
 
+
+    def _input_size_per_time_step(self, wav2letter_kwargs: dict) -> int:
+        # The raw-wave model family consumes (samples, 1) waveforms, not mel frames.
+        return 1 if wav2letter_kwargs.get("use_raw_wave_input") \
+            else self.mel_frequency_count
+
     def train_from_beginning(self, wav2letter_kwargs: Optional[dict] = None,
                              **train_kwargs) -> None:
         """``wav2letter_kwargs`` (e.g. ``spec_augment``, ``gradient_clip_norm``) reach
         the model constructor; everything else goes to :meth:`train`."""
-        wav2letter = Wav2Letter(self.mel_frequency_count,
+        wav2letter_kwargs = wav2letter_kwargs or {}
+        wav2letter = Wav2Letter(self._input_size_per_time_step(wav2letter_kwargs),
                                 allowed_characters=self.allowed_characters,
-                                **(wav2letter_kwargs or {}))
+                                **wav2letter_kwargs)
         self.train(wav2letter,
                    run_name=timestamp() + "-adam-small-learning-rate-complete-training-{}{}"
                    .format(self.name, self.sampled_training_example_count_extension()),
@@ -194,7 +201,7 @@ class Configuration:
                     epoch, run_name, e))
         if wav2letter is None:
             log("Starting run {} from scratch.".format(run_name))
-            wav2letter = Wav2Letter(self.mel_frequency_count,
+            wav2letter = Wav2Letter(self._input_size_per_time_step(wav2letter_kwargs),
                                     allowed_characters=self.allowed_characters,
                                     **wav2letter_kwargs)
         self.train(wav2letter, run_name=run_name, **train_kwargs)
@@ -259,7 +266,7 @@ class Configuration:
                    **wav2letter_kwargs) -> Wav2Letter:
         return Wav2Letter(
             allowed_characters=self.allowed_characters,
-            input_size_per_time_step=self.mel_frequency_count,
+            input_size_per_time_step=self._input_size_per_time_step(wav2letter_kwargs),
             load_model_from_directory=self.directories.nets_base_directory / load_name,
             load_epoch=load_epoch,
             allowed_characters_for_loaded_model=allowed_characters_for_loaded_model,
