@@ -56,7 +56,8 @@ def main() -> None:
                              "(zero steady-state host->device transfer)")
     parser.add_argument("--raw-wave", action="store_true",
                         help="train the raw-wave model family (wave-conv frontend on "
-                             "(samples,1) waveforms; host pipeline only)")
+                             "(samples,1) waveforms; combine with --device-resident "
+                             "to pack the waveforms into HBM)")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny corpus + few epochs on CPU, to validate the flow")
     parser.add_argument("--skip-transfer", action="store_true")
@@ -148,9 +149,9 @@ def main() -> None:
     # overwrite a non-variant artifact.
     variant = "-sa" if args.spec_augment else ""
     if args.raw_wave:
-        if args.device_resident:
-            raise SystemExit("--raw-wave trains on the host pipeline (drop "
-                             "--device-resident: device packing is mel-only)")
+        if args.spec_augment:
+            raise SystemExit("--spec-augment is a mel-feature augmentation; it does "
+                             "not apply to --raw-wave")
         variant += "-raw"
     run_name = "quality-english-devres" if args.device_resident else "quality-english"
     if args.difficulty != "standard":

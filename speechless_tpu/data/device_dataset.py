@@ -87,11 +87,16 @@ def build_device_dataset(labeled_spectrograms: List[LabeledSpectrogram],
                          compute_dtype=None,
                          mesh=None,
                          shard_over_data_axis: bool = True,
-                         time_buckets: Sequence[int] = DEFAULT_TIME_BUCKETS
-                         ) -> Tuple[DeviceDataset, float]:
+                         time_buckets: Sequence[int] = DEFAULT_TIME_BUCKETS,
+                         raw_wave: bool = False) -> Tuple[DeviceDataset, float]:
     """Load every cached feature, pack, and place on device. Returns
     (dataset, resident_megabytes — the GLOBAL footprint; per-chip is that / data_size
     when sharded).
+
+    ``raw_wave=True`` packs (samples, 1) z-normalized waveforms on the sample-count
+    bucket grid instead of mel frames (the `use_raw_wave_input` model family) — raw
+    16 kHz audio is ~2.5 KB/s at f16, so even waveform corpora sit comfortably in HBM
+    and the zero-steady-state-transfer epoch program applies unchanged.
 
     Under a ``mesh`` the corpus rows shard over the data axis by default
     (``shard_over_data_axis=True``): N data shards hold N x one chip's corpus capacity,
@@ -105,7 +110,14 @@ def build_device_dataset(labeled_spectrograms: List[LabeledSpectrogram],
     residency and the one-time transfer."""
     import jax.numpy as jnp
 
-    spectrograms = [s.z_normalized_transposed_spectrogram() for s in labeled_spectrograms]
+    if raw_wave:
+        from .batching import RAW_WAVE_SAMPLE_BUCKETS
+        if time_buckets is DEFAULT_TIME_BUCKETS:
+            time_buckets = RAW_WAVE_SAMPLE_BUCKETS
+        spectrograms = [s.z_normalized_raw_wave() for s in labeled_spectrograms]
+    else:
+        spectrograms = [s.z_normalized_transposed_spectrogram()
+                        for s in labeled_spectrograms]
     labels = [s.label for s in labeled_spectrograms]
     dtype = np.float16 if (compute_dtype is not None
                            and compute_dtype == jnp.bfloat16) else np.float32

@@ -90,6 +90,11 @@ class Wav2Letter:
             raise ValueError("Raw-wave input feeds (samples, 1) waveforms; "
                              "input_size_per_time_step must be 1, got {}."
                              .format(input_size_per_time_step))
+        if use_raw_wave_input and spec_augment:
+            # SpecAugment masks mel bins; on a (samples, 1) waveform any frequency
+            # mask would zero the entire signal.
+            raise ValueError("spec_augment is a mel-feature augmentation and does not "
+                             "apply to the raw-wave model family.")
         self.train_asg_transitions = use_asg and train_asg_transitions
 
         self.use_asg = use_asg
@@ -598,18 +603,13 @@ class Wav2Letter:
         from .data.device_dataset import build_device_dataset
         from .train.trainer import make_device_epoch_step
 
-        if self.config.use_raw_wave_input:
-            raise ValueError("device_resident training packs mel features; the "
-                             "raw-wave model family trains on the host pipeline "
-                             "(drop device_resident=True).")
-
         if batch_size > len(examples):
             raise ValueError("batch_size {} exceeds corpus size {}".format(
                 batch_size, len(examples)))
         load_start = time.time()
         dataset, megabytes = build_device_dataset(
             examples, self.grapheme_encoding, compute_dtype=self.config.compute_dtype,
-            mesh=self.mesh)
+            mesh=self.mesh, raw_wave=self.config.use_raw_wave_input)
         log("Device-resident corpus: {} examples, {:.0f} MB in HBM (packed + transferred "
             "in {:.1f}s).".format(len(examples), megabytes, time.time() - load_start))
         epoch_fn = make_device_epoch_step(

@@ -128,9 +128,82 @@ class TestRawWaveDataPath:
         prediction = wav2letter.predict(config.corpus.examples[0])
         assert isinstance(prediction, str)
 
-    def test_device_resident_raw_wave_rejected(self):
+    def test_spec_augment_rejected(self):
+        # SpecAugment masks mel bins; a frequency mask over the (samples, 1) waveform's
+        # size-1 trailing axis would zero the whole signal.
         from speechless_tpu.system import Wav2Letter
 
-        wav2letter = Wav2Letter(1, list(" ab"), use_raw_wave_input=True)
-        with pytest.raises(ValueError, match="host pipeline"):
-            wav2letter._train_device_resident([], [], None, None, 1)
+        with pytest.raises(ValueError, match="mel-feature"):
+            Wav2Letter(1, list(" ab"), use_raw_wave_input=True, spec_augment=True)
+
+
+class FakeWave:
+    """Minimal LabeledSpectrogram stand-in for the raw-wave family."""
+
+    def __init__(self, wave, label):
+        self._wave = wave.astype(np.float32)
+        self.label = label
+
+    def z_normalized_raw_wave(self):
+        wave = self._wave - self._wave.mean()
+        std = wave.std()
+        return (wave / (std if std > 0 else 1.0)).reshape(-1, 1)
+
+
+class TestDeviceResidentRawWave:
+    """Raw waveforms packed into HBM: the device-resident epoch program applies to the
+    raw-wave family unchanged (waves are ~2.5 KB/s at f16 — far smaller than the mel
+    residency budget)."""
+
+    def _waves(self, count=6):
+        rng = np.random.RandomState(0)
+        labels = ["ab", "ba", "a", "b", "ab", "ba"]
+        return [FakeWave(rng.randn(int(rng.randint(3000, 5000))), labels[i % len(labels)])
+                for i in range(count)]
+
+    def test_pack_matches_host_raw_batch(self):
+        from speechless_tpu.data.batching import batch_from_spectrograms
+        from speechless_tpu.data.device_dataset import build_device_dataset
+        from speechless_tpu.text.graphemes import CtcGraphemeCodec
+
+        codec = CtcGraphemeCodec(list(" ab"))
+        examples = self._waves()
+        dataset, megabytes = build_device_dataset(examples, codec, raw_wave=True)
+        host, _ = batch_from_spectrograms(examples, codec, raw_wave=True)
+        assert dataset.inputs.shape[1:] == host.inputs.shape[1:]  # same sample bucket
+        for i in range(len(examples)):
+            n = int(host.input_lengths[i])
+            np.testing.assert_allclose(np.asarray(dataset.inputs[i, :n]),
+                                       host.inputs[i, :n], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(dataset.input_lengths),
+                                      host.input_lengths)
+        assert megabytes > 0
+
+    def test_facade_trains_device_resident(self, tmp_path):
+        """E2E through the facade: HBM-packed waveforms, one dispatch per epoch,
+        checkpoints written."""
+        from speechless_tpu.system import Wav2Letter
+        from speechless_tpu.train import init_train_state
+        from speechless_tpu.train.trainer import make_eval_step
+
+        import jax
+
+        codec_chars = list(" ab")
+        layers = (
+            w2l.ConvSpec("wave_conv", 8, 250, 160, "relu", False),
+            w2l.ConvSpec("striding_conv", 8, 48, 2, "relu", False),
+            w2l.ConvSpec("output_conv", 4, 1, 1, "linear", False),
+        )
+        config = w2l.Wav2LetterConfig(input_size_per_time_step=1, grapheme_set_size=4,
+                                      use_raw_wave_input=True, layers=layers)
+        w = Wav2Letter(1, codec_chars, use_raw_wave_input=True, learning_rate=1e-3)
+        w.config = config  # thin test model, same geometry contract
+        w.state = init_train_state(config, w.optimizer, jax.random.PRNGKey(0))
+        w._eval_step = make_eval_step(config)
+        specs = self._waves()
+        w.train([], preview_labeled_spectrogram_batch=specs[:2],
+                tensor_board_log_directory=tmp_path / "logs",
+                net_directory=tmp_path / "nets",
+                batches_per_epoch=2, epoch_limit=1, callback_step=10,
+                device_resident_examples=specs, batch_size=4)
+        assert (tmp_path / "nets" / "weights-epoch1.npz").exists()
