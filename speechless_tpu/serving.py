@@ -136,20 +136,25 @@ class Transcriber:
                 params, wav[None], length[None])
             return tokens[0], counts[0], confidence[0]
 
-        def frame_tokens_fn(params, wav, length):
-            # Per-frame argmax tokens + frame count (no collapse): the streaming
+        def frame_tokens_batch_fn(params, wavs, lengths):
+            # Per-frame argmax tokens + frame counts (no collapse): the streaming
             # decoder (serving_streaming.py) merges repeats across window boundaries
             # itself, so it needs raw frame-level decisions, not collapsed tokens.
             from .features.spectrogram import features_batch
 
-            features, frame_counts = features_batch(wav[None], length[None])
+            features, frame_counts = features_batch(wavs, lengths)
             logits = w2l.apply(config, params, features)
             frames = jnp.argmax(logits, axis=-1)
-            return frames[0], w2l.prediction_lengths(config, frame_counts)[0]
+            return frames, w2l.prediction_lengths(config, frame_counts)
+
+        def frame_tokens_fn(params, wav, length):
+            frames, counts = frame_tokens_batch_fn(params, wav[None], length[None])
+            return frames[0], counts[0]
 
         self._transcribe = jax.jit(transcribe_fn)
         self._transcribe_batch = jax.jit(transcribe_batch_fn)
         self._frame_tokens = jax.jit(frame_tokens_fn)
+        self._frame_tokens_batch = jax.jit(frame_tokens_batch_fn)
 
     @staticmethod
     def from_checkpoint(net_directory: Path, epoch: int, allowed_characters: List[str],
@@ -203,6 +208,34 @@ class Transcriber:
         frames, count = self._frame_tokens(self.params, jnp.asarray(padded),
                                            jnp.asarray(length, jnp.int32))
         return np.asarray(frames)[: int(count)]
+
+    def frame_tokens_batch(self, audios: Sequence[np.ndarray],
+                           batch_size: int = 16) -> List[np.ndarray]:
+        """Uncollapsed per-frame argmax tokens for many windows in batched dispatches
+        (the multi-stream streaming path: N concurrent streams' windows share one
+        device program instead of N dispatches). Grouping/padding rules match
+        `transcribe_batch`; returns one trimmed frame array per input, in order."""
+        jnp = self._jnp
+        results: List[Optional[np.ndarray]] = [None] * len(audios)
+        by_bucket: dict = {}
+        for index, audio in enumerate(audios):
+            by_bucket.setdefault(self._bucket(len(audio)), []).append(index)
+        for bucket, indices in sorted(by_bucket.items()):
+            for group_start in range(0, len(indices), batch_size):
+                group = indices[group_start:group_start + batch_size]
+                wavs = np.zeros((batch_size, bucket), dtype=np.float32)
+                lengths = np.zeros(batch_size, dtype=np.int32)
+                for row, index in enumerate(group):
+                    audio = audios[index]
+                    wavs[row, :len(audio)] = audio
+                    lengths[row] = len(audio)
+                frames, counts = self._frame_tokens_batch(
+                    self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+                frames = np.asarray(frames)
+                counts = np.asarray(counts)
+                for row, index in enumerate(group):
+                    results[index] = frames[row, : int(counts[row])]
+        return results
 
     @property
     def samples_per_frame(self) -> int:

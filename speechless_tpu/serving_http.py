@@ -250,10 +250,19 @@ class TranscriptionServer:
     """
 
     def __init__(self, backend, host: str = "127.0.0.1", port: int = 8000,
-                 max_batch: int = 16, max_wait_ms: float = 10.0):
+                 max_batch: int = 16, max_wait_ms: float = 10.0,
+                 stream_window_s: float = 8.0, stream_margin_s: float = 2.0):
         self.backend = backend
         self.batcher = DynamicBatcher(backend, max_batch=max_batch,
                                       max_wait_ms=max_wait_ms)
+        # Streaming sessions (POST /v1/stream): windows of every live stream share
+        # batched frame-token dispatches. Backends without the streaming surface
+        # (bundles exported without frame programs) simply 501 on the routes.
+        from .serving_streaming import StreamingSessionPool
+        self.streams = StreamingSessionPool(backend, window_s=stream_window_s,
+                                            margin_s=stream_margin_s,
+                                            max_batch=max_batch,
+                                            max_wait_ms=max_wait_ms)
         self.started_at = time.time()
         self.httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self.httpd.daemon_threads = True
@@ -266,6 +275,7 @@ class TranscriptionServer:
     def start(self) -> None:
         """Start serving in a background thread (tests / embedding)."""
         self.batcher.start()
+        self.streams.start()
         self._serve_thread = threading.Thread(target=self.httpd.serve_forever,
                                               daemon=True, name="transcribe-http")
         self._serve_thread.start()
@@ -273,6 +283,7 @@ class TranscriptionServer:
     def serve_forever(self) -> None:
         """Start serving on the calling thread (the CLI path)."""
         self.batcher.start()
+        self.streams.start()
         log("serving on http://{}:{} (max_batch={}, max_wait_ms={})".format(
             self.httpd.server_address[0], self.port,
             self.batcher.max_batch, self.batcher.max_wait_ms))
@@ -287,6 +298,7 @@ class TranscriptionServer:
         self.httpd.shutdown()
         self.httpd.server_close()
         self.batcher.stop()
+        self.streams.stop()
 
     def _health(self) -> dict:
         return {
@@ -295,6 +307,7 @@ class TranscriptionServer:
             "charset_size": len(self.backend.codec.allowed_characters),
             "sample_buckets": list(getattr(self.backend, "sample_buckets", ())),
             "max_batch": self.batcher.max_batch,
+            "streaming_sessions": self.streams.session_count,
         }
 
     def _handler_class(self):
@@ -319,33 +332,64 @@ class TranscriptionServer:
                 if path == "/healthz":
                     self._reply(200, server._health())
                 elif path == "/v1/metrics":
-                    self._reply(200, server.batcher.metrics())
+                    metrics = server.batcher.metrics()
+                    metrics["streaming"] = server.streams.batcher.metrics()
+                    self._reply(200, metrics)
                 else:
                     self._reply(404, {"error": "unknown path {}".format(path)})
 
+            def _read_body(self) -> bytes:
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    raise RequestError(411, "Content-Length required")
+                if length > _MAX_BODY_BYTES:
+                    raise RequestError(413, "body exceeds {} bytes"
+                                       .format(_MAX_BODY_BYTES))
+                return self.rfile.read(length)
+
             def do_POST(self):
                 parsed = urlparse(self.path)
-                if parsed.path != "/v1/transcribe":
-                    self._reply(404, {"error": "unknown path {}".format(parsed.path)})
-                    return
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    if length <= 0:
-                        raise RequestError(411, "Content-Length required")
-                    if length > _MAX_BODY_BYTES:
-                        raise RequestError(413, "body exceeds {} bytes"
-                                           .format(_MAX_BODY_BYTES))
-                    body = self.rfile.read(length)
-                    audio = _parse_audio(self.headers.get("Content-Type", ""), body)
-                    query = parse_qs(parsed.query)
-                    want_timestamps = query.get("timestamps", ["0"])[0] in (
-                        "1", "true", "yes")
-                    result = server.batcher.submit(audio, want_timestamps)
-                    self._reply(200, result)
+                    if parsed.path == "/v1/transcribe":
+                        audio = _parse_audio(self.headers.get("Content-Type", ""),
+                                             self._read_body())
+                        query = parse_qs(parsed.query)
+                        want_timestamps = query.get("timestamps", ["0"])[0] in (
+                            "1", "true", "yes")
+                        self._reply(200, server.batcher.submit(audio, want_timestamps))
+                    elif parsed.path == "/v1/stream":
+                        # Create a streaming session (no body needed).
+                        try:
+                            self._reply(200, {"session": server.streams.create()})
+                        except ValueError as error:  # backend without stream surface
+                            raise RequestError(501, str(error))
+                    elif parsed.path.startswith("/v1/stream/"):
+                        self._stream_post(parsed.path[len("/v1/stream/"):])
+                    else:
+                        self._reply(404, {"error": "unknown path {}".format(
+                            parsed.path)})
                 except RequestError as error:
                     self._reply(error.status, {"error": str(error)})
+                except KeyError as error:
+                    self._reply(404, {"error": str(error)})
                 except Exception as error:  # noqa: BLE001 — a serving loop must not die
                     self._reply(500, {"error": "{}: {}".format(
                         type(error).__name__, error)})
+
+            def _stream_post(self, tail: str) -> None:
+                if tail.endswith("/finish"):
+                    session_id = tail[: -len("/finish")]
+                    self._reply(200, {"text": server.streams.finish(session_id)})
+                    return
+                # Feed one audio chunk; reply with the newly finalized text.
+                session_id = tail
+                audio = _parse_audio(self.headers.get("Content-Type", ""),
+                                     self._read_body())
+                try:
+                    partial = server.streams.feed(session_id, audio)
+                except ValueError as error:  # backend without streaming programs
+                    raise RequestError(501, str(error))
+                self._reply(200, {"partial": partial,
+                                  "text": server.streams.text(session_id)})
 
         return Handler

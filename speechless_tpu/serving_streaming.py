@@ -21,19 +21,33 @@ The approximation vs offline greedy decoding is only the per-window feature z-no
 are stable and transcripts match offline decode closely (measured in
 `examples/streaming_eval.py`). A stream shorter than one window that is only flushed by
 `finish()` decodes EXACTLY like the offline path.
+
+Multi-stream serving: `StreamingSessionPool` runs many concurrent sessions over one
+transcriber, with every session's window dispatches micro-batched into shared device
+programs by `StreamingFrameBatcher` (one batcher thread owns all dispatch — the same
+design as `serving_http.DynamicBatcher` for offline requests). Exposed over HTTP as
+`POST /v1/stream` / `/v1/stream/<id>` / `/v1/stream/<id>/finish`.
 """
-from typing import List
+import queue
+import threading
+import time
+import uuid
+from typing import Dict, List, Optional
 
 import numpy as np
 
 
 class StreamingTranscriber:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
-                 sample_rate: int = 16000):
+                 sample_rate: int = 16000, frame_fn=None):
+        """``frame_fn``: optional override for the per-window frame-token call
+        (defaults to ``transcriber.frame_tokens``). A `StreamingFrameBatcher.submit`
+        here lets many concurrent streams share batched device dispatches."""
         if window_s <= 2 * margin_s:
             raise ValueError("window_s must exceed 2*margin_s to make progress "
                              "(got window {}s, margin {}s)".format(window_s, margin_s))
         self._transcriber = transcriber
+        self._frame_fn = frame_fn if frame_fn is not None else transcriber.frame_tokens
         spf = transcriber.samples_per_frame
         # Window/margin aligned to the output frame grid so absolute frame<->sample
         # mapping survives buffer drops.
@@ -87,7 +101,7 @@ class StreamingTranscriber:
             emit_limit = (window_end + self._spf if flush and last_window
                           else window_end - self._margin)
             if emit_limit > self._emit_sample:
-                frames = self._transcriber.frame_tokens(self._buffer[:window_len])
+                frames = self._frame_fn(self._buffer[:window_len])
                 new_tokens: List[int] = []
                 for f, token in enumerate(frames):
                     start = self._buffer_start + f * self._spf
@@ -113,3 +127,205 @@ class StreamingTranscriber:
             self._buffer = self._buffer[new_start - self._buffer_start:]
             self._buffer_start = new_start
         return "".join(self._parts[emitted_before:])
+
+
+class _PendingWindow:
+    __slots__ = ("audio", "done", "result", "error")
+
+    def __init__(self, audio: np.ndarray):
+        self.audio = audio
+        self.done = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class StreamingFrameBatcher:
+    """Batch the frame-token windows of many concurrent streams into shared device
+    dispatches.
+
+    Each live stream dispatches a window every few seconds of audio; N independent
+    streams would cost N dispatches (each paying the full per-dispatch latency). One
+    batcher thread collects windows that arrive within ``max_wait_ms`` and serves them
+    through `Transcriber.frame_tokens_batch` — the same micro-batching the offline HTTP
+    path uses (`serving_http.DynamicBatcher`), applied to streaming. A lone window
+    short-circuits to the single-window program, so an idle service adds no latency.
+    """
+
+    def __init__(self, transcriber, max_batch: int = 16, max_wait_ms: float = 20.0):
+        self._transcriber = transcriber
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: "queue.Queue[Optional[_PendingWindow]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="streaming-frame-batcher")
+        self._lock = threading.Lock()
+        self.windows = 0
+        self.batches = 0
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._queue.put(None)
+        self._thread.join(timeout=30)
+
+    def submit(self, audio: np.ndarray) -> np.ndarray:
+        """Frame tokens for one window; blocks until its batch is served. This is the
+        ``frame_fn`` for `StreamingTranscriber`."""
+        pending = _PendingWindow(np.asarray(audio, np.float32))
+        self._queue.put(pending)
+        pending.done.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.result
+
+    def metrics(self) -> dict:
+        with self._lock:
+            return {"windows": self.windows, "batches": self.batches,
+                    "mean_batch_size": (self.windows / self.batches
+                                        if self.batches else 0.0)}
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            batch = [first]
+            deadline = time.time() + self.max_wait_ms / 1000.0
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    break
+                batch.append(item)
+            try:
+                batched = getattr(self._transcriber, "frame_tokens_batch", None)
+                if len(batch) == 1 or batched is None:
+                    # Lone window — or a backend without the batched program (e.g. an
+                    # AOT bundle exported before frame_tokens_batch existed).
+                    results = [self._transcriber.frame_tokens(pending.audio)
+                               for pending in batch]
+                else:
+                    results = batched([pending.audio for pending in batch],
+                                      batch_size=self.max_batch)
+                for pending, frames in zip(batch, results):
+                    pending.result = frames
+            except BaseException as error:  # surface compile/OOM to every waiter
+                for pending in batch:
+                    pending.error = error
+            finally:
+                with self._lock:
+                    self.windows += len(batch)
+                    self.batches += 1
+                for pending in batch:
+                    pending.done.set()
+
+
+class _Session:
+    __slots__ = ("stream", "lock", "last_used")
+
+    def __init__(self, stream: StreamingTranscriber):
+        self.stream = stream
+        self.lock = threading.Lock()
+        self.last_used = time.time()
+
+
+class StreamingSessionPool:
+    """Many concurrent streaming sessions over ONE transcriber, their window dispatches
+    micro-batched (`StreamingFrameBatcher`). The multi-stream serving surface:
+
+        pool = StreamingSessionPool(transcriber)
+        sid = pool.create()
+        partial = pool.feed(sid, chunk)      # newly finalized text
+        final = pool.finish(sid)             # flush + close
+
+    Sessions idle beyond ``idle_timeout_s`` are reaped (their finalized text is lost;
+    clients that want it must `finish`). Feeds to the same session serialize on a
+    per-session lock; different sessions proceed concurrently and share batches.
+    """
+
+    def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
+                 max_batch: int = 16, max_wait_ms: float = 20.0,
+                 idle_timeout_s: float = 300.0, max_sessions: int = 256):
+        self._transcriber = transcriber
+        self._window_s = window_s
+        self._margin_s = margin_s
+        self._idle_timeout_s = idle_timeout_s
+        self._max_sessions = max_sessions
+        self._sessions: Dict[str, _Session] = {}
+        self._lock = threading.Lock()
+        self.batcher = StreamingFrameBatcher(transcriber, max_batch=max_batch,
+                                             max_wait_ms=max_wait_ms)
+
+    def start(self) -> None:
+        self.batcher.start()
+
+    def stop(self) -> None:
+        self.batcher.stop()
+        with self._lock:
+            self._sessions.clear()
+
+    def create(self) -> str:
+        with self._lock:
+            self._reap_locked()
+            if len(self._sessions) >= self._max_sessions:
+                raise RuntimeError("session limit reached ({})".format(
+                    self._max_sessions))
+            session_id = uuid.uuid4().hex[:16]
+            stream = StreamingTranscriber(self._transcriber, window_s=self._window_s,
+                                          margin_s=self._margin_s,
+                                          frame_fn=self.batcher.submit)
+            self._sessions[session_id] = _Session(stream)
+            return session_id
+
+    def feed(self, session_id: str, chunk: np.ndarray) -> str:
+        session = self._get(session_id)
+        with session.lock:
+            session.last_used = time.time()
+            return session.stream.feed(chunk)
+
+    def text(self, session_id: str) -> str:
+        return self._get(session_id).stream.text
+
+    def finish(self, session_id: str) -> str:
+        """Flush and close; returns the COMPLETE transcript."""
+        session = self._get(session_id)
+        with session.lock:
+            session.stream.finish()
+            full = session.stream.text
+        with self._lock:
+            self._sessions.pop(session_id, None)
+        return full
+
+    def close(self, session_id: str) -> None:
+        with self._lock:
+            self._sessions.pop(session_id, None)
+
+    @property
+    def session_count(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
+    def _get(self, session_id: str) -> _Session:
+        with self._lock:
+            self._reap_locked()
+            session = self._sessions.get(session_id)
+        if session is None:
+            raise KeyError("unknown or expired session {!r}".format(session_id))
+        return session
+
+    def _reap_locked(self) -> None:
+        cutoff = time.time() - self._idle_timeout_s
+        for stale in [sid for sid, s in self._sessions.items()
+                      if s.last_used < cutoff]:
+            del self._sessions[stale]

@@ -28,7 +28,8 @@ def transcriber():
 
 @pytest.fixture(scope="module")
 def server(transcriber):
-    srv = TranscriptionServer(transcriber, port=0, max_batch=4, max_wait_ms=30.0)
+    srv = TranscriptionServer(transcriber, port=0, max_batch=4, max_wait_ms=30.0,
+                              stream_window_s=1.0, stream_margin_s=0.25)
     srv.start()
     yield srv
     srv.stop()
@@ -113,6 +114,34 @@ def test_concurrent_requests_are_batched(server, transcriber):
     assert after["requests"] - before.get("requests", 0) == 4
     # 4 concurrent posts against a 30 ms window must coalesce below 1 batch each.
     assert after["batches"] - before.get("batches", 0) < 4
+
+
+def test_streaming_session_over_http(server, transcriber):
+    """POST /v1/stream lifecycle: create -> feed chunks -> finish equals the direct
+    single-stream decode; finished/unknown sessions 404."""
+    from speechless_tpu.serving_streaming import StreamingTranscriber
+
+    audio = (np.random.RandomState(9).randn(40000) * 0.3).astype(np.float32)
+    expected = StreamingTranscriber(transcriber, window_s=1.0, margin_s=0.25
+                                    ).transcribe_stream(audio, chunk_samples=8000)
+
+    status, payload = _request(server, "/v1/stream", b"{}")
+    assert status == 200
+    sid = payload["session"]
+    assert _request(server, "/healthz")[1]["streaming_sessions"] == 1
+    for start in range(0, len(audio), 8000):
+        status, chunk_reply = _request(server, "/v1/stream/{}".format(sid),
+                                       _pcm_body(audio[start:start + 8000]))
+        assert status == 200 and "partial" in chunk_reply
+    status, final = _request(server, "/v1/stream/{}/finish".format(sid), b"{}")
+    assert status == 200
+    assert final["text"] == expected
+    # Finished and unknown sessions are gone.
+    assert _request(server, "/v1/stream/{}".format(sid),
+                    _pcm_body(audio[:8000]))[0] == 404
+    assert _request(server, "/v1/stream/nosuch/finish", b"{}")[0] == 404
+    metrics = _request(server, "/v1/metrics")[1]
+    assert metrics["streaming"]["windows"] >= 1
 
 
 def test_error_statuses(server):

@@ -1,0 +1,119 @@
+"""Multi-stream streaming (`serving_streaming.StreamingFrameBatcher` /
+`StreamingSessionPool`): batched frame-token dispatch parity, concurrent-session
+transcript parity with single-stream decode, session lifecycle."""
+import threading
+
+import numpy as np
+import pytest
+
+from speechless_tpu.models import wav2letter as w2l
+from speechless_tpu.serving import Transcriber
+from speechless_tpu.serving_streaming import (StreamingFrameBatcher,
+                                              StreamingSessionPool,
+                                              StreamingTranscriber)
+
+from test_streaming import ALPHABET, _tiny_config
+
+
+@pytest.fixture(scope="module")
+def transcriber():
+    import jax
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(3))
+    return Transcriber(config, params, ALPHABET, sample_buckets=(16384, 65536))
+
+
+def _audios(count, seed=0, low=9000, high=60000):
+    rng = np.random.RandomState(seed)
+    return [(rng.randn(int(rng.randint(low, high))) * 0.3).astype(np.float32)
+            for _ in range(count)]
+
+
+def test_frame_tokens_batch_matches_single(transcriber):
+    """Batched frame tokens == per-utterance frame tokens, across buckets and a
+    padded final group."""
+    audios = _audios(5)
+    batched = transcriber.frame_tokens_batch(audios, batch_size=2)
+    for audio, frames in zip(audios, batched):
+        np.testing.assert_array_equal(frames, transcriber.frame_tokens(audio))
+
+
+def test_concurrent_streams_match_sequential(transcriber):
+    """N threads streaming through one shared batcher produce EXACTLY the transcripts
+    of sequential unbatched streams — and their windows actually share batches."""
+    audios = _audios(4, seed=7, low=30000, high=90000)
+    expected = [StreamingTranscriber(transcriber, window_s=1.0, margin_s=0.25)
+                .transcribe_stream(audio, chunk_samples=8000) for audio in audios]
+
+    batcher = StreamingFrameBatcher(transcriber, max_batch=4, max_wait_ms=200.0)
+    batcher.start()
+    try:
+        results = [None] * len(audios)
+
+        def run(i):
+            stream = StreamingTranscriber(transcriber, window_s=1.0, margin_s=0.25,
+                                          frame_fn=batcher.submit)
+            results[i] = stream.transcribe_stream(audios[i], chunk_samples=8000)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(audios))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        metrics = batcher.metrics()
+    finally:
+        batcher.stop()
+    assert results == expected
+    assert metrics["windows"] >= len(audios)
+    # Windows from different streams shared dispatches (else batches == windows).
+    assert metrics["batches"] < metrics["windows"]
+    assert metrics["mean_batch_size"] > 1.0
+
+
+def test_session_pool_lifecycle(transcriber):
+    pool = StreamingSessionPool(transcriber, window_s=1.0, margin_s=0.25,
+                                max_wait_ms=5.0)
+    pool.start()
+    try:
+        audio = _audios(1, seed=11, low=40000, high=40001)[0]
+        expected = StreamingTranscriber(transcriber, window_s=1.0, margin_s=0.25
+                                        ).transcribe_stream(audio, chunk_samples=8000)
+        sid = pool.create()
+        assert pool.session_count == 1
+        parts = [pool.feed(sid, audio[s:s + 8000])
+                 for s in range(0, len(audio), 8000)]
+        final = pool.finish(sid)
+        assert final == expected  # finish returns the COMPLETE transcript
+        assert "".join(parts) == expected[: len("".join(parts))]
+        assert pool.session_count == 0
+        with pytest.raises(KeyError):
+            pool.feed(sid, audio[:8000])  # finished sessions are gone
+    finally:
+        pool.stop()
+
+
+def test_session_pool_expires_idle_sessions(transcriber):
+    import time
+
+    pool = StreamingSessionPool(transcriber, window_s=1.0, margin_s=0.25,
+                                idle_timeout_s=0.05)
+    pool.start()
+    try:
+        sid = pool.create()
+        time.sleep(0.1)
+        with pytest.raises(KeyError):
+            pool.feed(sid, np.zeros(8000, np.float32))
+    finally:
+        pool.stop()
+
+
+def test_session_pool_enforces_limit(transcriber):
+    pool = StreamingSessionPool(transcriber, max_sessions=2)
+    pool.start()
+    try:
+        pool.create(), pool.create()
+        with pytest.raises(RuntimeError, match="session limit"):
+            pool.create()
+    finally:
+        pool.stop()
