@@ -54,6 +54,10 @@ def main() -> None:
     parser.add_argument("--device-resident", action="store_true",
                         help="pack the corpus into HBM and sample batches on device "
                              "(zero steady-state host->device transfer)")
+    parser.add_argument("--dropout", type=float, default=None,
+                        help="dropout rate before the non-big convs (the reference's "
+                             "regularizer; counters raw-wave overfit at small corpus "
+                             "sizes — see QUALITY_r03_raw1k.json)")
     parser.add_argument("--raw-wave", action="store_true",
                         help="train the raw-wave model family (wave-conv frontend on "
                              "(samples,1) waveforms; combine with --device-resident "
@@ -153,6 +157,8 @@ def main() -> None:
             raise SystemExit("--spec-augment is a mel-feature augmentation; it does "
                              "not apply to --raw-wave")
         variant += "-raw"
+    if args.dropout is not None:
+        variant += "-do{:g}".format(args.dropout)
     run_name = "quality-english-devres" if args.device_resident else "quality-english"
     if args.difficulty != "standard":
         # Non-standard tiers get recalibrated between runs; keying the run name on the
@@ -171,6 +177,8 @@ def main() -> None:
         w2l_kwargs["spec_augment"] = True
     if args.raw_wave:
         w2l_kwargs["use_raw_wave_input"] = True
+    if args.dropout is not None:
+        w2l_kwargs["dropout"] = args.dropout
     if args.device_resident:
         config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
                                device_resident=True, wav2letter_kwargs=w2l_kwargs)
@@ -242,6 +250,7 @@ def main() -> None:
     results["raw_wave"] = args.raw_wave
     results["gradient_clip_norm"] = args.clip_norm
     results["spec_augment"] = args.spec_augment
+    results["dropout"] = args.dropout
     out_stem = ("quality_results" if args.difficulty == "standard"
                 else "quality_results_" + args.difficulty) + variant.replace("-", "_")
     out = args.data_dir / (out_stem + ".json")
