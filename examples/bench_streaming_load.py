@@ -28,41 +28,74 @@ enable_compilation_cache()
 import numpy as np
 
 from speechless_tpu.serving import Transcriber
-from speechless_tpu.serving_streaming import StreamingSessionPool
+from speechless_tpu.serving_streaming import (StreamingSessionPool,
+                                              StreamingTranscriber)
 from speechless_tpu.text.charsets import english_frequent_characters
 
 
 def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,
-             max_batch: int, window_s: float, margin_s: float) -> dict:
-    pool = StreamingSessionPool(transcriber, window_s=window_s, margin_s=margin_s,
-                                max_batch=max_batch, max_wait_ms=20.0)
-    pool.start()
+             batched: bool, max_batch: int, window_s: float,
+             margin_s: float) -> dict:
     texts = [None] * streams
-    try:
+    if batched:
+        pool = StreamingSessionPool(transcriber, window_s=window_s, margin_s=margin_s,
+                                    max_batch=max_batch, max_wait_ms=20.0)
+        pool.start()
+        try:
+            def run(i):
+                sid = pool.create()
+                audio = audio_clips[i]
+                for start in range(0, len(audio), chunk_samples):
+                    pool.feed(sid, audio[start:start + chunk_samples])
+                texts[i] = pool.finish(sid)
+
+            wall = _run_threads(run, streams)
+            metrics = pool.batcher.metrics()
+        finally:
+            pool.stop()
+        windows, batches = metrics["windows"], metrics["batches"]
+    else:
+        # The true pre-batcher baseline: every stream dispatches its own windows from
+        # its own thread via `frame_tokens` directly, so the per-dispatch RTTs of
+        # different streams OVERLAP (funneling them through a single one-item batcher
+        # thread would serialize them back-to-back and flatter the batched number).
+        counter_lock = threading.Lock()
+        counter = {"windows": 0}
+
+        def counted_frame_fn(audio):
+            with counter_lock:
+                counter["windows"] += 1
+            return transcriber.frame_tokens(audio)
+
         def run(i):
-            sid = pool.create()
+            stream = StreamingTranscriber(transcriber, window_s=window_s,
+                                          margin_s=margin_s,
+                                          frame_fn=counted_frame_fn)
             audio = audio_clips[i]
             for start in range(0, len(audio), chunk_samples):
-                pool.feed(sid, audio[start:start + chunk_samples])
-            texts[i] = pool.finish(sid)
+                stream.feed(audio[start:start + chunk_samples])
+            stream.finish()
+            texts[i] = stream.text
 
-        threads = [threading.Thread(target=run, args=(i,)) for i in range(streams)]
-        start = time.time()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.time() - start
-        metrics = pool.batcher.metrics()
-    finally:
-        pool.stop()
+        wall = _run_threads(run, streams)
+        windows = batches = counter["windows"]
     audio_seconds = sum(len(a) for a in audio_clips) / 16000.0
     return {"streams": streams, "audio_seconds": round(audio_seconds, 1),
             "wall_s": round(wall, 2),
             "aggregate_xrt": round(audio_seconds / wall, 2),
-            "windows": metrics["windows"], "batches": metrics["batches"],
-            "mean_batch_size": round(metrics["mean_batch_size"], 2),
+            "windows": windows, "batches": batches,
+            "mean_batch_size": round(windows / batches, 2) if batches else 0.0,
             "transcript_sample": (texts[0] or "")[:60]}
+
+
+def _run_threads(run, streams: int) -> float:
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(streams)]
+    start = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return time.time() - start
 
 
 def main() -> None:
@@ -92,22 +125,32 @@ def main() -> None:
              for _ in range(args.streams)]
     chunk = int(args.chunk_ms * 16)
 
-    # Warm the window-bucket programs (single and batched) outside the timed runs.
-    window = np.zeros(int(args.window_s * 16000), np.float32)
-    transcriber.frame_tokens(window)
-    transcriber.frame_tokens_batch([window] * args.max_batch,
-                                   batch_size=args.max_batch)
+    # Warm EVERY bucket the streams can touch, single and batched programs, outside
+    # the timed runs: windows grow from one chunk up to the full window, so dispatches
+    # land in every sample bucket up to bucket(window) — a cold per-bucket compile
+    # (minutes on the tunneled backend) inside the timed region would corrupt
+    # whichever run hits it first.
+    window_samples = int(args.window_s * 16000)
+    buckets = [b for b in transcriber.sample_buckets if b <= window_samples]
+    top = next((b for b in transcriber.sample_buckets if b >= window_samples), None)
+    if top is not None and top not in buckets:
+        buckets.append(top)
+    for bucket in buckets:
+        warm = np.zeros(bucket, np.float32)
+        transcriber.frame_tokens(warm)
+        transcriber.frame_tokens_batch([warm] * args.max_batch,
+                                       batch_size=args.max_batch)
 
     results = {"platform": jax.devices()[0].platform,
                "window_s": args.window_s, "margin_s": args.margin_s,
                "chunk_ms": args.chunk_ms}
-    for label, max_batch in (("batched", args.max_batch), ("unbatched", 1)):
-        row = run_load(transcriber, args.streams, clips, chunk, max_batch,
-                       args.window_s, args.margin_s)
+    for label, batched in (("batched", True), ("unbatched", False)):
+        row = run_load(transcriber, args.streams, clips, chunk, batched,
+                       args.max_batch, args.window_s, args.margin_s)
         results[label] = row
-        print("{:10s} max_batch={:3d}: {:6.1f}x realtime aggregate over {} streams, "
+        print("{:10s} batched={!s:5s}: {:6.1f}x realtime aggregate over {} streams, "
               "{} windows in {} batches (mean {:.1f})".format(
-                  label, max_batch, row["aggregate_xrt"], row["streams"],
+                  label, batched, row["aggregate_xrt"], row["streams"],
                   row["windows"], row["batches"], row["mean_batch_size"]), flush=True)
 
     args.out.parent.mkdir(parents=True, exist_ok=True)

@@ -52,6 +52,32 @@ def words_from_frame_tokens(frames: np.ndarray, codec: CtcGraphemeCodec,
     return words
 
 
+def grouped_padded_batches(audios: Sequence[np.ndarray], bucket_fn, batch_size: int):
+    """Yield ``(indices, wavs, lengths)`` batches for a batched device dispatch.
+
+    The shared grouping contract of every offline batch surface
+    (`Transcriber.transcribe_batch`, `Transcriber.frame_tokens_batch`,
+    `serving_export.ExportedTranscriber.transcribe_batch`): utterances grouped by
+    sample bucket (``bucket_fn(num_samples) -> bucket``), served ``batch_size`` rows
+    per dispatch, short final groups zero-padded up to ``batch_size`` so exactly one
+    program compiles per touched bucket. ``wavs`` is ``(batch_size, bucket)`` float32,
+    ``lengths`` int32; ``indices`` maps rows back to input positions.
+    """
+    by_bucket: dict = {}
+    for index, audio in enumerate(audios):
+        by_bucket.setdefault(bucket_fn(len(audio)), []).append(index)
+    for bucket, indices in sorted(by_bucket.items()):
+        for group_start in range(0, len(indices), batch_size):
+            group = indices[group_start:group_start + batch_size]
+            wavs = np.zeros((batch_size, bucket), dtype=np.float32)
+            lengths = np.zeros(batch_size, dtype=np.int32)
+            for row, index in enumerate(group):
+                audio = audios[index]
+                wavs[row, :len(audio)] = audio
+                lengths[row] = len(audio)
+            yield group, wavs, lengths
+
+
 class Transcriber:
     """Serve transcriptions from a trained wav2letter checkpoint."""
 
@@ -217,24 +243,14 @@ class Transcriber:
         `transcribe_batch`; returns one trimmed frame array per input, in order."""
         jnp = self._jnp
         results: List[Optional[np.ndarray]] = [None] * len(audios)
-        by_bucket: dict = {}
-        for index, audio in enumerate(audios):
-            by_bucket.setdefault(self._bucket(len(audio)), []).append(index)
-        for bucket, indices in sorted(by_bucket.items()):
-            for group_start in range(0, len(indices), batch_size):
-                group = indices[group_start:group_start + batch_size]
-                wavs = np.zeros((batch_size, bucket), dtype=np.float32)
-                lengths = np.zeros(batch_size, dtype=np.int32)
-                for row, index in enumerate(group):
-                    audio = audios[index]
-                    wavs[row, :len(audio)] = audio
-                    lengths[row] = len(audio)
-                frames, counts = self._frame_tokens_batch(
-                    self.params, jnp.asarray(wavs), jnp.asarray(lengths))
-                frames = np.asarray(frames)
-                counts = np.asarray(counts)
-                for row, index in enumerate(group):
-                    results[index] = frames[row, : int(counts[row])]
+        for group, wavs, lengths in grouped_padded_batches(audios, self._bucket,
+                                                           batch_size):
+            frames, counts = self._frame_tokens_batch(
+                self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+            frames = np.asarray(frames)
+            counts = np.asarray(counts)
+            for row, index in enumerate(group):
+                results[index] = frames[row, : int(counts[row])]
         return results
 
     @property
@@ -270,28 +286,18 @@ class Transcriber:
         """
         jnp = self._jnp
         results: List[Optional[Tuple[str, float]]] = [None] * len(audios)
-        by_bucket: dict = {}
-        for index, audio in enumerate(audios):
-            by_bucket.setdefault(self._bucket(len(audio)), []).append(index)
-        for bucket, indices in sorted(by_bucket.items()):
-            for group_start in range(0, len(indices), batch_size):
-                group = indices[group_start:group_start + batch_size]
-                wavs = np.zeros((batch_size, bucket), dtype=np.float32)
-                lengths = np.zeros(batch_size, dtype=np.int32)
-                for row, index in enumerate(group):
-                    audio = audios[index]
-                    wavs[row, :len(audio)] = audio
-                    lengths[row] = len(audio)
-                tokens, counts, confidences = self._transcribe_batch(
-                    self.params, jnp.asarray(wavs), jnp.asarray(lengths))
-                tokens = np.asarray(tokens)
-                counts = np.asarray(counts)
-                confidences = np.asarray(confidences)
-                for row, index in enumerate(group):
-                    text = self.codec.decode_graphemes(
-                        tokens[row, : int(counts[row])].tolist(),
-                        merge_repeated=False)
-                    results[index] = (text, float(confidences[row]))
+        for group, wavs, lengths in grouped_padded_batches(audios, self._bucket,
+                                                           batch_size):
+            tokens, counts, confidences = self._transcribe_batch(
+                self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+            tokens = np.asarray(tokens)
+            counts = np.asarray(counts)
+            confidences = np.asarray(confidences)
+            for row, index in enumerate(group):
+                text = self.codec.decode_graphemes(
+                    tokens[row, : int(counts[row])].tolist(),
+                    merge_repeated=False)
+                results[index] = (text, float(confidences[row]))
         return results
 
     def warm_up(self, durations_s: Optional[Sequence[float]] = None) -> None:

@@ -224,32 +224,28 @@ class ExportedTranscriber:
         if not batched:
             raise ValueError("bundle has no batched programs; re-export with "
                              "batch_sizes=(1, N)")
+        from .serving import grouped_padded_batches
+
         batch_size = max(batched)
-        results: List[Optional[tuple]] = [None] * len(audios)
-        by_bucket: dict = {}
-        for index, audio in enumerate(audios):
-            length = len(audio)
+
+        def bucket_fn(length: int) -> int:
             bucket = next((b for b in self.sample_buckets if length <= b), None)
             if bucket is None:
                 raise ValueError(
                     "audio of {} samples exceeds the largest exported bucket ({})"
                     .format(length, self.sample_buckets[-1]))
-            by_bucket.setdefault(bucket, []).append(index)
-        for bucket, indices in sorted(by_bucket.items()):
-            program = self._batch_programs[(bucket, batch_size)]
-            for group_start in range(0, len(indices), batch_size):
-                group = indices[group_start:group_start + batch_size]
-                wavs = np.zeros((batch_size, bucket), dtype=np.float32)
-                lengths = np.zeros(batch_size, dtype=np.int32)
-                for row, index in enumerate(group):
-                    wavs[row, :len(audios[index])] = audios[index]
-                    lengths[row] = len(audios[index])
-                tokens, counts, confidences = program.call(
-                    self.params, jnp.asarray(wavs), jnp.asarray(lengths))
-                tokens, counts = np.asarray(tokens), np.asarray(counts)
-                confidences = np.asarray(confidences)
-                for row, index in enumerate(group):
-                    text = self.codec.decode_graphemes(
-                        tokens[row, : int(counts[row])].tolist(), merge_repeated=False)
-                    results[index] = (text, float(confidences[row]))
+            return bucket
+
+        results: List[Optional[tuple]] = [None] * len(audios)
+        for group, wavs, lengths in grouped_padded_batches(audios, bucket_fn,
+                                                           batch_size):
+            program = self._batch_programs[(wavs.shape[1], batch_size)]
+            tokens, counts, confidences = program.call(
+                self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+            tokens, counts = np.asarray(tokens), np.asarray(counts)
+            confidences = np.asarray(confidences)
+            for row, index in enumerate(group):
+                text = self.codec.decode_graphemes(
+                    tokens[row, : int(counts[row])].tolist(), merge_repeated=False)
+                results[index] = (text, float(confidences[row]))
         return results

@@ -25,7 +25,6 @@ Responses are JSON: ``{"text": ..., "confidence": ...}`` (+ ``"words"`` with
 ``{"word", "start_s", "end_s"}`` when timestamps are requested).
 """
 import json
-import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -34,10 +33,10 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from .utils.microbatch import MicroBatcher, PendingItem
 from .utils.tools import log
 
 _MAX_BODY_BYTES = 64 * 1024 * 1024  # ~35 min of 16 kHz float32; guards the heap
-_LATENCY_WINDOW = 512  # rolling window for the p50/p95 metrics
 
 
 class RequestError(ValueError):
@@ -48,34 +47,26 @@ class RequestError(ValueError):
         self.status = status
 
 
-class _Pending:
-    __slots__ = ("audio", "want_timestamps", "done", "result", "error", "enqueued_at")
-
-    def __init__(self, audio: np.ndarray, want_timestamps: bool):
-        self.audio = audio
-        self.want_timestamps = want_timestamps
-        self.done = threading.Event()
-        self.result: Optional[dict] = None
-        self.error: Optional[BaseException] = None
-        self.enqueued_at = time.time()
-
-
-class DynamicBatcher:
+class DynamicBatcher(MicroBatcher):
     """Collect concurrent requests into micro-batches for one device dispatch each.
 
     The first queued request opens a window of ``max_wait_ms``; everything that arrives
     before it closes (up to ``max_batch``) is served by a single
     ``backend.transcribe_batch`` call. A lone request short-circuits to the
     single-utterance program (no padding to the batch width), so the unloaded-latency
-    path is identical to calling the transcriber directly.
+    path is identical to calling the transcriber directly. Queue/shutdown/error
+    semantics live in `utils.microbatch.MicroBatcher` (shared with the streaming
+    window batcher).
     """
+
+    item_noun = "requests"
 
     def __init__(self, backend, max_batch: int = 16, max_wait_ms: float = 10.0):
         import inspect
 
+        super().__init__(max_batch=max_batch, max_wait_ms=max_wait_ms,
+                         name="transcribe-batcher")
         self.backend = backend
-        self.max_batch = max_batch
-        self.max_wait_ms = max_wait_ms
         # The live Transcriber pads groups to an explicit batch_size — size its device
         # program to the batcher width; bundles fix the width at export time.
         try:
@@ -84,109 +75,29 @@ class DynamicBatcher:
                                   if "batch_size" in parameters else {})
         except (TypeError, ValueError):
             self._batch_kwargs = {}
-        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True,
-                                        name="transcribe-batcher")
-        self._lock = threading.Lock()
-        self.requests = 0
-        self.batches = 0
-        self.errors = 0
-        self._latencies: List[float] = []
-
-    def start(self) -> None:
-        self._thread.start()
-
-    def stop(self) -> None:
-        self._stop.set()
-        self._queue.put(None)  # wake the loop
-        self._thread.join(timeout=30)
 
     def submit(self, audio: np.ndarray, want_timestamps: bool = False) -> dict:
         """Enqueue one request and block until its batch is served."""
-        pending = _Pending(audio, want_timestamps)
-        self._queue.put(pending)
-        pending.done.wait()
-        if pending.error is not None:
-            raise pending.error
-        return pending.result
+        return super().submit((audio, want_timestamps))
 
-    def metrics(self) -> dict:
-        with self._lock:
-            latencies = sorted(self._latencies)
-            out = {
-                "requests": self.requests,
-                "batches": self.batches,
-                "errors": self.errors,
-                "mean_batch_size": (self.requests / self.batches
-                                    if self.batches else 0.0),
-                "queue_depth": self._queue.qsize(),
-            }
-            if latencies:
-                out["latency_p50_s"] = latencies[len(latencies) // 2]
-                out["latency_p95_s"] = latencies[min(len(latencies) - 1,
-                                                     int(len(latencies) * 0.95))]
-            return out
-
-    def _loop(self) -> None:
-        while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.25)
-            except queue.Empty:
-                continue
-            if first is None:
-                continue
-            batch = [first]
-            deadline = time.time() + self.max_wait_ms / 1000.0
-            while len(batch) < self.max_batch:
-                remaining = deadline - time.time()
-                if remaining <= 0:
-                    break
+    def _serve(self, batch: List[PendingItem]) -> None:
+        if len(batch) == 1:
+            audio, _ = batch[0].payload
+            text, confidence = self.backend.transcribe_audio_with_confidence(audio)
+            decoded = [(text, confidence)]
+        else:
+            decoded = self.backend.transcribe_batch(
+                [pending.payload[0] for pending in batch], **self._batch_kwargs)
+        for pending, (text, confidence) in zip(batch, decoded):
+            audio, want_timestamps = pending.payload
+            result = {"text": text, "confidence": confidence}
+            if want_timestamps:
                 try:
-                    item = self._queue.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if item is None:
-                    break
-                batch.append(item)
-            self._serve(batch)
-
-    def _serve(self, batch: List[_Pending]) -> None:
-        try:
-            if len(batch) == 1:
-                text, confidence = self.backend.transcribe_audio_with_confidence(
-                    batch[0].audio)
-                decoded = [(text, confidence)]
-            else:
-                decoded = self.backend.transcribe_batch(
-                    [pending.audio for pending in batch], **self._batch_kwargs)
-            for pending, (text, confidence) in zip(batch, decoded):
-                result = {"text": text, "confidence": confidence}
-                if pending.want_timestamps:
-                    try:
-                        result["words"] = self._timestamps(pending.audio)
-                    except BaseException as error:  # 501s must not poison the batch
-                        with self._lock:
-                            self.errors += 1
-                        pending.error = error
-                        continue
-                pending.result = result
-        except BaseException as error:  # surface compile/OOM errors to every waiter
-            with self._lock:
-                self.errors += len(batch)
-            for pending in batch:
-                if pending.error is None:
+                    result["words"] = self._timestamps(audio)
+                except BaseException as error:  # 501s must not poison the batch
                     pending.error = error
-        finally:
-            now = time.time()
-            with self._lock:
-                self.requests += len(batch)
-                self.batches += 1
-                self._latencies.extend(now - pending.enqueued_at
-                                       for pending in batch)
-                del self._latencies[:-_LATENCY_WINDOW]
-            for pending in batch:
-                pending.done.set()
+                    continue
+            pending.result = result
 
     def _timestamps(self, audio: np.ndarray) -> List[dict]:
         from .serving import words_from_frame_tokens
@@ -347,7 +258,23 @@ class TranscriptionServer:
                                        .format(_MAX_BODY_BYTES))
                 return self.rfile.read(length)
 
+            def _drain_body(self) -> None:
+                """Read and discard any request body on routes that don't use one.
+
+                The server speaks HTTP/1.1 (persistent connections); unread body bytes
+                would be parsed as the NEXT request line on the same connection,
+                breaking every keep-alive client on its second request.
+                """
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                while length > 0:
+                    read = self.rfile.read(min(length, 1 << 20))
+                    if not read:
+                        break
+                    length -= len(read)
+
             def do_POST(self):
+                from .serving_streaming import UnknownSessionError
+
                 parsed = urlparse(self.path)
                 try:
                     if parsed.path == "/v1/transcribe":
@@ -358,7 +285,8 @@ class TranscriptionServer:
                             "1", "true", "yes")
                         self._reply(200, server.batcher.submit(audio, want_timestamps))
                     elif parsed.path == "/v1/stream":
-                        # Create a streaming session (no body needed).
+                        # Create a streaming session (any body is ignored).
+                        self._drain_body()
                         try:
                             self._reply(200, {"session": server.streams.create()})
                         except ValueError as error:  # backend without stream surface
@@ -370,7 +298,9 @@ class TranscriptionServer:
                             parsed.path)})
                 except RequestError as error:
                     self._reply(error.status, {"error": str(error)})
-                except KeyError as error:
+                except UnknownSessionError as error:
+                    # Scoped to the session routes' lookups; any other KeyError is a
+                    # real server fault and must surface as 500 below.
                     self._reply(404, {"error": str(error)})
                 except Exception as error:  # noqa: BLE001 — a serving loop must not die
                     self._reply(500, {"error": "{}: {}".format(
@@ -379,17 +309,19 @@ class TranscriptionServer:
             def _stream_post(self, tail: str) -> None:
                 if tail.endswith("/finish"):
                     session_id = tail[: -len("/finish")]
+                    self._drain_body()
                     self._reply(200, {"text": server.streams.finish(session_id)})
                     return
-                # Feed one audio chunk; reply with the newly finalized text.
+                # Feed one audio chunk; reply with the newly finalized text. The full
+                # transcript comes from the same locked feed call — a second lookup
+                # could 404 after a concurrent finish/reap and discard the result.
                 session_id = tail
                 audio = _parse_audio(self.headers.get("Content-Type", ""),
                                      self._read_body())
                 try:
-                    partial = server.streams.feed(session_id, audio)
+                    partial, text = server.streams.feed_with_text(session_id, audio)
                 except ValueError as error:  # backend without streaming programs
                     raise RequestError(501, str(error))
-                self._reply(200, {"partial": partial,
-                                  "text": server.streams.text(session_id)})
+                self._reply(200, {"partial": partial, "text": text})
 
         return Handler

@@ -28,13 +28,26 @@ programs by `StreamingFrameBatcher` (one batcher thread owns all dispatch — th
 design as `serving_http.DynamicBatcher` for offline requests). Exposed over HTTP as
 `POST /v1/stream` / `/v1/stream/<id>` / `/v1/stream/<id>/finish`.
 """
-import queue
 import threading
 import time
 import uuid
-from typing import Dict, List, Optional
+from typing import Dict, List, Tuple
 
 import numpy as np
+
+from .utils.microbatch import MicroBatcher, PendingItem
+
+
+class UnknownSessionError(KeyError):
+    """The referenced streaming session does not exist (never created, already
+    finished, or idle-reaped). Maps to HTTP 404; deliberately a distinct type so the
+    handler never mistakes an internal KeyError for a missing session."""
+
+
+def _check_window(window_s: float, margin_s: float) -> None:
+    if window_s <= 2 * margin_s:
+        raise ValueError("window_s must exceed 2*margin_s to make progress "
+                         "(got window {}s, margin {}s)".format(window_s, margin_s))
 
 
 class StreamingTranscriber:
@@ -43,9 +56,7 @@ class StreamingTranscriber:
         """``frame_fn``: optional override for the per-window frame-token call
         (defaults to ``transcriber.frame_tokens``). A `StreamingFrameBatcher.submit`
         here lets many concurrent streams share batched device dispatches."""
-        if window_s <= 2 * margin_s:
-            raise ValueError("window_s must exceed 2*margin_s to make progress "
-                             "(got window {}s, margin {}s)".format(window_s, margin_s))
+        _check_window(window_s, margin_s)
         self._transcriber = transcriber
         self._frame_fn = frame_fn if frame_fn is not None else transcriber.frame_tokens
         spf = transcriber.samples_per_frame
@@ -129,17 +140,7 @@ class StreamingTranscriber:
         return "".join(self._parts[emitted_before:])
 
 
-class _PendingWindow:
-    __slots__ = ("audio", "done", "result", "error")
-
-    def __init__(self, audio: np.ndarray):
-        self.audio = audio
-        self.done = threading.Event()
-        self.result: Optional[np.ndarray] = None
-        self.error: Optional[BaseException] = None
-
-
-class StreamingFrameBatcher:
+class StreamingFrameBatcher(MicroBatcher):
     """Batch the frame-token windows of many concurrent streams into shared device
     dispatches.
 
@@ -147,88 +148,35 @@ class StreamingFrameBatcher:
     streams would cost N dispatches (each paying the full per-dispatch latency). One
     batcher thread collects windows that arrive within ``max_wait_ms`` and serves them
     through `Transcriber.frame_tokens_batch` — the same micro-batching the offline HTTP
-    path uses (`serving_http.DynamicBatcher`), applied to streaming. A lone window
+    path uses (`serving_http.DynamicBatcher`; queue/shutdown/error semantics shared via
+    `utils.microbatch.MicroBatcher`), applied to streaming. A lone window
     short-circuits to the single-window program, so an idle service adds no latency.
     """
 
+    item_noun = "windows"
+
     def __init__(self, transcriber, max_batch: int = 16, max_wait_ms: float = 20.0):
+        super().__init__(max_batch=max_batch, max_wait_ms=max_wait_ms,
+                         name="streaming-frame-batcher")
         self._transcriber = transcriber
-        self.max_batch = max_batch
-        self.max_wait_ms = max_wait_ms
-        self._queue: "queue.Queue[Optional[_PendingWindow]]" = queue.Queue()
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True,
-                                        name="streaming-frame-batcher")
-        self._lock = threading.Lock()
-        self.windows = 0
-        self.batches = 0
-
-    def start(self) -> None:
-        self._thread.start()
-
-    def stop(self) -> None:
-        self._stop.set()
-        self._queue.put(None)
-        self._thread.join(timeout=30)
 
     def submit(self, audio: np.ndarray) -> np.ndarray:
         """Frame tokens for one window; blocks until its batch is served. This is the
         ``frame_fn`` for `StreamingTranscriber`."""
-        pending = _PendingWindow(np.asarray(audio, np.float32))
-        self._queue.put(pending)
-        pending.done.wait()
-        if pending.error is not None:
-            raise pending.error
-        return pending.result
+        return super().submit(np.asarray(audio, np.float32))
 
-    def metrics(self) -> dict:
-        with self._lock:
-            return {"windows": self.windows, "batches": self.batches,
-                    "mean_batch_size": (self.windows / self.batches
-                                        if self.batches else 0.0)}
-
-    def _loop(self) -> None:
-        while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.25)
-            except queue.Empty:
-                continue
-            if first is None:
-                continue
-            batch = [first]
-            deadline = time.time() + self.max_wait_ms / 1000.0
-            while len(batch) < self.max_batch:
-                remaining = deadline - time.time()
-                if remaining <= 0:
-                    break
-                try:
-                    item = self._queue.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if item is None:
-                    break
-                batch.append(item)
-            try:
-                batched = getattr(self._transcriber, "frame_tokens_batch", None)
-                if len(batch) == 1 or batched is None:
-                    # Lone window — or a backend without the batched program (e.g. an
-                    # AOT bundle exported before frame_tokens_batch existed).
-                    results = [self._transcriber.frame_tokens(pending.audio)
-                               for pending in batch]
-                else:
-                    results = batched([pending.audio for pending in batch],
-                                      batch_size=self.max_batch)
-                for pending, frames in zip(batch, results):
-                    pending.result = frames
-            except BaseException as error:  # surface compile/OOM to every waiter
-                for pending in batch:
-                    pending.error = error
-            finally:
-                with self._lock:
-                    self.windows += len(batch)
-                    self.batches += 1
-                for pending in batch:
-                    pending.done.set()
+    def _serve(self, batch: List[PendingItem]) -> None:
+        batched = getattr(self._transcriber, "frame_tokens_batch", None)
+        if len(batch) == 1 or batched is None:
+            # Lone window — or a backend without the batched program (e.g. an
+            # AOT bundle exported before frame_tokens_batch existed).
+            for pending in batch:
+                pending.result = self._transcriber.frame_tokens(pending.payload)
+        else:
+            results = batched([pending.payload for pending in batch],
+                              batch_size=self.max_batch)
+            for pending, frames in zip(batch, results):
+                pending.result = frames
 
 
 class _Session:
@@ -257,6 +205,9 @@ class StreamingSessionPool:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
                  max_batch: int = 16, max_wait_ms: float = 20.0,
                  idle_timeout_s: float = 300.0, max_sessions: int = 256):
+        # Fail at construction, not per-request: a bad window/margin pair would
+        # otherwise surface as a misleading 501 on every create().
+        _check_window(window_s, margin_s)
         self._transcriber = transcriber
         self._window_s = window_s
         self._margin_s = margin_s
@@ -289,10 +240,22 @@ class StreamingSessionPool:
             return session_id
 
     def feed(self, session_id: str, chunk: np.ndarray) -> str:
+        return self.feed_with_text(session_id, chunk)[0]
+
+    def feed_with_text(self, session_id: str, chunk: np.ndarray) -> Tuple[str, str]:
+        """Feed one chunk; returns ``(newly_finalized, full_text_so_far)`` from the
+        same locked call — a caller doing a second `text()` lookup could lose the
+        result to a concurrent finish/reap."""
         session = self._get(session_id)
         with session.lock:
-            session.last_used = time.time()
-            return session.stream.feed(chunk)
+            try:
+                partial = session.stream.feed(chunk)
+                return partial, session.stream.text
+            finally:
+                # Updated on exit, not entry: a first-window feed can sit in a minutes
+                # -long remote compile, and entry-stamped sessions would look idle and
+                # get reaped mid-feed.
+                session.last_used = time.time()
 
     def text(self, session_id: str) -> str:
         return self._get(session_id).stream.text
@@ -321,11 +284,14 @@ class StreamingSessionPool:
             self._reap_locked()
             session = self._sessions.get(session_id)
         if session is None:
-            raise KeyError("unknown or expired session {!r}".format(session_id))
+            raise UnknownSessionError(
+                "unknown or expired session {!r}".format(session_id))
         return session
 
     def _reap_locked(self) -> None:
         cutoff = time.time() - self._idle_timeout_s
         for stale in [sid for sid, s in self._sessions.items()
-                      if s.last_used < cutoff]:
+                      if s.last_used < cutoff and not s.lock.locked()]:
+            # A held lock means a feed/finish is in flight right now (its last_used
+            # stamp lands when it returns) — never reap a live stream.
             del self._sessions[stale]

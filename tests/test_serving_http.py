@@ -155,6 +155,45 @@ def test_error_statuses(server):
                     content_type="audio/wav")[0] == 400
 
 
+def test_keepalive_survives_bodied_stream_create(server):
+    """HTTP/1.1 persistent connections: a body sent with the (bodiless) create and
+    finish routes must be drained — unread bytes would be parsed as the next request
+    line on the same connection, 400-ing every keep-alive client's second request."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+    try:
+        conn.request("POST", "/v1/stream", body=b"{}",
+                     headers={"Content-Type": "application/json"})
+        response = conn.getresponse()
+        assert response.status == 200
+        sid = json.loads(response.read())["session"]
+        # Second request on the SAME connection must not see leftover body bytes.
+        conn.request("GET", "/healthz")
+        response = conn.getresponse()
+        assert response.status == 200
+        assert json.loads(response.read())["status"] == "ok"
+        conn.request("POST", "/v1/stream/{}/finish".format(sid), body=b"{}",
+                     headers={"Content-Type": "application/json"})
+        response = conn.getresponse()
+        assert response.status == 200
+        response.read()
+        conn.request("GET", "/healthz")
+        response = conn.getresponse()
+        assert response.status == 200
+        response.read()
+    finally:
+        conn.close()
+
+
+def test_server_rejects_bad_stream_window_at_construction(transcriber):
+    """Misconfigured streaming windows fail at server construction, not as a
+    misleading 501 on every create request."""
+    with pytest.raises(ValueError, match="window_s"):
+        TranscriptionServer(transcriber, port=0, stream_window_s=1.0,
+                            stream_margin_s=0.5)
+
+
 def test_parse_audio_resamples_json_pcm():
     audio = np.sin(np.linspace(0, 40 * np.pi, 8000)).astype(np.float32)
     parsed = _parse_audio("application/json",

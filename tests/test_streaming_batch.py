@@ -117,3 +117,77 @@ def test_session_pool_enforces_limit(transcriber):
             pool.create()
     finally:
         pool.stop()
+
+
+def test_batcher_stop_fails_blocked_submitters(transcriber):
+    """stop() must wake submitters whose windows were never served — not leave them
+    blocked forever on `done.wait()` — and reject submits after stop."""
+    import time
+
+    from speechless_tpu.utils.microbatch import BatcherStopped
+
+    batcher = StreamingFrameBatcher(transcriber, max_batch=4, max_wait_ms=5.0)
+    # Deliberately never started: submitted windows sit in the queue until stop().
+    outcome = []
+
+    def run():
+        try:
+            outcome.append(batcher.submit(np.zeros(9000, np.float32)))
+        except BaseException as error:  # noqa: BLE001 — recording for the assert
+            outcome.append(error)
+
+    thread = threading.Thread(target=run)
+    thread.start()
+    time.sleep(0.05)
+    batcher.stop()
+    thread.join(timeout=10)
+    assert not thread.is_alive(), "submitter stayed blocked after stop()"
+    assert len(outcome) == 1 and isinstance(outcome[0], BatcherStopped)
+    with pytest.raises(BatcherStopped):
+        batcher.submit(np.zeros(9000, np.float32))
+
+
+def test_pool_validates_window_margin_at_construction(transcriber):
+    """A bad window/margin pair fails at construction, not as a per-create error."""
+    with pytest.raises(ValueError, match="window_s"):
+        StreamingSessionPool(transcriber, window_s=2.0, margin_s=1.0)
+
+
+def test_reap_skips_inflight_session(transcriber):
+    """A session whose feed is in flight (per-session lock held — e.g. a first-window
+    feed sitting in a minutes-long remote compile) is never idle-reaped."""
+    import time
+
+    pool = StreamingSessionPool(transcriber, window_s=1.0, margin_s=0.25,
+                                idle_timeout_s=0.05)
+    pool.start()
+    try:
+        sid = pool.create()
+        session = pool._sessions[sid]
+        with session.lock:  # simulate a feed outliving the idle timeout
+            time.sleep(0.1)
+            pool.create()  # create() reaps stale sessions
+            assert sid in pool._sessions, "live (locked) session was reaped"
+        time.sleep(0.1)  # released and idle past the timeout -> now reapable
+        pool.create()
+        assert sid not in pool._sessions
+    finally:
+        pool.stop()
+
+
+def test_feed_with_text_returns_full_transcript(transcriber):
+    """feed_with_text returns (newly_finalized, full_text) from ONE locked call — the
+    HTTP feed route must not do a second lookup that can lose to a concurrent
+    finish/reap."""
+    pool = StreamingSessionPool(transcriber, window_s=1.0, margin_s=0.25)
+    pool.start()
+    try:
+        audio = _audios(1, seed=13, low=40000, high=40001)[0]
+        sid = pool.create()
+        fed = []
+        for start in range(0, len(audio), 8000):
+            partial, text = pool.feed_with_text(sid, audio[start:start + 8000])
+            fed.append(partial)
+            assert text == "".join(fed)
+    finally:
+        pool.stop()
