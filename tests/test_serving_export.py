@@ -135,6 +135,14 @@ def test_lm_fused_bundle_roundtrip(tmp_path):
     import jax
     from speechless_tpu.lm.arpa_builder import build_kenlm_directory
 
+    # The LM-fused beam is the largest CPU compile in the suite; after ~260 prior
+    # test compilations in one process, XLA:CPU's JIT segfaults inside
+    # backend_compile_and_load on this program (deterministic across 3 full-suite
+    # runs, never standalone). Dropping the executables compiled by earlier tests
+    # releases that accumulated JIT state. TPU serving is unaffected (compiles run
+    # on the remote compiler).
+    jax.clear_caches()
+
     lm_dir = tmp_path / "kenlm"
     build_kenlm_directory(["the cat sat", "a dog ran", "the dog sat"], lm_dir,
                           allowed_characters=ALPHABET, order=3)
