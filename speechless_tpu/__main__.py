@@ -56,6 +56,15 @@ def main(argv=None) -> None:
     p_train.add_argument("--clip-norm", type=float, default=None,
                          help="global-norm gradient clipping (default: unclipped, "
                               "reference parity)")
+    p_train.add_argument("--lr-warmup-steps", type=int, default=0,
+                         help="linear learning-rate warmup from 0 over N steps "
+                              "(default: none, reference parity)")
+    p_train.add_argument("--lr-decay", choices=("cosine",), default=None,
+                         help="anneal the learning rate after warmup (requires "
+                              "--lr-decay-steps)")
+    p_train.add_argument("--lr-decay-steps", type=int, default=None,
+                         help="total schedule length in steps (incl. warmup) for "
+                              "--lr-decay cosine")
 
     p_transfer = sub.add_parser("transfer", help="transfer-train from the best English model")
     add_config_arg(p_transfer)
@@ -144,6 +153,11 @@ def main(argv=None) -> None:
             kwargs["spec_augment"] = True
         if args.clip_norm is not None:
             kwargs["gradient_clip_norm"] = args.clip_norm
+        if getattr(args, "lr_warmup_steps", 0):
+            kwargs["lr_warmup_steps"] = args.lr_warmup_steps
+        if getattr(args, "lr_decay", None) is not None:
+            kwargs["lr_decay"] = args.lr_decay
+            kwargs["lr_decay_steps"] = args.lr_decay_steps
         return kwargs
 
     if args.command == "train":

@@ -33,7 +33,8 @@ from .text.metrics import (ExpectationsVsPredictions, ExpectationsVsPredictionsI
                            ExpectationsVsPredictionsInGroupedBatches, ExpectationVsPrediction)
 from .train import checkpoint as ckpt
 from .train.trainer import (Batch, TrainState, init_train_state, make_eval_step,
-                            make_multi_step, make_optimizer, make_train_step)
+                            make_lr_schedule, make_multi_step, make_optimizer,
+                            make_train_step)
 from .utils.tools import log, mkdir, read_text, single
 
 DEFAULT_BEAM_WIDTH = 100
@@ -59,6 +60,9 @@ class Wav2Letter:
                  activation: str = "relu",
                  output_activation: str = "softmax",
                  learning_rate: float = 1e-4,
+                 lr_warmup_steps: int = 0,
+                 lr_decay: Optional[str] = None,
+                 lr_decay_steps: Optional[int] = None,
                  gradient_clip_norm: Optional[float] = None,
                  dropout: Optional[float] = None,
                  load_model_from_directory: Optional[Path] = None,
@@ -161,8 +165,10 @@ class Wav2Letter:
             # The criterion pseudo-layer (appended below) is always trainable — freezing
             # applies to acoustic-model layers only.
             trainable = trainable + [True]
-        self.optimizer = make_optimizer(learning_rate, trainable=trainable,
-                                        gradient_clip_norm=gradient_clip_norm)
+        self.optimizer = make_optimizer(
+            make_lr_schedule(learning_rate, warmup_steps=lr_warmup_steps,
+                             decay=lr_decay, decay_steps=lr_decay_steps),
+            trainable=trainable, gradient_clip_norm=gradient_clip_norm)
 
         rng = jax.random.PRNGKey(seed)
         params = None

@@ -46,11 +46,45 @@ class WavBatch(NamedTuple):
     label_lengths: jnp.ndarray   # (B,) int32
 
 
-def make_optimizer(learning_rate: float = 1e-4,
+def make_lr_schedule(base_learning_rate: float = 1e-4,
+                     warmup_steps: int = 0,
+                     decay: Optional[str] = None,
+                     decay_steps: Optional[int] = None,
+                     end_value_fraction: float = 0.01):
+    """Optional warmup + decay learning-rate schedule for `make_optimizer`.
+
+    Returns the plain float when neither warmup nor decay is requested (the
+    reference's regime: fixed Adam 1e-4, `net.py:132`), else an optax schedule —
+    `optax.adam` accepts either. ``decay="cosine"`` anneals from the peak to
+    ``end_value_fraction * base`` over ``decay_steps`` TOTAL steps (warmup included);
+    ``decay=None`` with ``warmup_steps > 0`` ramps linearly from 0 to the base rate
+    and holds. Schedules key off the Adam step count inside the checkpointed
+    optimizer state, so `train_or_resume` continues them correctly across restarts.
+    """
+    if not warmup_steps and decay is None:
+        return base_learning_rate
+    if decay == "cosine":
+        if not decay_steps:
+            raise ValueError("decay_steps (total steps incl. warmup) is required "
+                             "for cosine decay")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=base_learning_rate,
+            warmup_steps=warmup_steps, decay_steps=decay_steps,
+            end_value=base_learning_rate * end_value_fraction)
+    if decay is None:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base_learning_rate, warmup_steps),
+             optax.constant_schedule(base_learning_rate)], [warmup_steps])
+    raise ValueError("unknown decay {!r}; expected 'cosine' or None".format(decay))
+
+
+def make_optimizer(learning_rate=1e-4,
                    trainable: Optional[List[bool]] = None,
                    gradient_clip_norm: Optional[float] = None
                    ) -> optax.GradientTransformation:
     """Adam with optional per-layer freezing mask and global-norm gradient clipping.
+
+    ``learning_rate`` is a float or an optax schedule (see `make_lr_schedule`).
 
     ``gradient_clip_norm`` guards late training on noisy corpora: a near-converged
     (peaky) model occasionally meets a batch whose CTC gradient is orders of magnitude
