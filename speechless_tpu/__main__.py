@@ -140,6 +140,29 @@ def main(argv=None) -> None:
     p_serve.add_argument("--no-warm-up", action="store_true",
                          help="skip compiling all bucket programs before binding")
 
+    p_transcribe = sub.add_parser(
+        "transcribe", help="transcribe audio files offline (wav/flac)")
+    add_config_arg(p_transcribe)
+    p_transcribe.add_argument("files", nargs="+", help="audio files (wav or flac)")
+    p_transcribe.add_argument("--run", default=None, help="run name under nets/")
+    p_transcribe.add_argument("--epoch", type=int, default=None)
+    p_transcribe.add_argument("--bundle", default=None,
+                              help="transcribe with an AOT bundle (see `export`) "
+                                   "instead of a checkpoint")
+    p_transcribe.add_argument("--kenlm", action="store_true",
+                              help="LM-fused beam decode (checkpoint mode)")
+    p_transcribe.add_argument("--quantize", action="store_true",
+                              help="int8 per-channel weights (checkpoint mode)")
+    p_transcribe.add_argument("--timestamps", action="store_true",
+                              help="include word-level emission timestamps")
+    p_transcribe.add_argument("--long-form", action="store_true",
+                              help="segment at silences for long recordings "
+                                   "(> the largest sample bucket)")
+    p_transcribe.add_argument("--json", action="store_true", dest="as_json",
+                              help="one JSON object per file on stdout")
+    p_transcribe.add_argument("--dispatch-batch", type=int, default=16,
+                              help="files per batched device dispatch")
+
     p_record = sub.add_parser("record", help="record from the microphone and transcribe")
     add_config_arg(p_record)
     p_record.add_argument("--run", default=None, help="run name to load (default: best)")
@@ -235,6 +258,59 @@ def main(argv=None) -> None:
                                      max_batch=args.max_batch,
                                      max_wait_ms=args.max_wait_ms)
         server.serve_forever()
+    elif args.command == "transcribe":
+        import json as json_module
+
+        from .features.audio_io import load_audio
+
+        if (args.bundle is None) == (args.run is None):
+            raise SystemExit("transcribe needs exactly one of --bundle or --run/--epoch")
+        if args.bundle is not None:
+            from .serving_export import ExportedTranscriber
+            backend = ExportedTranscriber(Path(args.bundle))
+        else:
+            if args.epoch is None:
+                raise SystemExit("--run requires --epoch")
+            configuration = _configuration(args.config, args.data_dir,
+                                           args.batch_size, args.batches_per_epoch)
+            from .serving import Transcriber
+            backend = Transcriber.from_checkpoint(
+                configuration.directories.nets_base_directory / args.run, args.epoch,
+                configuration.allowed_characters,
+                mel_frequency_count=configuration.mel_frequency_count,
+                kenlm_directory=(configuration.directories.kenlm_base_directory /
+                                 configuration.name.lower()) if args.kenlm else None,
+                quantize_weights=args.quantize)
+        audios = [load_audio(Path(f)) for f in args.files]
+        if args.long_form:
+            if args.timestamps:
+                raise SystemExit("--timestamps is per-utterance; long-form "
+                                 "segmentation does not carry emission offsets")
+            decoded = [(backend.transcribe_long_audio(audio), None)
+                       for audio in audios]
+        elif len(audios) > 1 and hasattr(backend, "transcribe_batch"):
+            decoded = backend.transcribe_batch(audios,
+                                               **({"batch_size": args.dispatch_batch}
+                                                  if args.bundle is None else {}))
+        else:
+            decoded = [backend.transcribe_audio_with_confidence(audio)
+                       for audio in audios]
+        for name, audio, (text, confidence) in zip(args.files, audios, decoded):
+            if args.as_json:
+                record = {"file": name, "text": text}
+                if confidence is not None:
+                    record["confidence"] = confidence
+                if args.timestamps:
+                    from .serving import words_from_frame_tokens
+                    words = words_from_frame_tokens(
+                        backend.frame_tokens(audio), backend.codec,
+                        backend.blank_index, backend.samples_per_frame / 16000.0)
+                    record["words"] = [
+                        {"word": word, "start_s": round(start, 4),
+                         "end_s": round(end, 4)} for word, start, end in words]
+                print(json_module.dumps(record))
+            else:
+                print("{}\t{}".format(name, text))
     elif args.command == "record":
         from .io import record_plot_and_save
         configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)

@@ -131,6 +131,46 @@ class TestCli:
         assert isinstance(loaded.transcribe_audio(audio), str)
         assert len(loaded.transcribe_batch([audio, audio, audio])) == 3
 
+    def test_transcribe_files(self, data_dir, tmp_path, capsys):
+        """`transcribe`: checkpoint-backed offline file transcription — plain and JSON
+        (+timestamps) output, batched multi-file path."""
+        import json
+
+        from conftest import make_test_wav
+
+        main(["train", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--epochs", "1", "--batch-size", "2", "--batches-per-epoch", "2"])
+        run = next((data_dir / "nets").iterdir()).name
+        wavs = []
+        for i in range(3):
+            path = tmp_path / "clip{}.wav".format(i)
+            make_test_wav(path, duration_s=0.4, seed=i)
+            wavs.append(str(path))
+        capsys.readouterr()
+
+        main(["transcribe", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--run", run, "--epoch", "1"] + wavs)
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith(str(tmp_path))]
+        assert len(lines) == 3
+        assert all(line.split("\t")[0] == wav for line, wav in zip(lines, wavs))
+
+        main(["transcribe", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--run", run, "--epoch", "1", "--json", "--timestamps", wavs[0]])
+        records = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+                   if l.startswith("{")]
+        assert len(records) == 1
+        assert records[0]["file"] == wavs[0] and "words" in records[0]
+        for word in records[0]["words"]:
+            assert 0 <= word["start_s"] < word["end_s"]
+
+    def test_transcribe_requires_exactly_one_model_source(self, data_dir, tmp_path):
+        wav = tmp_path / "c.wav"
+        from conftest import make_test_wav
+        make_test_wav(wav)
+        with pytest.raises(SystemExit, match="exactly one of"):
+            main(["transcribe", "--data-dir", str(data_dir), str(wav)])
+
     def test_serve_requires_exactly_one_model_source(self, data_dir):
         with pytest.raises(SystemExit, match="exactly one of"):
             main(["serve", "--data-dir", str(data_dir)])
