@@ -54,6 +54,12 @@ def main() -> None:
     parser.add_argument("--device-resident", action="store_true",
                         help="pack the corpus into HBM and sample batches on device "
                              "(zero steady-state host->device transfer)")
+    parser.add_argument("--lr-warmup-steps", type=int, default=0,
+                        help="linear LR warmup over N steps")
+    parser.add_argument("--lr-decay", choices=("cosine",), default=None,
+                        help="cosine LR decay (requires --lr-decay-steps)")
+    parser.add_argument("--lr-decay-steps", type=int, default=None,
+                        help="total schedule steps incl. warmup")
     parser.add_argument("--dropout", type=float, default=None,
                         help="dropout rate before the non-big convs (the reference's "
                              "regularizer; counters raw-wave overfit at small corpus "
@@ -159,6 +165,8 @@ def main() -> None:
         variant += "-raw"
     if args.dropout is not None:
         variant += "-do{:g}".format(args.dropout)
+    if args.lr_warmup_steps or args.lr_decay:
+        variant += "-lr{}w{}".format(args.lr_decay or "warm", args.lr_warmup_steps)
     run_name = "quality-english-devres" if args.device_resident else "quality-english"
     if args.difficulty != "standard":
         # Non-standard tiers get recalibrated between runs; keying the run name on the
@@ -179,6 +187,11 @@ def main() -> None:
         w2l_kwargs["use_raw_wave_input"] = True
     if args.dropout is not None:
         w2l_kwargs["dropout"] = args.dropout
+    if args.lr_warmup_steps:
+        w2l_kwargs["lr_warmup_steps"] = args.lr_warmup_steps
+    if args.lr_decay is not None:
+        w2l_kwargs["lr_decay"] = args.lr_decay
+        w2l_kwargs["lr_decay_steps"] = args.lr_decay_steps
     if args.device_resident:
         config.train_or_resume(run_name, epoch_limit=args.epochs, callback_step=5,
                                device_resident=True, wav2letter_kwargs=w2l_kwargs)
@@ -251,6 +264,9 @@ def main() -> None:
     results["gradient_clip_norm"] = args.clip_norm
     results["spec_augment"] = args.spec_augment
     results["dropout"] = args.dropout
+    results["lr_schedule"] = {"warmup_steps": args.lr_warmup_steps,
+                              "decay": args.lr_decay,
+                              "decay_steps": args.lr_decay_steps}
     out_stem = ("quality_results" if args.difficulty == "standard"
                 else "quality_results_" + args.difficulty) + variant.replace("-", "_")
     out = args.data_dir / (out_stem + ".json")
