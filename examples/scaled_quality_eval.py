@@ -165,8 +165,16 @@ def main() -> None:
         variant += "-raw"
     if args.dropout is not None:
         variant += "-do{:g}".format(args.dropout)
+    if args.lr_decay is not None and args.lr_decay_steps is None:
+        raise SystemExit("--lr-decay requires --lr-decay-steps")
+    if args.lr_decay_steps is not None and args.lr_decay is None:
+        raise SystemExit("--lr-decay-steps has no effect without --lr-decay")
     if args.lr_warmup_steps or args.lr_decay:
-        variant += "-lr{}w{}".format(args.lr_decay or "warm", args.lr_warmup_steps)
+        # The decay-steps count is part of the variant key: two cosine runs with
+        # different horizons must never resume each other's checkpoints.
+        variant += "-lr{}{}w{}".format(args.lr_decay or "warm",
+                                       args.lr_decay_steps or "",
+                                       args.lr_warmup_steps)
     run_name = "quality-english-devres" if args.device_resident else "quality-english"
     if args.difficulty != "standard":
         # Non-standard tiers get recalibrated between runs; keying the run name on the

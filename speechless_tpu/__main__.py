@@ -30,6 +30,29 @@ def _configuration(name: str, data_dir=None, batch_size=None, batches_per_epoch=
     return configuration
 
 
+def _serving_backend(args, command: str):
+    """Build the serving backend shared by ``serve`` and ``transcribe``: exactly one
+    of an AOT bundle (``--bundle``) or a live checkpoint (``--run``/``--epoch``)."""
+    if (args.bundle is None) == (args.run is None):
+        raise SystemExit(
+            "{} needs exactly one of --bundle or --run/--epoch".format(command))
+    if args.bundle is not None:
+        from .serving_export import ExportedTranscriber
+        return ExportedTranscriber(Path(args.bundle))
+    if args.epoch is None:
+        raise SystemExit("--run requires --epoch")
+    configuration = _configuration(args.config, args.data_dir,
+                                   args.batch_size, args.batches_per_epoch)
+    from .serving import Transcriber
+    return Transcriber.from_checkpoint(
+        configuration.directories.nets_base_directory / args.run, args.epoch,
+        configuration.allowed_characters,
+        mel_frequency_count=configuration.mel_frequency_count,
+        kenlm_directory=(configuration.directories.kenlm_base_directory /
+                         configuration.name.lower()) if args.kenlm else None,
+        quantize_weights=args.quantize)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="speechless_tpu",
                                      description="TPU-native wav2letter speech recognition")
@@ -154,7 +177,8 @@ def main(argv=None) -> None:
     p_transcribe.add_argument("--quantize", action="store_true",
                               help="int8 per-channel weights (checkpoint mode)")
     p_transcribe.add_argument("--timestamps", action="store_true",
-                              help="include word-level emission timestamps")
+                              help="include word-level emission timestamps "
+                                   "(requires --json)")
     p_transcribe.add_argument("--long-form", action="store_true",
                               help="segment at silences for long recordings "
                                    "(> the largest sample bucket)")
@@ -169,6 +193,16 @@ def main(argv=None) -> None:
     p_record.add_argument("--epoch", type=int, default=None)
 
     args = parser.parse_args(argv)
+
+    # Cross-check the LR-schedule pair at parse time: --lr-decay without steps would
+    # otherwise only fail deep inside model construction, and --lr-decay-steps without
+    # --lr-decay would be silently dropped by the kwargs guard below.
+    if getattr(args, "lr_decay", None) is not None \
+            and getattr(args, "lr_decay_steps", None) is None:
+        parser.error("--lr-decay requires --lr-decay-steps")
+    if getattr(args, "lr_decay_steps", None) is not None \
+            and getattr(args, "lr_decay", None) is None:
+        parser.error("--lr-decay-steps has no effect without --lr-decay")
 
     def training_wav2letter_kwargs():
         kwargs = {}
@@ -234,26 +268,9 @@ def main(argv=None) -> None:
                            batch_sizes=tuple(args.batch_sizes))
     elif args.command == "serve":
         from .serving_http import TranscriptionServer
-        if (args.bundle is None) == (args.run is None):
-            raise SystemExit("serve needs exactly one of --bundle or --run/--epoch")
-        if args.bundle is not None:
-            from .serving_export import ExportedTranscriber
-            backend = ExportedTranscriber(Path(args.bundle))
-        else:
-            if args.epoch is None:
-                raise SystemExit("--run requires --epoch")
-            configuration = _configuration(args.config, args.data_dir,
-                                           args.batch_size, args.batches_per_epoch)
-            from .serving import Transcriber
-            backend = Transcriber.from_checkpoint(
-                configuration.directories.nets_base_directory / args.run, args.epoch,
-                configuration.allowed_characters,
-                mel_frequency_count=configuration.mel_frequency_count,
-                kenlm_directory=(configuration.directories.kenlm_base_directory /
-                                 configuration.name.lower()) if args.kenlm else None,
-                quantize_weights=args.quantize)
-            if not args.no_warm_up:
-                backend.warm_up()
+        backend = _serving_backend(args, "serve")
+        if args.bundle is None and not args.no_warm_up:
+            backend.warm_up()
         server = TranscriptionServer(backend, host=args.host, port=args.port,
                                      max_batch=args.max_batch,
                                      max_wait_ms=args.max_wait_ms)
@@ -262,49 +279,47 @@ def main(argv=None) -> None:
         import json as json_module
 
         from .features.audio_io import load_audio
+        from .serving import words_from_frame_tokens
 
-        if (args.bundle is None) == (args.run is None):
-            raise SystemExit("transcribe needs exactly one of --bundle or --run/--epoch")
-        if args.bundle is not None:
-            from .serving_export import ExportedTranscriber
-            backend = ExportedTranscriber(Path(args.bundle))
-        else:
-            if args.epoch is None:
-                raise SystemExit("--run requires --epoch")
-            configuration = _configuration(args.config, args.data_dir,
-                                           args.batch_size, args.batches_per_epoch)
-            from .serving import Transcriber
-            backend = Transcriber.from_checkpoint(
-                configuration.directories.nets_base_directory / args.run, args.epoch,
-                configuration.allowed_characters,
-                mel_frequency_count=configuration.mel_frequency_count,
-                kenlm_directory=(configuration.directories.kenlm_base_directory /
-                                 configuration.name.lower()) if args.kenlm else None,
-                quantize_weights=args.quantize)
+        if args.timestamps and args.long_form:
+            raise SystemExit("--timestamps is per-utterance; long-form "
+                             "segmentation does not carry emission offsets")
+        if args.timestamps and not args.as_json:
+            raise SystemExit("--timestamps requires --json (the plain output is one "
+                             "'file<TAB>text' line per file)")
+        backend = _serving_backend(args, "transcribe")
         audios = [load_audio(Path(f)) for f in args.files]
         if args.long_form:
-            if args.timestamps:
-                raise SystemExit("--timestamps is per-utterance; long-form "
-                                 "segmentation does not carry emission offsets")
             decoded = [(backend.transcribe_long_audio(audio), None)
                        for audio in audios]
-        elif len(audios) > 1 and hasattr(backend, "transcribe_batch"):
+        elif len(audios) > 1 and backend.has_batched_programs:
             decoded = backend.transcribe_batch(audios,
                                                **({"batch_size": args.dispatch_batch}
                                                   if args.bundle is None else {}))
         else:
             decoded = [backend.transcribe_audio_with_confidence(audio)
                        for audio in audios]
-        for name, audio, (text, confidence) in zip(args.files, audios, decoded):
+        if args.timestamps:
+            # One batched frame-token pass for every file: a per-file dispatch costs
+            # ~24 ms of round-trip alone on tunneled backends. Bundles expose only the
+            # single-window `frame_tokens` (and only when exported with streaming
+            # programs), so they go file-by-file.
+            if len(audios) > 1 and hasattr(backend, "frame_tokens_batch"):
+                frames_list = backend.frame_tokens_batch(
+                    audios, batch_size=args.dispatch_batch)
+            else:
+                frames_list = [backend.frame_tokens(audio) for audio in audios]
+        else:
+            frames_list = [None] * len(audios)
+        for name, frames, (text, confidence) in zip(args.files, frames_list, decoded):
             if args.as_json:
                 record = {"file": name, "text": text}
                 if confidence is not None:
                     record["confidence"] = confidence
                 if args.timestamps:
-                    from .serving import words_from_frame_tokens
                     words = words_from_frame_tokens(
-                        backend.frame_tokens(audio), backend.codec,
-                        backend.blank_index, backend.samples_per_frame / 16000.0)
+                        frames, backend.codec, backend.blank_index,
+                        backend.seconds_per_frame)
                     record["words"] = [
                         {"word": word, "start_s": round(start, 4),
                          "end_s": round(end, 4)} for word, start, end in words]

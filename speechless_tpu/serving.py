@@ -78,6 +78,35 @@ def grouped_padded_batches(audios: Sequence[np.ndarray], bucket_fn, batch_size: 
             yield group, wavs, lengths
 
 
+def split_long_audio(audio: np.ndarray, max_segment_s: float = 30.0,
+                     min_silence_s: float = 0.25) -> List[np.ndarray]:
+    """Split long audio into <= ``max_segment_s`` segments, cutting at the quietest
+    window in the last third of each segment so cuts land in silences rather than
+    mid-word. Shared by the live `Transcriber` and bundle-based serving
+    (`serving_export.ExportedTranscriber`); the reference instead caps utterances at
+    35 s at corpus level (`german_corpus.py:80`) and cannot serve longer recordings."""
+    sample_rate = 16000
+    max_samples = int(max_segment_s * sample_rate)
+    if len(audio) <= max_samples:
+        return [audio]
+    window = int(min_silence_s * sample_rate)
+    segments: List[np.ndarray] = []
+    start = 0
+    while start < len(audio):
+        end = min(start + max_samples, len(audio))
+        if end < len(audio):
+            search_from = start + (2 * (end - start)) // 3
+            tail = np.abs(audio[search_from:end])
+            if len(tail) > window:
+                energies = np.convolve(tail, np.ones(window), mode="valid")
+                cut = search_from + int(np.argmin(energies)) + window // 2
+                if cut > start + window:
+                    end = cut
+        segments.append(audio[start:end])
+        start = end
+    return segments
+
+
 class Transcriber:
     """Serve transcriptions from a trained wav2letter checkpoint."""
 
@@ -263,6 +292,18 @@ class Transcriber:
     def blank_index(self) -> int:
         return self.config.grapheme_set_size - 1
 
+    @property
+    def seconds_per_frame(self) -> float:
+        """Duration of one output frame at the framework-wide 16 kHz sample rate."""
+        return self.samples_per_frame / 16000.0
+
+    @property
+    def has_batched_programs(self) -> bool:
+        """Whether `transcribe_batch` can serve multi-utterance dispatches. Always true
+        for the live transcriber (programs jit-compile on demand); bundle backends
+        report their exported batch sizes instead."""
+        return True
+
     def transcribe_audio_with_timestamps(self, audio: np.ndarray
                                          ) -> List[Tuple[str, float, float]]:
         """Word-level timestamps: ``[(word, start_s, end_s), ...]`` from the greedy
@@ -322,30 +363,10 @@ class Transcriber:
         is split at low-energy regions into <= ``max_segment_s`` chunks (bounding device
         memory and per-segment latency), each transcribed independently and joined.
         """
-        sample_rate = 16000
-        max_samples = int(max_segment_s * sample_rate)
-        if len(audio) <= max_samples:
-            return self.transcribe_audio(audio)
-
-        window = int(min_silence_s * sample_rate)
-        texts: List[str] = []
-        start = 0
-        while start < len(audio):
-            end = min(start + max_samples, len(audio))
-            if end < len(audio):
-                # Find the quietest window in the last third of the segment to cut at.
-                search_from = start + (2 * (end - start)) // 3
-                tail = np.abs(audio[search_from:end])
-                if len(tail) > window:
-                    energies = np.convolve(tail, np.ones(window), mode="valid")
-                    cut = search_from + int(np.argmin(energies)) + window // 2
-                    if cut > start + window:
-                        end = cut
-            text = self.transcribe_audio(audio[start:end])
-            if text:
-                texts.append(text)
-            start = end
-        return " ".join(texts)
+        del silence_threshold  # segmentation cuts at the quietest window instead
+        texts = [self.transcribe_audio(segment) for segment in
+                 split_long_audio(audio, max_segment_s, min_silence_s)]
+        return " ".join(text for text in texts if text)
 
     def measure_latency(self, duration_s: float = 4.0, iterations: int = 20
                         ) -> Tuple[float, float]:

@@ -193,6 +193,30 @@ class ExportedTranscriber:
     def blank_index(self) -> int:
         return self.manifest["blank_index"]
 
+    @property
+    def seconds_per_frame(self) -> float:
+        """Duration of one output frame at the framework-wide 16 kHz sample rate."""
+        return self.samples_per_frame / 16000.0
+
+    @property
+    def has_batched_programs(self) -> bool:
+        """Whether `transcribe_batch` can run: bundles only carry the batch sizes they
+        were exported with (default is single-utterance programs only)."""
+        return any(batch > 1 for batch in self.batch_sizes)
+
+    def transcribe_long_audio(self, audio: np.ndarray, max_segment_s: float = 30.0,
+                              min_silence_s: float = 0.25) -> str:
+        """Long-form transcription from a bundle: same silence segmentation as
+        `serving.Transcriber.transcribe_long_audio`, with segments additionally capped
+        at the largest exported bucket (a bundle cannot jit-compile an oversize
+        program the way the live transcriber can)."""
+        from .serving import split_long_audio
+
+        max_segment_s = min(max_segment_s, self.sample_buckets[-1] / 16000.0)
+        texts = [self.transcribe_audio(segment) for segment in
+                 split_long_audio(audio, max_segment_s, min_silence_s)]
+        return " ".join(text for text in texts if text)
+
     def frame_tokens(self, audio: np.ndarray) -> np.ndarray:
         """Per-frame argmax tokens from the bundle's streaming programs — lets
         `serving_streaming.StreamingTranscriber` run on an exported bundle."""

@@ -164,6 +164,32 @@ class TestCli:
         for word in records[0]["words"]:
             assert 0 <= word["start_s"] < word["end_s"]
 
+        # Multi-file timestamps ride the batched frame-token path (one dispatch per
+        # bucket group, not one per file); per-file output order is preserved.
+        main(["transcribe", "--config", "minimal_english", "--data-dir", str(data_dir),
+              "--run", run, "--epoch", "1", "--json", "--timestamps"] + wavs)
+        records = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+                   if l.startswith("{")]
+        assert [r["file"] for r in records] == wavs
+        assert all("words" in r for r in records)
+
+    def test_transcribe_timestamps_require_json(self, data_dir, tmp_path):
+        from conftest import make_test_wav
+        wav = tmp_path / "c.wav"
+        make_test_wav(wav)
+        with pytest.raises(SystemExit, match="requires --json"):
+            main(["transcribe", "--data-dir", str(data_dir), "--run", "r",
+                  "--epoch", "1", "--timestamps", str(wav)])
+
+    def test_lr_schedule_flags_cross_validated_at_parse_time(self, data_dir):
+        # Both halves of the pair fail fast, before any corpus or model work.
+        with pytest.raises(SystemExit):
+            main(["train", "--config", "minimal_english", "--data-dir", str(data_dir),
+                  "--lr-decay", "cosine"])
+        with pytest.raises(SystemExit):
+            main(["train", "--config", "minimal_english", "--data-dir", str(data_dir),
+                  "--lr-decay-steps", "100"])
+
     def test_transcribe_requires_exactly_one_model_source(self, data_dir, tmp_path):
         wav = tmp_path / "c.wav"
         from conftest import make_test_wav

@@ -114,6 +114,50 @@ class TestExportRoundtrip:
             ExportedTranscriber(bundle).transcribe_batch(
                 [np.zeros(100, dtype=np.float32)])
 
+    def test_batched_capability_is_reported(self, transcriber, bundle, tmp_path):
+        """`has_batched_programs` is the capability probe callers (the `transcribe`
+        CLI) use to fall back to per-file dispatches — a default bundle defines
+        `transcribe_batch` but cannot run it."""
+        assert transcriber.has_batched_programs is True
+        assert ExportedTranscriber(bundle).has_batched_programs is False
+        batched = export_transcriber(transcriber, tmp_path / "b2",
+                                     sample_buckets=(16384,), batch_sizes=(1, 2))
+        assert ExportedTranscriber(batched).has_batched_programs is True
+
+    def test_long_form_from_bundle(self, transcriber, bundle):
+        """Bundle long-form transcription: segments are capped at the largest exported
+        bucket and the result matches the live transcriber segmenting at the same
+        cap (the live default of 30 s would exceed the bundle's buckets)."""
+        loaded = ExportedTranscriber(bundle)
+        audio = (np.random.RandomState(7).randn(70000) * 0.1).astype(np.float32)
+        cap_s = 32768 / 16000.0
+        assert loaded.transcribe_long_audio(audio) == \
+            transcriber.transcribe_long_audio(audio, max_segment_s=cap_s)
+
+    def test_transcribe_cli_falls_back_without_batched_programs(self, bundle,
+                                                                tmp_path, capsys):
+        """`transcribe --bundle` with several files must not crash on a bundle that
+        was exported without batched programs: it falls back to one dispatch per
+        file. Long-form routing from a bundle works through the CLI too."""
+        from conftest import make_test_wav
+        from speechless_tpu.__main__ import main
+
+        wavs = []
+        for i in range(2):
+            path = tmp_path / "clip{}.wav".format(i)
+            make_test_wav(path, duration_s=0.4, seed=i)
+            wavs.append(str(path))
+        capsys.readouterr()
+        main(["transcribe", "--bundle", str(bundle)] + wavs)
+        lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+        assert [line.split("\t")[0] for line in lines] == wavs
+
+        long_wav = tmp_path / "long.wav"
+        make_test_wav(long_wav, duration_s=4.0, seed=3)  # > the 2.05 s largest bucket
+        main(["transcribe", "--bundle", str(bundle), "--long-form", str(long_wav)])
+        lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+        assert len(lines) == 1 and lines[0].split("\t")[0] == str(long_wav)
+
     def test_batch_sizes_must_include_one(self, transcriber, tmp_path):
         with pytest.raises(ValueError, match="include 1"):
             export_transcriber(transcriber, tmp_path / "nope", batch_sizes=(4,))
