@@ -33,6 +33,44 @@ from speechless_tpu.serving_streaming import (StreamingSessionPool,
 from speechless_tpu.text.charsets import english_frequent_characters
 
 
+def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
+                    max_batch: int, window_s: float, margin_s: float) -> dict:
+    """Device-resident windows (`serving_device_stream.DeviceStreamingPool`): each
+    feed uploads only the chunk — the window never re-crosses the link. This is the
+    mode that should escape the link-bandwidth wall the other two hit (both the
+    batched and unbatched host-window modes re-upload ~window_s of audio per feed and
+    measured within 2% of each other on the 37 MB/s tunnel)."""
+    from speechless_tpu.serving_device_stream import DeviceStreamingPool
+
+    texts = [None] * streams
+    pool = DeviceStreamingPool(transcriber, window_s=window_s, margin_s=margin_s,
+                               max_batch=max_batch, max_wait_ms=20.0,
+                               max_sessions=max(streams, max_batch))
+    pool.start()
+    try:
+        pool.warm_up()  # one compile, outside the timed region
+
+        def run(i):
+            sid = pool.create()
+            audio = audio_clips[i]
+            for start in range(0, len(audio), chunk_samples):
+                pool.feed(sid, audio[start:start + chunk_samples])
+            texts[i] = pool.finish(sid)
+
+        wall = _run_threads(run, streams)
+        metrics = pool.batcher.metrics()
+    finally:
+        pool.stop()
+    audio_seconds = sum(len(a) for a in audio_clips) / 16000.0
+    return {"streams": streams, "audio_seconds": round(audio_seconds, 1),
+            "wall_s": round(wall, 2),
+            "aggregate_xrt": round(audio_seconds / wall, 2),
+            "windows": metrics["feeds"], "batches": metrics["batches"],
+            "mean_batch_size": round(metrics["feeds"] / metrics["batches"], 2)
+            if metrics["batches"] else 0.0,
+            "transcript_sample": (texts[0] or "")[:60]}
+
+
 def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,
              batched: bool, max_batch: int, window_s: float,
              margin_s: float) -> dict:
@@ -144,13 +182,18 @@ def main() -> None:
     results = {"platform": jax.devices()[0].platform,
                "window_s": args.window_s, "margin_s": args.margin_s,
                "chunk_ms": args.chunk_ms}
-    for label, batched in (("batched", True), ("unbatched", False)):
-        row = run_load(transcriber, args.streams, clips, chunk, batched,
-                       args.max_batch, args.window_s, args.margin_s)
+    for label, batched in (("device", None), ("batched", True),
+                           ("unbatched", False)):
+        if batched is None:
+            row = run_device_load(transcriber, args.streams, clips, chunk,
+                                  args.max_batch, args.window_s, args.margin_s)
+        else:
+            row = run_load(transcriber, args.streams, clips, chunk, batched,
+                           args.max_batch, args.window_s, args.margin_s)
         results[label] = row
-        print("{:10s} batched={!s:5s}: {:6.1f}x realtime aggregate over {} streams, "
+        print("{:10s}: {:6.1f}x realtime aggregate over {} streams, "
               "{} windows in {} batches (mean {:.1f})".format(
-                  label, batched, row["aggregate_xrt"], row["streams"],
+                  label, row["aggregate_xrt"], row["streams"],
                   row["windows"], row["batches"], row["mean_batch_size"]), flush=True)
 
     args.out.parent.mkdir(parents=True, exist_ok=True)

@@ -162,6 +162,10 @@ def main(argv=None) -> None:
                          help="dynamic batcher: batching window after the first request")
     p_serve.add_argument("--no-warm-up", action="store_true",
                          help="skip compiling all bucket programs before binding")
+    p_serve.add_argument("--device-streams", action="store_true",
+                         help="keep streaming-session windows in device HBM (each "
+                              "feed uploads only the new chunk; live --run backends "
+                              "only)")
 
     p_transcribe = sub.add_parser(
         "transcribe", help="transcribe audio files offline (wav/flac)")
@@ -273,7 +277,10 @@ def main(argv=None) -> None:
             backend.warm_up()
         server = TranscriptionServer(backend, host=args.host, port=args.port,
                                      max_batch=args.max_batch,
-                                     max_wait_ms=args.max_wait_ms)
+                                     max_wait_ms=args.max_wait_ms,
+                                     device_streams=args.device_streams)
+        if args.device_streams and not args.no_warm_up:
+            server.streams.warm_up()  # the fused feed program compiles before binding
         server.serve_forever()
     elif args.command == "transcribe":
         import json as json_module

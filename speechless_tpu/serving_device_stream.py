@@ -1,0 +1,405 @@
+"""Device-resident streaming: per-session audio windows live in HBM.
+
+The host-buffered streaming path (`serving_streaming.py`) re-uploads the full decode
+window (seconds of audio) on every feed; on a network-attached chip the measured
+bottleneck is exactly that re-upload — 16 concurrent streams moved ~8 MB per batched
+dispatch over a ~37 MB/s tunnel and both the batched and unbatched modes converged on
+the link bandwidth (`evidence/STREAMING_LOAD_r03.json`). Here the window never leaves
+the device:
+
+* all sessions' windows are rows of ONE pooled HBM array (``(max_sessions+1, window)``
+  float32 — the spare row absorbs batch padding writes);
+* a feed uploads only the new chunk; a single fused program appends it to the session's
+  row (shift quantized to the output frame grid, so absolute frame positions stay
+  valid across drops exactly like the host path), scatters the updated rows back, and
+  returns per-frame argmax tokens for the updated windows;
+* the pooled buffers/lengths are donated back to the program, so steady-state HBM
+  traffic per feed is one chunk up + one token row down — the window itself never
+  crosses the link again.
+
+Emission semantics match `serving_streaming.StreamingTranscriber` (frames within
+``margin_s`` of the right edge are withheld; CTC collapse carries across windows). The
+one behavioral difference: the device window always keeps the *trailing* ``window_s``
+of audio, which is equal-or-more left context than the host path retains after an
+emission drop — the per-window z-norm therefore sees closer-to-offline statistics.
+Streams shorter than one window decode identically to the host path and to offline
+greedy (pinned in `tests/test_device_stream.py`).
+
+Requires a live `serving.Transcriber` (the feed program is built from its config +
+params); AOT bundles would need the feed program exported, which `serving_export`
+does not do yet.
+
+The reference has no streaming at all (its interactive path records a full utterance,
+then predicts — `/root/reference/main.py:239-253`).
+"""
+import threading
+import time
+import uuid
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .serving_streaming import UnknownSessionError, _check_window
+from .utils.microbatch import MicroBatcher, PendingItem
+
+
+def _build_feed_fn(config, window: int, chunk_cap: int, spf: int):
+    """The fused append+decode program over the pooled session windows.
+
+    ``(params, buffers (S+1, W), lengths (S+1,), rows (B,), chunks (B, cap),
+    chunk_lens (B,), resets (B,)) -> (buffers, lengths, tokens (B, F), counts (B,))``
+
+    The append shift is quantized UP to ``spf`` (the model's samples-per-output-frame)
+    so every row's window start stays on the absolute frame grid — the host-side
+    emission bookkeeping mirrors the same integer arithmetic.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .features.spectrogram import features_batch
+    from .models import wav2letter as w2l
+
+    def update_row(buffer, length, chunk, chunk_len, reset):
+        length = jnp.where(reset, 0, length)
+        ext = jnp.concatenate([buffer, jnp.zeros((chunk_cap,), buffer.dtype)])
+        # The chunk arrives zero-masked beyond chunk_len, so the fixed-size update
+        # writes zeros over the (already zero) tail.
+        ext = jax.lax.dynamic_update_slice(ext, chunk, (length,))
+        total = length + chunk_len
+        overflow = jnp.maximum(total - window, 0)
+        shift = (overflow + spf - 1) // spf * spf
+        # shift <= chunk_cap (chunk_cap is a multiple of spf and overflow <= chunk_len
+        # <= chunk_cap), so the slice below never clamps — clamping would silently
+        # break frame alignment.
+        new_buffer = jax.lax.dynamic_slice(ext, (shift,), (window,))
+        new_length = (total - shift).astype(jnp.int32)
+        new_buffer = jnp.where(jnp.arange(window) < new_length, new_buffer, 0.0)
+        return new_buffer, new_length
+
+    def feed_fn(params, buffers, lengths, rows, chunks, chunk_lens, resets):
+        new_bufs, new_lens = jax.vmap(update_row)(
+            buffers[rows], lengths[rows], chunks, chunk_lens, resets)
+        buffers = buffers.at[rows].set(new_bufs)
+        lengths = lengths.at[rows].set(new_lens)
+        feats, frame_counts = features_batch(new_bufs, jnp.maximum(new_lens, 1))
+        logits = w2l.apply(config, params, feats)
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (buffers, lengths, tokens,
+                w2l.prediction_lengths(config, frame_counts), new_lens)
+
+    return feed_fn
+
+
+def mirror_append(length: int, chunk_len: int, window: int, spf: int,
+                  reset: bool = False) -> Tuple[int, int]:
+    """Host mirror of the device append arithmetic: ``(new_length, shift)``. Module
+    level (not a method) so tests can pin host-mirror == device-lengths directly."""
+    if reset:
+        length = 0
+    total = length + chunk_len
+    overflow = max(0, total - window)
+    shift = -(-overflow // spf) * spf
+    return total - shift, shift
+
+
+class _DeviceFeedBatcher(MicroBatcher):
+    """One thread owns the pooled device state: it collects (row, chunk) feeds from
+    all sessions and serves them with one fused dispatch. Single ownership makes the
+    buffer donation safe — no other thread ever holds a reference to the live arrays."""
+
+    item_noun = "feeds"
+
+    def __init__(self, pool: "DeviceStreamingPool", max_batch: int,
+                 max_wait_ms: float):
+        super().__init__(max_batch=max_batch, max_wait_ms=max_wait_ms,
+                         name="device-stream-batcher")
+        self._pool = pool
+
+    def _serve(self, batch: List[PendingItem]) -> None:
+        # A session's feeds serialize on its lock, so duplicate rows inside one batch
+        # are impossible in normal operation — but a duplicate would make the scatter
+        # order-dependent, so split defensively rather than corrupt a window.
+        served: Dict[int, bool] = {}
+        group: List[PendingItem] = []
+        for item in batch:
+            row = item.payload[0]
+            if row in served:
+                self._pool._dispatch(group)
+                served, group = {}, []
+            served[row] = True
+            group.append(item)
+        if group:
+            self._pool._dispatch(group)
+
+
+class DeviceStreamingSession:
+    """Host-side mirror of one HBM-resident streaming window. Same surface as
+    `serving_streaming.StreamingTranscriber`: ``feed() -> newly final text``,
+    ``finish() -> remaining text``, ``.text``."""
+
+    def __init__(self, pool: "DeviceStreamingPool", row: int):
+        self._pool = pool
+        self._row = row
+        self._spf = pool.spf
+        self._blank = pool.blank_index
+        self._codec = pool.codec
+        self._pending_reset = True
+        self._total = 0     # absolute samples fed
+        self._length = 0    # mirror of the device row's valid length
+        self._emit_sample = 0
+        self._carry = -1
+        self._parts: List[str] = []
+        self._finished = False
+
+    @property
+    def text(self) -> str:
+        return "".join(self._parts)
+
+    def feed(self, chunk: np.ndarray) -> str:
+        """Upload ``chunk`` (appended to the device window) and return newly
+        finalized text. Chunks larger than the pool's ``chunk_cap`` split into
+        multiple dispatches transparently."""
+        if self._finished:
+            raise RuntimeError("session is finished")
+        chunk = np.asarray(chunk, np.float32).ravel()
+        emitted: List[str] = []
+        cap = self._pool.chunk_cap
+        for start in range(0, max(len(chunk), 1), cap):
+            piece = chunk[start:start + cap]
+            if len(chunk) and not len(piece):
+                break
+            tokens, count = self._dispatch(piece)
+            emitted.append(self._emit(tokens, count, flush=False))
+        return "".join(emitted)
+
+    def finish(self) -> str:
+        """Flush (decode the final margin too), free the device row, and return the
+        newly finalized text."""
+        if self._finished:
+            return ""
+        out = ""
+        if self._total:
+            tokens, count = self._dispatch(np.zeros(0, np.float32))
+            out = self._emit(tokens, count, flush=True)
+        self._finished = True
+        self._pool._release(self._row)
+        return out
+
+    def transcribe_stream(self, audio: np.ndarray, chunk_samples: int = 8000) -> str:
+        """Convenience mirror of `StreamingTranscriber.transcribe_stream`."""
+        for start in range(0, len(audio), chunk_samples):
+            self.feed(audio[start:start + chunk_samples])
+        return self.text + self.finish()
+
+    def _dispatch(self, piece: np.ndarray) -> Tuple[np.ndarray, int]:
+        tokens, count, new_length = self._pool.batcher.submit(
+            (self._row, piece, self._pending_reset))
+        self._pending_reset = False
+        mirrored, _ = mirror_append(self._length, len(piece), self._pool.window,
+                                    self._spf)
+        self._total += len(piece)
+        self._length = int(new_length)
+        if self._length != mirrored:
+            raise AssertionError(
+                "device window length {} diverged from host mirror {}"
+                .format(self._length, mirrored))
+        return np.asarray(tokens), int(count)
+
+    def _emit(self, tokens: np.ndarray, count: int, flush: bool) -> str:
+        buffer_start = self._total - self._length  # spf-aligned by construction
+        emit_limit = self._total + self._spf if flush else self._total - self._pool.margin
+        new_tokens: List[int] = []
+        for f in range(min(count, len(tokens))):
+            start = buffer_start + f * self._spf
+            if start < self._emit_sample or start + self._spf > emit_limit:
+                continue
+            token = int(tokens[f])
+            if token != self._carry and token != self._blank:
+                new_tokens.append(token)
+            self._carry = token
+            self._emit_sample = start + self._spf
+        if not new_tokens:
+            return ""
+        part = self._codec.decode_graphemes(new_tokens, merge_repeated=False)
+        self._parts.append(part)
+        return part
+
+
+class DeviceStreamingPool:
+    """Many concurrent streaming sessions whose windows live in pooled HBM rows.
+
+    Drop-in alternative to `serving_streaming.StreamingSessionPool` (same public
+    surface: create/feed/feed_with_text/text/finish/close/session_count/start/stop,
+    ``.batcher`` metrics) — `serving_http.TranscriptionServer(device_streams=True)`
+    serves it over the same HTTP routes. Per feed the link carries one chunk up and
+    one token row down; the window stays on device.
+    """
+
+    def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
+                 max_batch: int = 16, max_wait_ms: float = 20.0,
+                 chunk_cap_s: float = 1.0, idle_timeout_s: float = 300.0,
+                 max_sessions: int = 64):
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(transcriber, "config"):
+            raise ValueError(
+                "device-resident streaming needs a live serving.Transcriber (the "
+                "fused feed program is built from its model config); AOT bundles "
+                "do not export it")
+        _check_window(window_s, margin_s)
+        self._transcriber = transcriber
+        self.codec = transcriber.codec
+        self.blank_index = transcriber.blank_index
+        spf = transcriber.samples_per_frame
+        self.spf = spf
+        self.window = int(window_s * 16000) // spf * spf
+        self.margin = int(margin_s * 16000) // spf * spf
+        if self.window < self.margin + 4 * spf:
+            # The window must outrun the margin by a few frames or a fast feeder
+            # could shift unemitted (pre-margin) audio out of the buffer.
+            raise ValueError("window too small for margin at this frame rate")
+        self.chunk_cap = max(int(chunk_cap_s * 16000) // spf, 1) * spf
+        self.max_sessions = max_sessions
+        self._idle_timeout_s = idle_timeout_s
+        self._jnp = jnp
+        # Row max_sessions is the padding sink: batch slots with no real feed write
+        # (zeros, length 0) there, keeping every dispatch shape static.
+        self._buffers = jnp.zeros((max_sessions + 1, self.window), jnp.float32)
+        self._lengths = jnp.zeros((max_sessions + 1,), jnp.int32)
+        self._feed = jax.jit(
+            _build_feed_fn(transcriber.config, self.window, self.chunk_cap, spf),
+            donate_argnums=(1, 2))
+        self._free = list(range(max_sessions))
+        self._sessions: Dict[str, Tuple[DeviceStreamingSession, threading.Lock]] = {}
+        self._last_used: Dict[str, float] = {}
+        self._lock = threading.Lock()
+        self.batcher = _DeviceFeedBatcher(self, max_batch=max_batch,
+                                          max_wait_ms=max_wait_ms)
+
+    # -- lifecycle ---------------------------------------------------------------
+
+    def start(self) -> None:
+        self.batcher.start()
+
+    def stop(self) -> None:
+        self.batcher.stop()
+        with self._lock:
+            self._sessions.clear()
+            self._last_used.clear()
+            self._free = list(range(self.max_sessions))
+
+    def warm_up(self) -> None:
+        """Compile the feed program before traffic (a cold compile at first feed can
+        take minutes on remote-compiled backends). Dispatches one padding-only batch —
+        no session row is touched."""
+        self._dispatch([])
+
+    # -- session surface (mirrors StreamingSessionPool) ---------------------------
+
+    def create(self) -> str:
+        with self._lock:
+            self._reap_locked()
+            if not self._free:
+                raise RuntimeError(
+                    "session limit reached ({})".format(self.max_sessions))
+            row = self._free.pop()
+            session_id = uuid.uuid4().hex[:16]
+            self._sessions[session_id] = (DeviceStreamingSession(self, row),
+                                          threading.Lock())
+            self._last_used[session_id] = time.time()
+            return session_id
+
+    def create_stream(self) -> DeviceStreamingSession:
+        """Library-facing variant: returns the session object directly."""
+        return self._get(self.create())[0]
+
+    def feed(self, session_id: str, chunk: np.ndarray) -> str:
+        return self.feed_with_text(session_id, chunk)[0]
+
+    def feed_with_text(self, session_id: str, chunk: np.ndarray) -> Tuple[str, str]:
+        session, lock = self._get(session_id)
+        with lock:
+            try:
+                partial = session.feed(chunk)
+                return partial, session.text
+            finally:
+                with self._lock:
+                    if session_id in self._last_used:
+                        self._last_used[session_id] = time.time()
+
+    def text(self, session_id: str) -> str:
+        return self._get(session_id)[0].text
+
+    def finish(self, session_id: str) -> str:
+        session, lock = self._get(session_id)
+        with lock:
+            session.finish()
+            full = session.text
+        self.close(session_id)
+        return full
+
+    def close(self, session_id: str) -> None:
+        with self._lock:
+            entry = self._sessions.pop(session_id, None)
+            self._last_used.pop(session_id, None)
+        if entry is not None and not entry[0]._finished:
+            entry[0]._finished = True
+            self._release(entry[0]._row)
+
+    @property
+    def session_count(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
+    # -- internals -----------------------------------------------------------------
+
+    def _get(self, session_id: str):
+        with self._lock:
+            self._reap_locked()
+            entry = self._sessions.get(session_id)
+        if entry is None:
+            raise UnknownSessionError(
+                "unknown or expired session {!r}".format(session_id))
+        return entry
+
+    def _reap_locked(self) -> None:
+        cutoff = time.time() - self._idle_timeout_s
+        for stale in [sid for sid, last in self._last_used.items()
+                      if last < cutoff and not self._sessions[sid][1].locked()]:
+            session, _ = self._sessions.pop(stale)
+            self._last_used.pop(stale, None)
+            if not session._finished:
+                session._finished = True
+                # Already under self._lock (callers hold it), so free the row inline
+                # rather than re-entering through _release.
+                self._free.append(session._row)
+
+    def _release(self, row: int) -> None:
+        with self._lock:
+            self._free.append(row)
+
+    def _dispatch(self, group: List[PendingItem]) -> None:
+        """Serve one conflict-free group with a single fused device call. Runs only
+        on the batcher thread (single owner of the donated device state)."""
+        jnp = self._jnp
+        batch = self.batcher.max_batch
+        rows = np.full((batch,), self.max_sessions, np.int32)  # padding sink row
+        chunks = np.zeros((batch, self.chunk_cap), np.float32)
+        chunk_lens = np.zeros((batch,), np.int32)
+        resets = np.ones((batch,), bool)
+        for i, item in enumerate(group):
+            row, piece, reset = item.payload
+            rows[i] = row
+            chunks[i, :len(piece)] = piece
+            chunk_lens[i] = len(piece)
+            resets[i] = reset
+        self._buffers, self._lengths, tokens, counts, new_lens = self._feed(
+            self._transcriber.params, self._buffers, self._lengths,
+            jnp.asarray(rows), jnp.asarray(chunks), jnp.asarray(chunk_lens),
+            jnp.asarray(resets))
+        tokens = np.asarray(tokens)
+        counts = np.asarray(counts)
+        new_lens = np.asarray(new_lens)
+        for i, item in enumerate(group):
+            item.result = (tokens[i], int(counts[i]), int(new_lens[i]))

@@ -162,18 +162,29 @@ class TranscriptionServer:
 
     def __init__(self, backend, host: str = "127.0.0.1", port: int = 8000,
                  max_batch: int = 16, max_wait_ms: float = 10.0,
-                 stream_window_s: float = 8.0, stream_margin_s: float = 2.0):
+                 stream_window_s: float = 8.0, stream_margin_s: float = 2.0,
+                 device_streams: bool = False):
         self.backend = backend
         self.batcher = DynamicBatcher(backend, max_batch=max_batch,
                                       max_wait_ms=max_wait_ms)
         # Streaming sessions (POST /v1/stream): windows of every live stream share
         # batched frame-token dispatches. Backends without the streaming surface
         # (bundles exported without frame programs) simply 501 on the routes.
-        from .serving_streaming import StreamingSessionPool
-        self.streams = StreamingSessionPool(backend, window_s=stream_window_s,
-                                            margin_s=stream_margin_s,
-                                            max_batch=max_batch,
-                                            max_wait_ms=max_wait_ms)
+        # ``device_streams=True`` keeps every session's window in HBM instead
+        # (`serving_device_stream.DeviceStreamingPool` — each feed uploads only the
+        # chunk, the win on bandwidth-constrained links); live backends only.
+        if device_streams:
+            from .serving_device_stream import DeviceStreamingPool
+            self.streams = DeviceStreamingPool(backend, window_s=stream_window_s,
+                                               margin_s=stream_margin_s,
+                                               max_batch=max_batch,
+                                               max_wait_ms=max_wait_ms)
+        else:
+            from .serving_streaming import StreamingSessionPool
+            self.streams = StreamingSessionPool(backend, window_s=stream_window_s,
+                                                margin_s=stream_margin_s,
+                                                max_batch=max_batch,
+                                                max_wait_ms=max_wait_ms)
         self.started_at = time.time()
         self.httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self.httpd.daemon_threads = True

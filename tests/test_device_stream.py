@@ -1,0 +1,196 @@
+"""Device-resident streaming (`serving_device_stream.DeviceStreamingPool`): HBM window
+update arithmetic vs a numpy mirror, transcript parity with the host-buffered streaming
+path and with a pure-numpy simulation, concurrency, and session lifecycle."""
+import threading
+
+import numpy as np
+import pytest
+
+from speechless_tpu.models import wav2letter as w2l
+from speechless_tpu.serving import Transcriber
+from speechless_tpu.serving_device_stream import (DeviceStreamingPool,
+                                                  mirror_append)
+from speechless_tpu.serving_streaming import (StreamingTranscriber,
+                                              UnknownSessionError)
+
+from test_streaming import ALPHABET, _tiny_config
+
+
+@pytest.fixture(scope="module")
+def transcriber():
+    import jax
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(3))
+    return Transcriber(config, params, ALPHABET, sample_buckets=(16384, 65536))
+
+
+@pytest.fixture()
+def pool(transcriber):
+    # window_s=1.024 makes the pooled window exactly the 16384-sample bucket, so the
+    # pooled program and the single-utterance reference program run the SAME padded
+    # shape: XLA's reductions differ by ~1e-6 across padded shapes, enough to flip
+    # borderline argmaxes over a long stream — with equal shapes parity is exact.
+    pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                               max_batch=4, max_wait_ms=20.0, chunk_cap_s=0.5,
+                               max_sessions=4)
+    pool.start()
+    yield pool
+    pool.stop()
+
+
+def _audio(samples, seed=0):
+    return (np.random.RandomState(seed).randn(samples) * 0.3).astype(np.float32)
+
+
+def test_device_window_matches_numpy_mirror(transcriber, pool):
+    """After arbitrary-size feeds the device row holds exactly the trailing window the
+    host mirror arithmetic predicts (content and length), with the start frame-aligned."""
+    session = pool.create_stream()
+    spf = pool.spf
+    fed = np.zeros(0, np.float32)
+    length = 0
+    rng = np.random.RandomState(1)
+    for i in range(7):
+        chunk = _audio(int(rng.randint(100, pool.chunk_cap + 1)), seed=10 + i)
+        session.feed(chunk)
+        fed = np.concatenate([fed, chunk])
+        length, _ = mirror_append(length, len(chunk), pool.window, spf)
+    assert session._length == length
+    assert (len(fed) - length) % spf == 0  # window start stays on the frame grid
+    row = np.asarray(pool._buffers[session._row])
+    np.testing.assert_array_equal(row[:length], fed[len(fed) - length:])
+    np.testing.assert_array_equal(row[length:], 0.0)
+    session.finish()
+
+
+def test_short_stream_matches_host_streaming_and_flush_exactness(transcriber, pool):
+    """A stream shorter than one window decodes exactly like the host-buffered path
+    (which in turn decodes exactly like offline greedy on flush)."""
+    audio = _audio(12000, seed=2)  # < one window
+    host = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25)
+    expected = host.transcribe_stream(audio, chunk_samples=4000)
+    session = pool.create_stream()
+    assert session.transcribe_stream(audio, chunk_samples=4000) == expected
+
+
+def test_long_stream_matches_numpy_simulation(transcriber, pool):
+    """Long streams (window slides/shifts) decode exactly like a pure-numpy simulation
+    of the device-window semantics: trailing-window buffer + the same frame-aligned
+    shift + the same margin/carry emission rules."""
+    audio = _audio(60000, seed=3)
+    chunk_samples = 4000
+    spf = pool.spf
+    window, margin = pool.window, pool.margin
+    codec, blank = pool.codec, pool.blank_index
+
+    buffer = np.zeros(0, np.float32)
+    total = 0
+    length = 0
+    emit_sample, carry = 0, -1
+    parts = []
+
+    def emit(frames, count, flush):
+        nonlocal emit_sample, carry
+        buffer_start = total - length
+        emit_limit = total + spf if flush else total - margin
+        new_tokens = []
+        for f in range(min(count, len(frames))):
+            start = buffer_start + f * spf
+            if start < emit_sample or start + spf > emit_limit:
+                continue
+            token = int(frames[f])
+            if token != carry and token != blank:
+                new_tokens.append(token)
+            carry = token
+            emit_sample = start + spf
+        if new_tokens:
+            parts.append(codec.decode_graphemes(new_tokens, merge_repeated=False))
+
+    for start in range(0, len(audio), chunk_samples):
+        chunk = audio[start:start + chunk_samples]
+        new_length, _ = mirror_append(length, len(chunk), window, spf)
+        buffer = np.concatenate([buffer, chunk])[-new_length:]
+        total += len(chunk)
+        length = new_length
+        frames = transcriber.frame_tokens(buffer)
+        emit(frames, len(frames), flush=False)
+    frames = transcriber.frame_tokens(buffer)
+    emit(frames, len(frames), flush=True)
+    expected = "".join(parts)
+
+    session = pool.create_stream()
+    assert session.transcribe_stream(audio, chunk_samples=chunk_samples) == expected
+
+
+def test_oversized_chunk_splits_transparently(transcriber, pool):
+    """One feed larger than chunk_cap produces the same transcript as cap-sized
+    feeds."""
+    audio = _audio(3 * pool.chunk_cap + 517, seed=4)
+    via_big = pool.create_stream()
+    big_text = via_big.feed(audio) + via_big.finish()
+    via_small = pool.create_stream()
+    small_parts = [via_small.feed(audio[s:s + pool.chunk_cap])
+                   for s in range(0, len(audio), pool.chunk_cap)]
+    assert big_text == "".join(small_parts) + via_small.finish()
+
+
+def test_concurrent_sessions_match_sequential(transcriber, pool):
+    """N threads feeding one pool share fused dispatches and still produce exactly
+    the sequential per-session transcripts."""
+    audios = [_audio(int(n), seed=20 + i)
+              for i, n in enumerate((30000, 45000, 52000, 38000))]
+    expected = [pool.create_stream().transcribe_stream(a, 4000) for a in audios]
+
+    results = [None] * len(audios)
+
+    def run(i):
+        results[i] = pool.create_stream().transcribe_stream(audios[i], 4000)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(audios))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == expected
+    assert pool.batcher.batches < pool.batcher.items  # some feeds actually batched
+
+
+def test_row_reuse_resets_device_state(transcriber, pool):
+    """finish() frees the HBM row; a new session on the reused row must not see stale
+    audio."""
+    audio = _audio(20000, seed=5)
+    first = pool.create_stream()
+    first_text = first.transcribe_stream(audio, 4000)
+    again = pool.create_stream()
+    assert again._row == first._row  # LIFO free list: the same HBM row comes back
+    assert again.transcribe_stream(audio, 4000) == first_text
+
+
+def test_session_pool_surface(transcriber, pool):
+    sid = pool.create()
+    partial, text = pool.feed_with_text(sid, _audio(9000, seed=6))
+    assert text.endswith(partial)
+    assert pool.text(sid) == text
+    full = pool.finish(sid)
+    assert full.startswith(text)
+    with pytest.raises(UnknownSessionError):
+        pool.feed(sid, _audio(100))
+    with pytest.raises(UnknownSessionError):
+        pool.finish("nope")
+
+
+def test_session_limit(transcriber, pool):
+    sids = [pool.create() for _ in range(pool.max_sessions)]
+    with pytest.raises(RuntimeError, match="session limit"):
+        pool.create()
+    for sid in sids:
+        pool.close(sid)
+    pool.create()
+
+
+def test_bundle_backend_rejected():
+    class FakeBundle:
+        pass
+
+    with pytest.raises(ValueError, match="live serving.Transcriber"):
+        DeviceStreamingPool(FakeBundle())

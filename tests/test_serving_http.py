@@ -144,6 +144,35 @@ def test_streaming_session_over_http(server, transcriber):
     assert metrics["streaming"]["windows"] >= 1
 
 
+def test_device_streams_over_http(transcriber):
+    """`device_streams=True` serves the same /v1/stream routes from HBM-resident
+    windows; a short stream's transcript matches the host-window pool exactly."""
+    from speechless_tpu.serving_device_stream import DeviceStreamingPool
+    from speechless_tpu.serving_streaming import StreamingTranscriber
+
+    srv = TranscriptionServer(transcriber, port=0, max_batch=4, max_wait_ms=30.0,
+                              stream_window_s=1.024, stream_margin_s=0.25,
+                              device_streams=True)
+    assert isinstance(srv.streams, DeviceStreamingPool)
+    srv.start()
+    try:
+        audio = (np.random.RandomState(11).randn(12000) * 0.3).astype(np.float32)
+        expected = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25
+                                        ).transcribe_stream(audio, chunk_samples=4000)
+        status, payload = _request(srv, "/v1/stream", b"{}")
+        assert status == 200
+        sid = payload["session"]
+        for start in range(0, len(audio), 4000):
+            status, reply = _request(srv, "/v1/stream/{}".format(sid),
+                                     _pcm_body(audio[start:start + 4000]))
+            assert status == 200 and "partial" in reply
+        status, final = _request(srv, "/v1/stream/{}/finish".format(sid), b"{}")
+        assert status == 200 and final["text"] == expected
+        assert _request(srv, "/v1/metrics")[1]["streaming"]["feeds"] >= 3
+    finally:
+        srv.stop()
+
+
 def test_error_statuses(server):
     assert _request(server, "/nope")[0] == 404
     assert _request(server, "/v1/transcribe", b"{not json")[0] == 400
