@@ -141,6 +141,19 @@ def main(argv=None) -> None:
     p_export.add_argument("--quantize", action="store_true",
                           help="int8 per-channel weight quantization: 4x smaller "
                                "bundle, 4x less HBM weight traffic per request")
+    p_export.add_argument("--streaming", action="store_true",
+                          help="also export per-window frame-token programs "
+                               "(host-window streaming sessions from the bundle)")
+    p_export.add_argument("--device-streaming", action="store_true",
+                          help="also export the fused HBM session-pool feed "
+                               "program (device-resident streaming from the "
+                               "bundle; dimensions below are baked in)")
+    p_export.add_argument("--stream-window-s", type=float, default=8.0,
+                          help="device-streaming: decode window seconds")
+    p_export.add_argument("--stream-max-sessions", type=int, default=64,
+                          help="device-streaming: concurrent session capacity")
+    p_export.add_argument("--stream-max-batch", type=int, default=16,
+                          help="device-streaming: feeds fused per dispatch")
 
     p_serve = sub.add_parser("serve",
                              help="HTTP transcription service (dynamic micro-batching)")
@@ -164,8 +177,9 @@ def main(argv=None) -> None:
                          help="skip compiling all bucket programs before binding")
     p_serve.add_argument("--device-streams", action="store_true",
                          help="keep streaming-session windows in device HBM (each "
-                              "feed uploads only the new chunk; live --run backends "
-                              "only)")
+                              "feed uploads only the new chunk; needs a live --run "
+                              "backend or a bundle exported with "
+                              "--device-streaming)")
 
     p_transcribe = sub.add_parser(
         "transcribe", help="transcribe audio files offline (wav/flac)")
@@ -269,7 +283,13 @@ def main(argv=None) -> None:
                              configuration.name.lower()) if args.kenlm else None,
             quantize_weights=args.quantize)
         export_transcriber(transcriber, Path(args.out), platforms=args.platforms,
-                           batch_sizes=tuple(args.batch_sizes))
+                           batch_sizes=tuple(args.batch_sizes),
+                           streaming=args.streaming,
+                           device_streaming={
+                               "window_s": args.stream_window_s,
+                               "max_sessions": args.stream_max_sessions,
+                               "max_batch": args.stream_max_batch,
+                           } if args.device_streaming else None)
     elif args.command == "serve":
         from .serving_http import TranscriptionServer
         backend = _serving_backend(args, "serve")

@@ -25,9 +25,11 @@ emission drop — the per-window z-norm therefore sees closer-to-offline statist
 Streams shorter than one window decode identically to the host path and to offline
 greedy (pinned in `tests/test_device_stream.py`).
 
-Requires a live `serving.Transcriber` (the feed program is built from its config +
-params); AOT bundles would need the feed program exported, which `serving_export`
-does not do yet.
+Works from a live `serving.Transcriber` (the feed program is jitted from its config)
+OR from an AOT bundle exported with ``device_streaming=...`` (`serving_export` ships
+the fused feed program as serialized StableHLO; the pool dimensions — window,
+chunk cap, session and batch capacity — are baked into the exported shapes, so the
+pool adopts the bundle's values).
 
 The reference has no streaming at all (its interactive path records a full utterance,
 then predicts — `/root/reference/main.py:239-253`).
@@ -88,6 +90,53 @@ def _build_feed_fn(config, window: int, chunk_cap: int, spf: int):
                 w2l.prediction_lengths(config, frame_counts), new_lens)
 
     return feed_fn
+
+
+def quantize_pool_dims(samples_per_frame: int, window_s: float,
+                       chunk_cap_s: float) -> Tuple[int, int]:
+    """``(window, chunk_cap)`` in samples, aligned to the output frame grid — the
+    single place the live pool and the bundle exporter agree on shape arithmetic."""
+    spf = samples_per_frame
+    window = int(window_s * 16000) // spf * spf
+    chunk_cap = max(int(chunk_cap_s * 16000) // spf, 1) * spf
+    return window, chunk_cap
+
+
+def export_feed_program(transcriber, window_s: float = 8.0,
+                        chunk_cap_s: float = 1.0, max_sessions: int = 64,
+                        max_batch: int = 16,
+                        platforms: Optional[List[str]] = None):
+    """Export the fused append+decode program for AOT bundles.
+
+    Returns ``(exported, spec)`` where ``exported`` is the `jax.export` artifact
+    (buffer/length donation preserved via the jitted function's ``donate_argnums``)
+    and ``spec`` is the manifest entry `DeviceStreamingPool` reads back: the pool
+    dimensions are baked into the program's static shapes, so a pool serving this
+    bundle adopts them verbatim.
+    """
+    import jax
+    from jax import export as jax_export
+
+    spf = transcriber.samples_per_frame
+    window, chunk_cap = quantize_pool_dims(spf, window_s, chunk_cap_s)
+    feed = jax.jit(_build_feed_fn(transcriber.config, window, chunk_cap, spf),
+                   donate_argnums=(1, 2))
+    params_shapes = jax.tree.map(
+        lambda leaf: jax.ShapeDtypeStruct(np.shape(leaf), np.asarray(leaf).dtype),
+        transcriber.params)
+    kwargs = {} if platforms is None else {"platforms": list(platforms)}
+    exported = jax_export.export(feed, **kwargs)(
+        params_shapes,
+        jax.ShapeDtypeStruct((max_sessions + 1, window), np.float32),
+        jax.ShapeDtypeStruct((max_sessions + 1,), np.int32),
+        jax.ShapeDtypeStruct((max_batch,), np.int32),
+        jax.ShapeDtypeStruct((max_batch, chunk_cap), np.float32),
+        jax.ShapeDtypeStruct((max_batch,), np.int32),
+        jax.ShapeDtypeStruct((max_batch,), np.bool_))
+    spec = {"window": window, "chunk_cap": chunk_cap,
+            "max_sessions": max_sessions, "max_batch": max_batch,
+            "samples_per_frame": spf}
+    return exported, spec
 
 
 def mirror_append(length: int, chunk_len: int, window: int, spf: int,
@@ -242,35 +291,57 @@ class DeviceStreamingPool:
         import jax
         import jax.numpy as jnp
 
-        if not hasattr(transcriber, "config"):
+        from .utils.tools import log
+
+        spec = getattr(transcriber, "device_feed_spec", None)
+        if not hasattr(transcriber, "config") and spec is None:
             raise ValueError(
-                "device-resident streaming needs a live serving.Transcriber (the "
-                "fused feed program is built from its model config); AOT bundles "
-                "do not export it")
-        _check_window(window_s, margin_s)
+                "device-resident streaming needs a live serving.Transcriber or a "
+                "bundle exported with device_streaming=... (this backend has "
+                "neither a model config nor an exported feed program)")
         self._transcriber = transcriber
         self.codec = transcriber.codec
         self.blank_index = transcriber.blank_index
         spf = transcriber.samples_per_frame
         self.spf = spf
-        self.window = int(window_s * 16000) // spf * spf
+        if hasattr(transcriber, "config"):
+            # Live backend: jit the fused feed program from the model config.
+            self.window, self.chunk_cap = quantize_pool_dims(spf, window_s,
+                                                             chunk_cap_s)
+            self.max_sessions = max_sessions
+            self._feed = jax.jit(
+                _build_feed_fn(transcriber.config, self.window, self.chunk_cap,
+                               spf),
+                donate_argnums=(1, 2))
+        else:
+            # AOT bundle: replay the exported feed program. The pool dimensions are
+            # baked into its static shapes, so the bundle's values win over the
+            # constructor's (loudly, if they differ).
+            requested = quantize_pool_dims(spf, window_s, chunk_cap_s)
+            baked = (spec["window"], spec["chunk_cap"])
+            if requested != baked or (max_sessions, max_batch) != (
+                    spec["max_sessions"], spec["max_batch"]):
+                log("device-stream pool adopting the bundle's baked dimensions "
+                    "(window={} chunk_cap={} max_sessions={} max_batch={})".format(
+                        spec["window"], spec["chunk_cap"], spec["max_sessions"],
+                        spec["max_batch"]))
+            self.window, self.chunk_cap = baked
+            self.max_sessions = spec["max_sessions"]
+            max_batch = spec["max_batch"]
+            self._feed = transcriber.device_feed_program.call
+        _check_window(self.window / 16000.0, margin_s)
         self.margin = int(margin_s * 16000) // spf * spf
         if self.window < self.margin + 4 * spf:
             # The window must outrun the margin by a few frames or a fast feeder
             # could shift unemitted (pre-margin) audio out of the buffer.
             raise ValueError("window too small for margin at this frame rate")
-        self.chunk_cap = max(int(chunk_cap_s * 16000) // spf, 1) * spf
-        self.max_sessions = max_sessions
         self._idle_timeout_s = idle_timeout_s
         self._jnp = jnp
         # Row max_sessions is the padding sink: batch slots with no real feed write
         # (zeros, length 0) there, keeping every dispatch shape static.
-        self._buffers = jnp.zeros((max_sessions + 1, self.window), jnp.float32)
-        self._lengths = jnp.zeros((max_sessions + 1,), jnp.int32)
-        self._feed = jax.jit(
-            _build_feed_fn(transcriber.config, self.window, self.chunk_cap, spf),
-            donate_argnums=(1, 2))
-        self._free = list(range(max_sessions))
+        self._buffers = jnp.zeros((self.max_sessions + 1, self.window), jnp.float32)
+        self._lengths = jnp.zeros((self.max_sessions + 1,), jnp.int32)
+        self._free = list(range(self.max_sessions))
         self._sessions: Dict[str, Tuple[DeviceStreamingSession, threading.Lock]] = {}
         self._last_used: Dict[str, float] = {}
         self._lock = threading.Lock()

@@ -34,7 +34,8 @@ def export_transcriber(transcriber, directory: Path,
                        platforms: Optional[Sequence[str]] = None,
                        sample_buckets: Optional[Sequence[int]] = None,
                        batch_sizes: Sequence[int] = (1,),
-                       streaming: bool = False) -> Path:
+                       streaming: bool = False,
+                       device_streaming: Optional[dict] = None) -> Path:
     """Write an AOT serving bundle for ``transcriber`` (a `serving.Transcriber`).
 
     ``platforms``: lowering targets (e.g. ``("tpu",)`` to export for TPU serving from a
@@ -50,6 +51,14 @@ def export_transcriber(transcriber, directory: Path,
     ``streaming``: additionally export the per-frame argmax programs
     (`Transcriber.frame_tokens`) so the bundle supports online decoding —
     `serving_streaming.StreamingTranscriber(ExportedTranscriber(dir))`.
+
+    ``device_streaming``: a (possibly empty) dict of
+    `serving_device_stream.export_feed_program` kwargs (``window_s``,
+    ``chunk_cap_s``, ``max_sessions``, ``max_batch``) — exports the fused
+    HBM-resident session-pool feed program so
+    `serving_device_stream.DeviceStreamingPool(ExportedTranscriber(dir))` serves
+    device-resident streams with no model code. The pool dimensions are baked into
+    the program's shapes and recorded in the manifest; ``None`` (default) skips it.
 
     Caveat: the LM-fused beam picks Pallas-vs-interpreted at trace time from the
     *current* backend (`ops/decode_pallas*.py` ``interpret=``), so export LM-fused
@@ -102,6 +111,18 @@ def export_transcriber(transcriber, directory: Path,
             (directory / "frames-{}.shlo".format(bucket)).write_bytes(
                 exported.serialize())
 
+    feed_spec = None
+    if device_streaming is not None:
+        from .serving_device_stream import export_feed_program
+        exported, feed_spec = export_feed_program(
+            transcriber, platforms=(list(platforms) if platforms else None),
+            **device_streaming)
+        blob = exported.serialize()
+        (directory / "feed.shlo").write_bytes(blob)
+        log("exported device-stream feed program (window={} max_sessions={}, "
+            "{} KiB)".format(feed_spec["window"], feed_spec["max_sessions"],
+                             len(blob) // 1024))
+
     from .train.checkpoint import save_checkpoint
     save_checkpoint(directory, epoch=0, params=transcriber.params)
     (directory / _MANIFEST).write_text(json.dumps({
@@ -114,6 +135,7 @@ def export_transcriber(transcriber, directory: Path,
         "lm_fused": transcriber.word_lm is not None,
         "quantized": bool(getattr(transcriber, "quantized", False)),
         "streaming": bool(streaming),
+        "device_streaming": feed_spec,
         "samples_per_frame": transcriber.samples_per_frame,
         "blank_index": transcriber.blank_index,
     }, indent=2))
@@ -154,6 +176,13 @@ class ExportedTranscriber:
             bucket: jax_export.deserialize(
                 (directory / "frames-{}.shlo".format(bucket)).read_bytes())
             for bucket in self.sample_buckets} if manifest.get("streaming") else {}
+        # Device-resident streaming (`serving_device_stream.DeviceStreamingPool`
+        # duck-types on these two attributes): the fused feed program plus the pool
+        # dimensions baked into its shapes.
+        self.device_feed_spec = manifest.get("device_streaming")
+        self.device_feed_program = (
+            jax_export.deserialize((directory / "feed.shlo").read_bytes())
+            if self.device_feed_spec else None)
 
     def transcribe_audio(self, audio: np.ndarray) -> str:
         """Transcribe a mono 16 kHz float32 waveform."""

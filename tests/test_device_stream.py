@@ -188,9 +188,52 @@ def test_session_limit(transcriber, pool):
     pool.create()
 
 
-def test_bundle_backend_rejected():
+def test_backend_without_feed_program_rejected():
     class FakeBundle:
         pass
 
     with pytest.raises(ValueError, match="live serving.Transcriber"):
         DeviceStreamingPool(FakeBundle())
+
+
+def test_exported_bundle_serves_device_streams(transcriber, pool, tmp_path):
+    """A bundle exported with ``device_streaming=...`` serves device-resident
+    streams with no model code, matching the live pool's transcript exactly; the
+    pool adopts the bundle's baked dimensions over mismatched constructor args."""
+    from speechless_tpu.serving_export import (ExportedTranscriber,
+                                               export_transcriber)
+
+    export_transcriber(transcriber, tmp_path / "bundle",
+                       sample_buckets=(16384,),
+                       device_streaming={"window_s": 1.024, "chunk_cap_s": 0.5,
+                                         "max_sessions": 4, "max_batch": 4})
+    bundle = ExportedTranscriber(tmp_path / "bundle")
+    assert bundle.device_feed_spec["window"] == pool.window
+    assert bundle.device_feed_spec["chunk_cap"] == pool.chunk_cap
+
+    audio = _audio(52000, seed=9)
+    expected = pool.create_stream().transcribe_stream(audio, 4000)
+
+    # Deliberately mismatched args: the bundle's baked dims must win.
+    bundle_pool = DeviceStreamingPool(bundle, window_s=8.0, margin_s=0.25,
+                                      max_batch=16, max_wait_ms=20.0,
+                                      max_sessions=64)
+    assert bundle_pool.window == pool.window
+    assert bundle_pool.max_sessions == 4
+    assert bundle_pool.batcher.max_batch == 4
+    bundle_pool.start()
+    try:
+        assert bundle_pool.create_stream().transcribe_stream(audio, 4000) == expected
+    finally:
+        bundle_pool.stop()
+
+
+def test_bundle_without_feed_program_rejected(transcriber, tmp_path):
+    """Bundles exported without device_streaming keep rejecting the device pool
+    with an actionable message."""
+    from speechless_tpu.serving_export import (ExportedTranscriber,
+                                               export_transcriber)
+
+    export_transcriber(transcriber, tmp_path / "plain", sample_buckets=(16384,))
+    with pytest.raises(ValueError, match="device_streaming"):
+        DeviceStreamingPool(ExportedTranscriber(tmp_path / "plain"))
