@@ -186,12 +186,15 @@ class DeviceStreamingSession:
     `serving_streaming.StreamingTranscriber`: ``feed() -> newly final text``,
     ``finish() -> remaining text``, ``.text``."""
 
-    def __init__(self, pool: "DeviceStreamingPool", row: int):
+    def __init__(self, pool: "DeviceStreamingPool", row: int,
+                 final_decode: bool = False):
         self._pool = pool
         self._row = row
         self._spf = pool.spf
         self._blank = pool.blank_index
         self._codec = pool.codec
+        self._final_decode = final_decode
+        self._audio_parts: List[np.ndarray] = []
         self._pending_reset = True
         self._total = 0     # absolute samples fed
         self._length = 0    # mirror of the device row's valid length
@@ -211,6 +214,8 @@ class DeviceStreamingSession:
         if self._finished:
             raise RuntimeError("session is finished")
         chunk = np.asarray(chunk, np.float32).ravel()
+        if self._final_decode:
+            self._audio_parts.append(chunk)
         emitted: List[str] = []
         cap = self._pool.chunk_cap
         for start in range(0, max(len(chunk), 1), cap):
@@ -233,6 +238,16 @@ class DeviceStreamingSession:
         self._finished = True
         self._pool._release(self._row)
         return out
+
+    def finalize(self) -> str:
+        """Two-pass final transcript: offline decode of the complete accumulated
+        stream (same contract as `StreamingTranscriber.finalize`)."""
+        if not self._final_decode:
+            raise ValueError("session was not created with final_decode=True")
+        if not self._audio_parts:
+            return ""
+        audio = np.concatenate(self._audio_parts)
+        return self._pool._transcriber.transcribe_long_audio(audio)
 
     def transcribe_stream(self, audio: np.ndarray, chunk_samples: int = 8000) -> str:
         """Convenience mirror of `StreamingTranscriber.transcribe_stream`."""
@@ -368,7 +383,10 @@ class DeviceStreamingPool:
 
     # -- session surface (mirrors StreamingSessionPool) ---------------------------
 
-    def create(self) -> str:
+    def create(self, final_decode: bool = False) -> str:
+        """``final_decode``: two-pass session — `finish` additionally re-decodes the
+        complete accumulated audio through the offline path (LM beam when the
+        transcriber has one) and returns that as the authoritative transcript."""
         with self._lock:
             self._reap_locked()
             if not self._free:
@@ -376,14 +394,15 @@ class DeviceStreamingPool:
                     "session limit reached ({})".format(self.max_sessions))
             row = self._free.pop()
             session_id = uuid.uuid4().hex[:16]
-            self._sessions[session_id] = (DeviceStreamingSession(self, row),
-                                          threading.Lock())
+            self._sessions[session_id] = (
+                DeviceStreamingSession(self, row, final_decode=final_decode),
+                threading.Lock())
             self._last_used[session_id] = time.time()
             return session_id
 
-    def create_stream(self) -> DeviceStreamingSession:
+    def create_stream(self, final_decode: bool = False) -> DeviceStreamingSession:
         """Library-facing variant: returns the session object directly."""
-        return self._get(self.create())[0]
+        return self._get(self.create(final_decode=final_decode))[0]
 
     def feed(self, session_id: str, chunk: np.ndarray) -> str:
         return self.feed_with_text(session_id, chunk)[0]
@@ -403,12 +422,17 @@ class DeviceStreamingPool:
         return self._get(session_id)[0].text
 
     def finish(self, session_id: str) -> str:
+        return self.finish_with_live_text(session_id)[0]
+
+    def finish_with_live_text(self, session_id: str) -> Tuple[str, str]:
+        """``(final_text, live_text)`` — identical for single-pass sessions."""
         session, lock = self._get(session_id)
         with lock:
             session.finish()
-            full = session.text
+            live = session.text
+            full = session.finalize() if session._final_decode else live
         self.close(session_id)
-        return full
+        return full, live
 
     def close(self, session_id: str) -> None:
         with self._lock:

@@ -296,10 +296,22 @@ class TranscriptionServer:
                             "1", "true", "yes")
                         self._reply(200, server.batcher.submit(audio, want_timestamps))
                     elif parsed.path == "/v1/stream":
-                        # Create a streaming session (any body is ignored).
-                        self._drain_body()
+                        # Create a streaming session. Optional JSON body:
+                        # {"final_decode": true} makes finish() re-decode the full
+                        # accumulated audio through the offline path (LM beam when
+                        # the backend has one) — live partials stay greedy.
+                        body = self._read_body()
+                        final_decode = False
+                        if body.strip():
+                            try:
+                                final_decode = bool(
+                                    json.loads(body).get("final_decode", False))
+                            except (ValueError, AttributeError):
+                                raise RequestError(400, "body must be empty or a "
+                                                        "JSON object")
                         try:
-                            self._reply(200, {"session": server.streams.create()})
+                            self._reply(200, {"session": server.streams.create(
+                                final_decode=final_decode)})
                         except ValueError as error:  # backend without stream surface
                             raise RequestError(501, str(error))
                     elif parsed.path.startswith("/v1/stream/"):
@@ -321,7 +333,8 @@ class TranscriptionServer:
                 if tail.endswith("/finish"):
                     session_id = tail[: -len("/finish")]
                     self._drain_body()
-                    self._reply(200, {"text": server.streams.finish(session_id)})
+                    final, live = server.streams.finish_with_live_text(session_id)
+                    self._reply(200, {"text": final, "live_text": live})
                     return
                 # Feed one audio chunk; reply with the newly finalized text. The full
                 # transcript comes from the same locked feed call — a second lookup

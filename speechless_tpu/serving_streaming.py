@@ -27,6 +27,12 @@ transcriber, with every session's window dispatches micro-batched into shared de
 programs by `StreamingFrameBatcher` (one batcher thread owns all dispatch — the same
 design as `serving_http.DynamicBatcher` for offline requests). Exposed over HTTP as
 `POST /v1/stream` / `/v1/stream/<id>` / `/v1/stream/<id>/finish`.
+
+Two-pass mode (``final_decode=True`` per stream/session, HTTP create body
+``{"final_decode": true}``): live greedy partials flow unchanged, and `finish`
+re-decodes the complete accumulated audio through the offline path — full-utterance
+z-norm plus the word-LM-fused beam when the transcriber has one — returning that as
+the authoritative transcript alongside the live text.
 """
 import threading
 import time
@@ -52,12 +58,23 @@ def _check_window(window_s: float, margin_s: float) -> None:
 
 class StreamingTranscriber:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
-                 sample_rate: int = 16000, frame_fn=None):
-        """``frame_fn``: optional override for the per-window frame-token call
+                 sample_rate: int = 16000, frame_fn=None,
+                 final_decode: bool = False):
+        """``frame_fn``: optional override for the per-frame window token call
         (defaults to ``transcriber.frame_tokens``). A `StreamingFrameBatcher.submit`
-        here lets many concurrent streams share batched device dispatches."""
+        here lets many concurrent streams share batched device dispatches.
+
+        ``final_decode``: two-pass mode — the stream additionally accumulates every
+        fed chunk on the host (~3.7 MB per minute of 16 kHz float32) and `finalize()`
+        re-decodes the COMPLETE audio through the backend's offline path
+        (`transcribe_long_audio`: full-utterance z-norm, silence segmentation, and
+        the LM-fused beam when the transcriber has one). Live greedy partials keep
+        flowing unchanged; the second pass trades one extra offline decode at the
+        end for the offline path's accuracy (no per-window normalization, LM beam
+        instead of argmax)."""
         _check_window(window_s, margin_s)
         self._transcriber = transcriber
+        self._final_decode = final_decode
         self._frame_fn = frame_fn if frame_fn is not None else transcriber.frame_tokens
         spf = transcriber.samples_per_frame
         # Window/margin aligned to the output frame grid so absolute frame<->sample
@@ -73,6 +90,7 @@ class StreamingTranscriber:
         self._emit_sample = 0    # everything before this absolute sample is final
         self._carry = -1         # last processed frame token (-1 = stream start)
         self._parts: List[str] = []
+        self._audio_parts: List[np.ndarray] = []
 
     @property
     def text(self) -> str:
@@ -81,13 +99,27 @@ class StreamingTranscriber:
 
     def feed(self, chunk: np.ndarray) -> str:
         """Append audio; returns newly finalized text (possibly empty)."""
-        self._buffer = np.concatenate([self._buffer, np.asarray(chunk, np.float32)])
+        chunk = np.asarray(chunk, np.float32)
+        if self._final_decode:
+            self._audio_parts.append(chunk)
+        self._buffer = np.concatenate([self._buffer, chunk])
         return self._drain(flush=False)
 
     def finish(self) -> str:
         """Flush the stream: decode everything pending with no right margin and
         return the newly finalized text. The stream can be reused after `reset()`."""
         return self._drain(flush=True)
+
+    def finalize(self) -> str:
+        """Two-pass final transcript: offline decode of the complete accumulated
+        stream. Requires ``final_decode=True`` at construction; the live greedy
+        transcript stays available as `.text`."""
+        if not self._final_decode:
+            raise ValueError("stream was not created with final_decode=True")
+        if not self._audio_parts:
+            return ""
+        audio = np.concatenate(self._audio_parts)
+        return self._transcriber.transcribe_long_audio(audio)
 
     def transcribe_stream(self, audio: np.ndarray, chunk_samples: int = 8000) -> str:
         """Convenience: reset, feed ``audio`` in fixed-size chunks, flush; returns the
@@ -226,7 +258,10 @@ class StreamingSessionPool:
         with self._lock:
             self._sessions.clear()
 
-    def create(self) -> str:
+    def create(self, final_decode: bool = False) -> str:
+        """``final_decode``: two-pass session — `finish` additionally re-decodes the
+        complete accumulated audio through the offline path (LM beam when the
+        transcriber has one) and returns that as the authoritative transcript."""
         with self._lock:
             self._reap_locked()
             if len(self._sessions) >= self._max_sessions:
@@ -235,7 +270,8 @@ class StreamingSessionPool:
             session_id = uuid.uuid4().hex[:16]
             stream = StreamingTranscriber(self._transcriber, window_s=self._window_s,
                                           margin_s=self._margin_s,
-                                          frame_fn=self.batcher.submit)
+                                          frame_fn=self.batcher.submit,
+                                          final_decode=final_decode)
             self._sessions[session_id] = _Session(stream)
             return session_id
 
@@ -261,14 +297,21 @@ class StreamingSessionPool:
         return self._get(session_id).stream.text
 
     def finish(self, session_id: str) -> str:
-        """Flush and close; returns the COMPLETE transcript."""
+        """Flush and close; returns the COMPLETE transcript (the offline second-pass
+        decode for ``final_decode`` sessions, the live greedy text otherwise)."""
+        return self.finish_with_live_text(session_id)[0]
+
+    def finish_with_live_text(self, session_id: str) -> Tuple[str, str]:
+        """``(final_text, live_text)`` — identical for single-pass sessions."""
         session = self._get(session_id)
         with session.lock:
             session.stream.finish()
-            full = session.stream.text
+            live = session.stream.text
+            full = (session.stream.finalize()
+                    if session.stream._final_decode else live)
         with self._lock:
             self._sessions.pop(session_id, None)
-        return full
+        return full, live
 
     def close(self, session_id: str) -> None:
         with self._lock:

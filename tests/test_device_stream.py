@@ -237,3 +237,18 @@ def test_bundle_without_feed_program_rejected(transcriber, tmp_path):
     export_transcriber(transcriber, tmp_path / "plain", sample_buckets=(16384,))
     with pytest.raises(ValueError, match="device_streaming"):
         DeviceStreamingPool(ExportedTranscriber(tmp_path / "plain"))
+
+
+def test_device_session_final_decode(transcriber, pool):
+    """Two-pass device sessions: live greedy text unchanged, finish returns the
+    offline decode of the complete accumulated audio."""
+    audio = _audio(52000, seed=12)
+    sid = pool.create(final_decode=True)
+    for start in range(0, len(audio), 4000):
+        pool.feed(sid, audio[start:start + 4000])
+    final, live = pool.finish_with_live_text(sid)
+    assert final == transcriber.transcribe_long_audio(audio)
+    plain = pool.create_stream()
+    assert live == plain.transcribe_stream(audio, 4000)
+    with pytest.raises(ValueError, match="final_decode"):
+        pool.create_stream().finalize()

@@ -230,3 +230,23 @@ def test_parse_audio_resamples_json_pcm():
     assert len(parsed) == 16000  # 8 kHz -> 16 kHz doubles the sample count
     with pytest.raises(RequestError):
         _parse_audio("application/json", b'{"pcm": [[1.0]]}')
+
+
+def test_streaming_final_decode_over_http(server, transcriber):
+    """POST /v1/stream {"final_decode": true}: /finish returns the offline-path
+    transcript as "text" and the live greedy pass as "live_text"."""
+    audio = (np.random.RandomState(13).randn(30000) * 0.3).astype(np.float32)
+    status, payload = _request(server, "/v1/stream",
+                               json.dumps({"final_decode": True}).encode())
+    assert status == 200
+    sid = payload["session"]
+    for start in range(0, len(audio), 4000):
+        status, _ = _request(server, "/v1/stream/{}".format(sid),
+                             _pcm_body(audio[start:start + 4000]))
+        assert status == 200
+    status, final = _request(server, "/v1/stream/{}/finish".format(sid), b"{}")
+    assert status == 200
+    assert final["text"] == transcriber.transcribe_long_audio(audio)
+    assert "live_text" in final and final["live_text"]
+    # Malformed create body is a 400, not a silent single-pass session.
+    assert _request(server, "/v1/stream", b"{nope")[0] == 400

@@ -116,3 +116,57 @@ def test_window_must_exceed_twice_margin():
     transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
     with pytest.raises(ValueError, match="exceed 2\\*margin_s"):
         StreamingTranscriber(transcriber, window_s=2.0, margin_s=1.0)
+
+
+def test_final_decode_two_pass():
+    """final_decode=True: live greedy partials flow unchanged, finalize() returns the
+    offline decode of the COMPLETE stream (full-utterance z-norm — the authoritative
+    transcript), and a plain stream rejects finalize()."""
+    import jax
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(4))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(8).randn(40000) * 0.3).astype(np.float32)
+
+    plain = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25)
+    live_expected = plain.transcribe_stream(audio, chunk_samples=4000)
+
+    stream = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25,
+                                  final_decode=True)
+    for start in range(0, len(audio), 4000):
+        stream.feed(audio[start:start + 4000])
+    stream.finish()
+    assert stream.text == live_expected  # pass 1 unchanged
+    assert stream.finalize() == transcriber.transcribe_long_audio(audio)
+
+    with pytest.raises(ValueError, match="final_decode"):
+        plain.finalize()
+
+
+def test_session_pool_final_decode():
+    """Pool sessions created with final_decode report (final, live) from finish."""
+    import jax
+    from speechless_tpu.serving_streaming import StreamingSessionPool
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(5))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(9).randn(30000) * 0.3).astype(np.float32)
+    pool = StreamingSessionPool(transcriber, window_s=1.024, margin_s=0.25,
+                                max_batch=4)
+    pool.start()
+    try:
+        sid = pool.create(final_decode=True)
+        for start in range(0, len(audio), 4000):
+            pool.feed(sid, audio[start:start + 4000])
+        final, live = pool.finish_with_live_text(sid)
+        assert final == transcriber.transcribe_long_audio(audio)
+        # The live pass must be byte-identical to a plain (single-pass) session fed
+        # the same chunks.
+        sid2 = pool.create(final_decode=False)
+        for start in range(0, len(audio), 4000):
+            pool.feed(sid2, audio[start:start + 4000])
+        plain_final, plain_live = pool.finish_with_live_text(sid2)
+        assert live == plain_live == plain_final
+    finally:
+        pool.stop()
