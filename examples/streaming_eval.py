@@ -27,6 +27,10 @@ def main() -> None:
     parser.add_argument("--window-s", type=float, default=8.0)
     parser.add_argument("--margin-s", type=float, default=2.0)
     parser.add_argument("--platform", choices=("cpu", "tpu"), default="tpu")
+    parser.add_argument("--two-pass", action="store_true",
+                        help="also measure final_decode streams: live greedy "
+                             "partials + word-LM-beam offline second pass on "
+                             "finish (needs kenlm/ under --data-dir)")
     parser.add_argument("--out", type=Path,
                         default=Path(__file__).resolve().parent.parent
                         / "evidence" / "STREAMING_r03.json")
@@ -96,6 +100,30 @@ def main() -> None:
         "streaming_ler": stream_label_errors / max(label_chars, 1),
         "offline_ler": offline_label_errors / max(label_chars, 1),
     }
+    if args.two_pass:
+        # Two-pass sessions on an LM-fused transcriber: the live pass stays greedy
+        # (frame argmax), finish() re-decodes the accumulated audio with the word-LM
+        # beam — the measured gap is what the second pass buys a streaming client.
+        lm_transcriber = Transcriber(
+            config, transcriber.params, english_frequent_characters,
+            kenlm_directory=args.data_dir / "kenlm" / "english")
+        live_errors = 0
+        final_errors = 0
+        for example in examples:
+            audio = load_audio(example.audio_file, 16000)
+            stream = StreamingTranscriber(lm_transcriber, window_s=args.window_s,
+                                          margin_s=args.margin_s,
+                                          final_decode=True)
+            for start in range(0, len(audio), chunk):
+                stream.feed(audio[start:start + chunk])
+            stream.finish()
+            live_errors += levenshtein(example.label, stream.text)
+            final_errors += levenshtein(example.label, stream.finalize())
+        result["two_pass"] = {
+            "live_greedy_ler": live_errors / max(label_chars, 1),
+            "final_lm_beam_ler": final_errors / max(label_chars, 1),
+        }
+
     args.out.write_text(json.dumps(result, indent=2))
     log("written to {}".format(args.out))
     print(json.dumps(result, indent=2))
