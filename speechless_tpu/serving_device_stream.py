@@ -41,8 +41,12 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .serving_streaming import UnknownSessionError, _check_window
+from .serving_streaming import (UnknownSessionError, _check_window,
+                                collapse_new_frames, offline_final_pass)
 from .utils.microbatch import MicroBatcher, PendingItem
+
+_POISONED_MESSAGE = ("stream lost: a device dispatch failed and the pool state was "
+                     "reset; create a new session")
 
 
 def _build_feed_fn(config, window: int, chunk_cap: int, spf: int):
@@ -202,6 +206,13 @@ class DeviceStreamingSession:
         self._carry = -1
         self._parts: List[str] = []
         self._finished = False
+        self._poisoned = False
+        # The session owns its lock and idle stamp (feeds serialize here whether
+        # they arrive through the pool surface or this object directly) — the
+        # pool's reaper reads both, so direct `create_stream()` usage is reap-safe:
+        # an actively-fed session always looks busy or recently used.
+        self.lock = threading.Lock()
+        self.last_used = time.time()
 
     @property
     def text(self) -> str:
@@ -211,8 +222,23 @@ class DeviceStreamingSession:
         """Upload ``chunk`` (appended to the device window) and return newly
         finalized text. Chunks larger than the pool's ``chunk_cap`` split into
         multiple dispatches transparently."""
-        if self._finished:
-            raise RuntimeError("session is finished")
+        with self.lock:
+            try:
+                return self._feed_locked(chunk)
+            finally:
+                self.last_used = time.time()
+
+    def feed_with_text(self, chunk: np.ndarray) -> Tuple[str, str]:
+        """``(newly_finalized, full_text_so_far)`` from one locked call."""
+        with self.lock:
+            try:
+                partial = self._feed_locked(chunk)
+                return partial, self.text
+            finally:
+                self.last_used = time.time()
+
+    def _feed_locked(self, chunk: np.ndarray) -> str:
+        self._check_usable()
         chunk = np.asarray(chunk, np.float32).ravel()
         if self._final_decode:
             self._audio_parts.append(chunk)
@@ -229,6 +255,24 @@ class DeviceStreamingSession:
     def finish(self) -> str:
         """Flush (decode the final margin too), free the device row, and return the
         newly finalized text."""
+        with self.lock:
+            try:
+                return self._finish_locked()
+            finally:
+                self.last_used = time.time()
+
+    def finish_with_live_text(self) -> Tuple[str, str]:
+        """Flush + free the row; ``(final_text, live_text)`` — the offline second
+        pass and the live greedy transcript (identical for single-pass sessions)."""
+        with self.lock:
+            self._finish_locked()
+            live = self.text
+            full = self._finalize_inner() if self._final_decode else live
+            return full, live
+
+    def _finish_locked(self) -> str:
+        if self._poisoned:
+            raise RuntimeError(_POISONED_MESSAGE)
         if self._finished:
             return ""
         out = ""
@@ -242,18 +286,25 @@ class DeviceStreamingSession:
     def finalize(self) -> str:
         """Two-pass final transcript: offline decode of the complete accumulated
         stream (same contract as `StreamingTranscriber.finalize`)."""
+        with self.lock:
+            return self._finalize_inner()
+
+    def _finalize_inner(self) -> str:
         if not self._final_decode:
             raise ValueError("session was not created with final_decode=True")
-        if not self._audio_parts:
-            return ""
-        audio = np.concatenate(self._audio_parts)
-        return self._pool._transcriber.transcribe_long_audio(audio)
+        return offline_final_pass(self._pool._transcriber, self._audio_parts)
 
     def transcribe_stream(self, audio: np.ndarray, chunk_samples: int = 8000) -> str:
         """Convenience mirror of `StreamingTranscriber.transcribe_stream`."""
         for start in range(0, len(audio), chunk_samples):
             self.feed(audio[start:start + chunk_samples])
         return self.text + self.finish()
+
+    def _check_usable(self) -> None:
+        if self._poisoned:
+            raise RuntimeError(_POISONED_MESSAGE)
+        if self._finished:
+            raise RuntimeError("session is finished")
 
     def _dispatch(self, piece: np.ndarray) -> Tuple[np.ndarray, int]:
         tokens, count, new_length = self._pool.batcher.submit(
@@ -272,16 +323,9 @@ class DeviceStreamingSession:
     def _emit(self, tokens: np.ndarray, count: int, flush: bool) -> str:
         buffer_start = self._total - self._length  # spf-aligned by construction
         emit_limit = self._total + self._spf if flush else self._total - self._pool.margin
-        new_tokens: List[int] = []
-        for f in range(min(count, len(tokens))):
-            start = buffer_start + f * self._spf
-            if start < self._emit_sample or start + self._spf > emit_limit:
-                continue
-            token = int(tokens[f])
-            if token != self._carry and token != self._blank:
-                new_tokens.append(token)
-            self._carry = token
-            self._emit_sample = start + self._spf
+        new_tokens, self._emit_sample, self._carry = collapse_new_frames(
+            tokens, count, buffer_start, self._spf, self._emit_sample,
+            self._carry, emit_limit, self._blank)
         if not new_tokens:
             return ""
         part = self._codec.decode_graphemes(new_tokens, merge_repeated=False)
@@ -357,8 +401,7 @@ class DeviceStreamingPool:
         self._buffers = jnp.zeros((self.max_sessions + 1, self.window), jnp.float32)
         self._lengths = jnp.zeros((self.max_sessions + 1,), jnp.int32)
         self._free = list(range(self.max_sessions))
-        self._sessions: Dict[str, Tuple[DeviceStreamingSession, threading.Lock]] = {}
-        self._last_used: Dict[str, float] = {}
+        self._sessions: Dict[str, DeviceStreamingSession] = {}
         self._lock = threading.Lock()
         self.batcher = _DeviceFeedBatcher(self, max_batch=max_batch,
                                           max_wait_ms=max_wait_ms)
@@ -371,15 +414,21 @@ class DeviceStreamingPool:
     def stop(self) -> None:
         self.batcher.stop()
         with self._lock:
+            for session in self._sessions.values():
+                session._poisoned = session._finished = True
             self._sessions.clear()
-            self._last_used.clear()
             self._free = list(range(self.max_sessions))
 
     def warm_up(self) -> None:
         """Compile the feed program before traffic (a cold compile at first feed can
-        take minutes on remote-compiled backends). Dispatches one padding-only batch —
+        take minutes on remote-compiled backends). Feeds only the padding-sink row —
         no session row is touched."""
-        self._dispatch([])
+        if self.batcher.started:
+            # Already serving: route through the batcher thread, the single owner of
+            # the donated device state (a direct dispatch here would race it).
+            self.batcher.submit((self.max_sessions, np.zeros(0, np.float32), True))
+        else:
+            self._dispatch([])
 
     # -- session surface (mirrors StreamingSessionPool) ---------------------------
 
@@ -394,53 +443,46 @@ class DeviceStreamingPool:
                     "session limit reached ({})".format(self.max_sessions))
             row = self._free.pop()
             session_id = uuid.uuid4().hex[:16]
-            self._sessions[session_id] = (
-                DeviceStreamingSession(self, row, final_decode=final_decode),
-                threading.Lock())
-            self._last_used[session_id] = time.time()
+            self._sessions[session_id] = DeviceStreamingSession(
+                self, row, final_decode=final_decode)
             return session_id
 
     def create_stream(self, final_decode: bool = False) -> DeviceStreamingSession:
         """Library-facing variant: returns the session object directly."""
-        return self._get(self.create(final_decode=final_decode))[0]
+        return self._get(self.create(final_decode=final_decode))
 
     def feed(self, session_id: str, chunk: np.ndarray) -> str:
         return self.feed_with_text(session_id, chunk)[0]
 
     def feed_with_text(self, session_id: str, chunk: np.ndarray) -> Tuple[str, str]:
-        session, lock = self._get(session_id)
-        with lock:
-            try:
-                partial = session.feed(chunk)
-                return partial, session.text
-            finally:
-                with self._lock:
-                    if session_id in self._last_used:
-                        self._last_used[session_id] = time.time()
+        return self._get(session_id).feed_with_text(chunk)
 
     def text(self, session_id: str) -> str:
-        return self._get(session_id)[0].text
+        return self._get(session_id).text
 
     def finish(self, session_id: str) -> str:
         return self.finish_with_live_text(session_id)[0]
 
     def finish_with_live_text(self, session_id: str) -> Tuple[str, str]:
         """``(final_text, live_text)`` — identical for single-pass sessions."""
-        session, lock = self._get(session_id)
-        with lock:
-            session.finish()
-            live = session.text
-            full = session.finalize() if session._final_decode else live
-        self.close(session_id)
-        return full, live
+        session = self._get(session_id)
+        result = session.finish_with_live_text()
+        with self._lock:
+            self._sessions.pop(session_id, None)
+        return result
 
     def close(self, session_id: str) -> None:
         with self._lock:
-            entry = self._sessions.pop(session_id, None)
-            self._last_used.pop(session_id, None)
-        if entry is not None and not entry[0]._finished:
-            entry[0]._finished = True
-            self._release(entry[0]._row)
+            session = self._sessions.pop(session_id, None)
+        if session is None:
+            return
+        # Under the session lock so a close racing an in-flight feed/finish cannot
+        # free the row while that call's dispatch is still queued (the row would be
+        # handed to a new session and receive the old session's audio).
+        with session.lock:
+            if not session._finished:
+                session._finished = True
+                self._release(session._row)
 
     @property
     def session_count(self) -> int:
@@ -449,21 +491,23 @@ class DeviceStreamingPool:
 
     # -- internals -----------------------------------------------------------------
 
-    def _get(self, session_id: str):
+    def _get(self, session_id: str) -> DeviceStreamingSession:
         with self._lock:
             self._reap_locked()
-            entry = self._sessions.get(session_id)
-        if entry is None:
+            session = self._sessions.get(session_id)
+        if session is None:
             raise UnknownSessionError(
                 "unknown or expired session {!r}".format(session_id))
-        return entry
+        return session
 
     def _reap_locked(self) -> None:
         cutoff = time.time() - self._idle_timeout_s
-        for stale in [sid for sid, last in self._last_used.items()
-                      if last < cutoff and not self._sessions[sid][1].locked()]:
-            session, _ = self._sessions.pop(stale)
-            self._last_used.pop(stale, None)
+        for stale in [sid for sid, s in self._sessions.items()
+                      if s.last_used < cutoff and not s.lock.locked()]:
+            # A held lock means a feed/finish is in flight right now (its last_used
+            # stamp lands when it returns) — never reap a live stream. Direct
+            # session objects refresh the same stamp/lock, so they are covered too.
+            session = self._sessions.pop(stale)
             if not session._finished:
                 session._finished = True
                 # Already under self._lock (callers hold it), so free the row inline
@@ -473,6 +517,20 @@ class DeviceStreamingPool:
     def _release(self, row: int) -> None:
         with self._lock:
             self._free.append(row)
+
+    def _recover_after_failed_dispatch(self) -> None:
+        """Rebuild fresh device state and retire every live session — their windows
+        are unrecoverable once the donated arrays are gone. The failed batch's
+        waiters see the original exception; later calls on old sessions raise a
+        clear 'stream lost'; new sessions start clean. Runs on the batcher thread."""
+        jnp = self._jnp
+        self._buffers = jnp.zeros((self.max_sessions + 1, self.window), jnp.float32)
+        self._lengths = jnp.zeros((self.max_sessions + 1,), jnp.int32)
+        with self._lock:
+            for session in self._sessions.values():
+                session._poisoned = session._finished = True
+            self._sessions.clear()
+            self._free = list(range(self.max_sessions))
 
     def _dispatch(self, group: List[PendingItem]) -> None:
         """Serve one conflict-free group with a single fused device call. Runs only
@@ -489,10 +547,19 @@ class DeviceStreamingPool:
             chunks[i, :len(piece)] = piece
             chunk_lens[i] = len(piece)
             resets[i] = reset
-        self._buffers, self._lengths, tokens, counts, new_lens = self._feed(
-            self._transcriber.params, self._buffers, self._lengths,
-            jnp.asarray(rows), jnp.asarray(chunks), jnp.asarray(chunk_lens),
-            jnp.asarray(resets))
+        try:
+            outs = self._feed(
+                self._transcriber.params, self._buffers, self._lengths,
+                jnp.asarray(rows), jnp.asarray(chunks), jnp.asarray(chunk_lens),
+                jnp.asarray(resets))
+        except Exception:
+            # The donated buffers/lengths may already be consumed — without
+            # recovery every later feed for every session would hit deleted arrays,
+            # turning one transient dispatch error (e.g. a lost tunnel RPC) into a
+            # permanent streaming outage.
+            self._recover_after_failed_dispatch()
+            raise
+        self._buffers, self._lengths, tokens, counts, new_lens = outs
         tokens = np.asarray(tokens)
         counts = np.asarray(counts)
         new_lens = np.asarray(new_lens)

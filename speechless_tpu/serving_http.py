@@ -299,8 +299,11 @@ class TranscriptionServer:
                         # Create a streaming session. Optional JSON body:
                         # {"final_decode": true} makes finish() re-decode the full
                         # accumulated audio through the offline path (LM beam when
-                        # the backend has one) — live partials stay greedy.
-                        body = self._read_body()
+                        # the backend has one) — live partials stay greedy. The body
+                        # stays OPTIONAL: a bare POST (no Content-Length) must keep
+                        # working, so only read one when the client declares it.
+                        has_body = int(self.headers.get("Content-Length", 0)) > 0
+                        body = self._read_body() if has_body else b""
                         final_decode = False
                         if body.strip():
                             try:

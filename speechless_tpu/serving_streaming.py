@@ -50,6 +50,40 @@ class UnknownSessionError(KeyError):
     handler never mistakes an internal KeyError for a missing session."""
 
 
+def collapse_new_frames(frames, count: int, buffer_start: int, spf: int,
+                        emit_sample: int, carry: int, emit_limit: int,
+                        blank: int) -> Tuple[List[int], int, int]:
+    """ONE streaming CTC emission step, shared by the host and device paths (their
+    transcripts are pinned byte-identical — the rule must live in one place).
+
+    Walks ``frames[:count]`` (per-frame argmax tokens of a window starting at
+    absolute sample ``buffer_start``), skipping frames already emitted
+    (< ``emit_sample``) or beyond ``emit_limit`` (the margin / flush boundary), CTC
+    -collapsing against ``carry`` (the previous frame's token; repeats and blanks
+    emit nothing). Returns ``(new_tokens, emit_sample, carry)``.
+    """
+    new_tokens: List[int] = []
+    for f in range(min(count, len(frames))):
+        start = buffer_start + f * spf
+        if start < emit_sample or start + spf > emit_limit:
+            continue
+        token = int(frames[f])
+        if token != carry and token != blank:
+            new_tokens.append(token)
+        carry = token
+        emit_sample = start + spf
+    return new_tokens, emit_sample, carry
+
+
+def offline_final_pass(transcriber, audio_parts: List[np.ndarray]) -> str:
+    """The two-pass final transcript: offline decode of the full accumulated audio
+    (full-utterance z-norm, silence segmentation, the LM beam when the transcriber
+    has one). Shared by the host and device session implementations."""
+    if not audio_parts:
+        return ""
+    return transcriber.transcribe_long_audio(np.concatenate(audio_parts))
+
+
 def _check_window(window_s: float, margin_s: float) -> None:
     if window_s <= 2 * margin_s:
         raise ValueError("window_s must exceed 2*margin_s to make progress "
@@ -116,10 +150,7 @@ class StreamingTranscriber:
         transcript stays available as `.text`."""
         if not self._final_decode:
             raise ValueError("stream was not created with final_decode=True")
-        if not self._audio_parts:
-            return ""
-        audio = np.concatenate(self._audio_parts)
-        return self._transcriber.transcribe_long_audio(audio)
+        return offline_final_pass(self._transcriber, self._audio_parts)
 
     def transcribe_stream(self, audio: np.ndarray, chunk_samples: int = 8000) -> str:
         """Convenience: reset, feed ``audio`` in fixed-size chunks, flush; returns the
@@ -145,16 +176,9 @@ class StreamingTranscriber:
                           else window_end - self._margin)
             if emit_limit > self._emit_sample:
                 frames = self._frame_fn(self._buffer[:window_len])
-                new_tokens: List[int] = []
-                for f, token in enumerate(frames):
-                    start = self._buffer_start + f * self._spf
-                    if start < self._emit_sample or start + self._spf > emit_limit:
-                        continue
-                    token = int(token)
-                    if token != self._carry and token != blank:
-                        new_tokens.append(token)
-                    self._carry = token
-                    self._emit_sample = start + self._spf
+                new_tokens, self._emit_sample, self._carry = collapse_new_frames(
+                    frames, len(frames), self._buffer_start, self._spf,
+                    self._emit_sample, self._carry, emit_limit, blank)
                 if new_tokens:
                     self._parts.append(codec.decode_graphemes(new_tokens,
                                                               merge_repeated=False))

@@ -66,6 +66,10 @@ class MicroBatcher:
     def start(self) -> None:
         self._thread.start()
 
+    @property
+    def started(self) -> bool:
+        return self._thread.ident is not None
+
     def stop(self) -> None:
         self._stop.set()
         self._queue.put(None)  # wake the loop

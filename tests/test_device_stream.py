@@ -252,3 +252,65 @@ def test_device_session_final_decode(transcriber, pool):
     assert live == plain.transcribe_stream(audio, 4000)
     with pytest.raises(ValueError, match="final_decode"):
         pool.create_stream().finalize()
+
+
+def test_direct_sessions_are_reap_safe(transcriber):
+    """Sessions driven through the documented create_stream()/session.feed() surface
+    refresh the pool's idle stamp and lock, so the reaper never frees the row of an
+    actively-fed stream (regression: direct feeds used to bypass both)."""
+    import time as time_module
+
+    pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                               max_batch=2, max_wait_ms=5.0, chunk_cap_s=0.5,
+                               max_sessions=2, idle_timeout_s=0.4)
+    pool.start()
+    try:
+        session = pool.create_stream()
+        row = session._row
+        for _ in range(4):  # keep feeding past the idle timeout
+            time_module.sleep(0.15)
+            session.feed(_audio(2000, seed=30))
+        other = pool.create()  # runs the reaper
+        assert not session._finished  # actively-fed session survived
+        assert row not in pool._free
+        pool.close(other)
+        # And a genuinely idle direct session IS reaped, freeing its row.
+        time_module.sleep(0.6)
+        pool.create()  # reaper runs; the idle session's row must be reclaimable
+        assert session._finished
+    finally:
+        pool.stop()
+
+
+def test_failed_dispatch_poisons_sessions_and_pool_recovers(transcriber):
+    """One failing device dispatch must not brick the pool: the failed batch's
+    waiters get the error, old sessions raise a clear 'stream lost', and new
+    sessions serve correctly on rebuilt device state."""
+    pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                               max_batch=2, max_wait_ms=5.0, chunk_cap_s=0.5,
+                               max_sessions=2)
+    pool.start()
+    try:
+        audio = _audio(20000, seed=31)
+        expected = pool.create_stream().transcribe_stream(audio, 4000)
+
+        session = pool.create_stream()
+        real_feed = pool._feed
+
+        def exploding_feed(*args, **kwargs):
+            raise RuntimeError("tunnel RPC lost")
+
+        pool._feed = exploding_feed
+        with pytest.raises(RuntimeError, match="tunnel RPC lost"):
+            session.feed(_audio(2000, seed=32))
+        pool._feed = real_feed
+
+        with pytest.raises(RuntimeError, match="stream lost"):
+            session.feed(_audio(2000, seed=32))
+        with pytest.raises(RuntimeError, match="stream lost"):
+            session.finish()
+
+        fresh = pool.create_stream()
+        assert fresh.transcribe_stream(audio, 4000) == expected
+    finally:
+        pool.stop()

@@ -250,3 +250,13 @@ def test_streaming_final_decode_over_http(server, transcriber):
     assert "live_text" in final and final["live_text"]
     # Malformed create body is a 400, not a silent single-pass session.
     assert _request(server, "/v1/stream", b"{nope")[0] == 400
+
+
+def test_stream_create_accepts_bodiless_post(server):
+    """POST /v1/stream with an empty body (Content-Length 0 — the pre-final_decode
+    client behavior) must keep working, not 411."""
+    status, payload = _request(server, "/v1/stream", data=b"", method="POST")
+    assert status == 200 and "session" in payload
+    status, _ = _request(server, "/v1/stream/{}/finish".format(payload["session"]),
+                         b"{}")
+    assert status == 200
