@@ -218,6 +218,12 @@ class DeviceStreamingSession:
     def text(self) -> str:
         return "".join(self._parts)
 
+    @property
+    def final_up_to_s(self) -> float:
+        """Absolute stream time (seconds) up to which the transcript is FINAL (same
+        contract as `StreamingTranscriber.final_up_to_s`; 16 kHz)."""
+        return self._emit_sample / 16000.0
+
     def feed(self, chunk: np.ndarray) -> str:
         """Upload ``chunk`` (appended to the device window) and return newly
         finalized text. Chunks larger than the pool's ``chunk_cap`` split into
@@ -228,12 +234,13 @@ class DeviceStreamingSession:
             finally:
                 self.last_used = time.time()
 
-    def feed_with_text(self, chunk: np.ndarray) -> Tuple[str, str]:
-        """``(newly_finalized, full_text_so_far)`` from one locked call."""
+    def feed_with_text(self, chunk: np.ndarray) -> Tuple[str, str, float]:
+        """``(newly_finalized, full_text_so_far, final_up_to_s)`` from one locked
+        call."""
         with self.lock:
             try:
                 partial = self._feed_locked(chunk)
-                return partial, self.text
+                return partial, self.text, self.final_up_to_s
             finally:
                 self.last_used = time.time()
 
@@ -454,7 +461,8 @@ class DeviceStreamingPool:
     def feed(self, session_id: str, chunk: np.ndarray) -> str:
         return self.feed_with_text(session_id, chunk)[0]
 
-    def feed_with_text(self, session_id: str, chunk: np.ndarray) -> Tuple[str, str]:
+    def feed_with_text(self, session_id: str,
+                       chunk: np.ndarray) -> Tuple[str, str, float]:
         return self._get(session_id).feed_with_text(chunk)
 
     def text(self, session_id: str) -> str:

@@ -346,9 +346,11 @@ class TranscriptionServer:
                 audio = _parse_audio(self.headers.get("Content-Type", ""),
                                      self._read_body())
                 try:
-                    partial, text = server.streams.feed_with_text(session_id, audio)
+                    partial, text, final_up_to_s = server.streams.feed_with_text(
+                        session_id, audio)
                 except ValueError as error:  # backend without streaming programs
                     raise RequestError(501, str(error))
-                self._reply(200, {"partial": partial, "text": text})
+                self._reply(200, {"partial": partial, "text": text,
+                                  "final_up_to_s": round(final_up_to_s, 3)})
 
         return Handler

@@ -116,6 +116,7 @@ class StreamingTranscriber:
         self._window = int(window_s * sample_rate) // spf * spf
         self._margin = int(margin_s * sample_rate) // spf * spf
         self._spf = spf
+        self._sample_rate = sample_rate
         self.reset()
 
     def reset(self) -> None:
@@ -130,6 +131,13 @@ class StreamingTranscriber:
     def text(self) -> str:
         """Everything emitted so far."""
         return "".join(self._parts)
+
+    @property
+    def final_up_to_s(self) -> float:
+        """Absolute stream time (seconds) up to which the transcript is FINAL —
+        everything spoken before this instant has been emitted; later audio is still
+        inside the emission margin. Live-captioning clients align display on this."""
+        return self._emit_sample / self._sample_rate
 
     def feed(self, chunk: np.ndarray) -> str:
         """Append audio; returns newly finalized text (possibly empty)."""
@@ -302,15 +310,16 @@ class StreamingSessionPool:
     def feed(self, session_id: str, chunk: np.ndarray) -> str:
         return self.feed_with_text(session_id, chunk)[0]
 
-    def feed_with_text(self, session_id: str, chunk: np.ndarray) -> Tuple[str, str]:
-        """Feed one chunk; returns ``(newly_finalized, full_text_so_far)`` from the
-        same locked call — a caller doing a second `text()` lookup could lose the
-        result to a concurrent finish/reap."""
+    def feed_with_text(self, session_id: str,
+                       chunk: np.ndarray) -> Tuple[str, str, float]:
+        """Feed one chunk; returns ``(newly_finalized, full_text_so_far,
+        final_up_to_s)`` from the same locked call — a caller doing a second
+        `text()` lookup could lose the result to a concurrent finish/reap."""
         session = self._get(session_id)
         with session.lock:
             try:
                 partial = session.stream.feed(chunk)
-                return partial, session.stream.text
+                return partial, session.stream.text, session.stream.final_up_to_s
             finally:
                 # Updated on exit, not entry: a first-window feed can sit in a minutes
                 # -long remote compile, and entry-stamped sessions would look idle and

@@ -168,9 +168,10 @@ def test_row_reuse_resets_device_state(transcriber, pool):
 
 def test_session_pool_surface(transcriber, pool):
     sid = pool.create()
-    partial, text = pool.feed_with_text(sid, _audio(9000, seed=6))
+    partial, text, final_up_to_s = pool.feed_with_text(sid, _audio(9000, seed=6))
     assert text.endswith(partial)
     assert pool.text(sid) == text
+    assert 0.0 <= final_up_to_s <= 9000 / 16000.0  # final time never outruns audio
     full = pool.finish(sid)
     assert full.startswith(text)
     with pytest.raises(UnknownSessionError):

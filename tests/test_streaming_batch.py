@@ -185,9 +185,14 @@ def test_feed_with_text_returns_full_transcript(transcriber):
         audio = _audios(1, seed=13, low=40000, high=40001)[0]
         sid = pool.create()
         fed = []
+        last_final = 0.0
         for start in range(0, len(audio), 8000):
-            partial, text = pool.feed_with_text(sid, audio[start:start + 8000])
+            partial, text, final_up_to_s = pool.feed_with_text(
+                sid, audio[start:start + 8000])
             fed.append(partial)
             assert text == "".join(fed)
+            assert final_up_to_s >= last_final  # monotone, frame-grid aligned
+            last_final = final_up_to_s
+        assert last_final <= len(audio) / 16000.0
     finally:
         pool.stop()
