@@ -30,6 +30,9 @@ def main() -> None:
                         help="promote the ASG transition/initial tables to trained "
                              "parameters (VERDICT round-2: wav2letter learns its "
                              "transitions; fixed random tables leave quality behind)")
+    parser.add_argument("--spec-augment", action="store_true",
+                        help="on-device SpecAugment during training (criterion-"
+                             "agnostic: masks features before the model)")
     args = parser.parse_args()
 
     enable_compilation_cache()
@@ -56,12 +59,15 @@ def main() -> None:
     wav2letter = Wav2Letter(config.mel_frequency_count,
                             allowed_characters=config.allowed_characters, use_asg=True,
                             train_asg_transitions=args.trainable_transitions,
+                            spec_augment=args.spec_augment,
                             gradient_clip_norm=args.clip_norm)
     run_name = "quality-asg"
     if args.difficulty != "standard":
         run_name += "-" + args.difficulty
     if args.trainable_transitions:
         run_name += "-trainable"
+    if args.spec_augment:
+        run_name += "-sa"
     t0 = time.time()
     config.train(wav2letter, run_name=run_name, epoch_limit=args.epochs,
                  callback_step=5, device_resident=True)
@@ -72,6 +78,7 @@ def main() -> None:
         "criterion": "asg",
         "difficulty": args.difficulty,
         "trainable_transitions": args.trainable_transitions,
+        "spec_augment": args.spec_augment,
         "train_wall_s": round(train_wall_s, 1),
         "epochs": args.epochs,
         "letter_error_rate": result.average_letter_error_rate,
@@ -84,6 +91,8 @@ def main() -> None:
     suffix = "" if args.difficulty == "standard" else "_" + args.difficulty
     if args.trainable_transitions:
         suffix += "_trainable"
+    if args.spec_augment:
+        suffix += "_sa"
     (args.data_dir / ("asg_results{}.json".format(suffix))).write_text(
         json.dumps(out, indent=2))
 

@@ -41,7 +41,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .serving_streaming import (UnknownSessionError, _check_window,
+from .serving_streaming import (UnknownSessionError, WordAssembler, _check_window,
                                 collapse_new_frames, offline_final_pass)
 from .utils.microbatch import MicroBatcher, PendingItem
 
@@ -205,6 +205,7 @@ class DeviceStreamingSession:
         self._emit_sample = 0
         self._carry = -1
         self._parts: List[str] = []
+        self._words = WordAssembler(pool.codec, pool.spf)
         self._finished = False
         self._poisoned = False
         # The session owns its lock and idle stamp (feeds serialize here whether
@@ -235,12 +236,20 @@ class DeviceStreamingSession:
                 self.last_used = time.time()
 
     def feed_with_text(self, chunk: np.ndarray) -> Tuple[str, str, float]:
-        """``(newly_finalized, full_text_so_far, final_up_to_s)`` from one locked
-        call."""
+        """``(newly_finalized, full_text_so_far, final_up_to_s)`` — see
+        `feed_with_state` for the full result."""
+        state = self.feed_with_state(chunk)
+        return state["partial"], state["text"], state["final_up_to_s"]
+
+    def feed_with_state(self, chunk: np.ndarray) -> dict:
+        """``{"partial", "text", "final_up_to_s", "words"}`` from one locked call
+        (``words`` = word timestamps newly finalized by this feed)."""
         with self.lock:
             try:
                 partial = self._feed_locked(chunk)
-                return partial, self.text, self.final_up_to_s
+                return {"partial": partial, "text": self.text,
+                        "final_up_to_s": self.final_up_to_s,
+                        "words": self._words.pop_new_words()}
             finally:
                 self.last_used = time.time()
 
@@ -271,11 +280,17 @@ class DeviceStreamingSession:
     def finish_with_live_text(self) -> Tuple[str, str]:
         """Flush + free the row; ``(final_text, live_text)`` — the offline second
         pass and the live greedy transcript (identical for single-pass sessions)."""
+        state = self.finish_with_state()
+        return state["text"], state["live_text"]
+
+    def finish_with_state(self) -> dict:
+        """Flush + free the row; ``{"text", "live_text", "words"}``."""
         with self.lock:
             self._finish_locked()
             live = self.text
             full = self._finalize_inner() if self._final_decode else live
-            return full, live
+            return {"text": full, "live_text": live,
+                    "words": self._words.pop_new_words()}
 
     def _finish_locked(self) -> str:
         if self._poisoned:
@@ -286,6 +301,7 @@ class DeviceStreamingSession:
         if self._total:
             tokens, count = self._dispatch(np.zeros(0, np.float32))
             out = self._emit(tokens, count, flush=True)
+        self._words.flush()
         self._finished = True
         self._pool._release(self._row)
         return out
@@ -330,12 +346,15 @@ class DeviceStreamingSession:
     def _emit(self, tokens: np.ndarray, count: int, flush: bool) -> str:
         buffer_start = self._total - self._length  # spf-aligned by construction
         emit_limit = self._total + self._spf if flush else self._total - self._pool.margin
-        new_tokens, self._emit_sample, self._carry = collapse_new_frames(
+        emissions, self._emit_sample, self._carry = collapse_new_frames(
             tokens, count, buffer_start, self._spf, self._emit_sample,
             self._carry, emit_limit, self._blank)
-        if not new_tokens:
+        if not emissions:
             return ""
-        part = self._codec.decode_graphemes(new_tokens, merge_repeated=False)
+        for token, start in emissions:
+            self._words.push(token, start)
+        part = self._codec.decode_graphemes([t for t, _ in emissions],
+                                            merge_repeated=False)
         self._parts.append(part)
         return part
 
@@ -465,6 +484,9 @@ class DeviceStreamingPool:
                        chunk: np.ndarray) -> Tuple[str, str, float]:
         return self._get(session_id).feed_with_text(chunk)
 
+    def feed_with_state(self, session_id: str, chunk: np.ndarray) -> dict:
+        return self._get(session_id).feed_with_state(chunk)
+
     def text(self, session_id: str) -> str:
         return self._get(session_id).text
 
@@ -473,11 +495,16 @@ class DeviceStreamingPool:
 
     def finish_with_live_text(self, session_id: str) -> Tuple[str, str]:
         """``(final_text, live_text)`` — identical for single-pass sessions."""
+        state = self.finish_with_state(session_id)
+        return state["text"], state["live_text"]
+
+    def finish_with_state(self, session_id: str) -> dict:
+        """Flush and close; ``{"text", "live_text", "words"}``."""
         session = self._get(session_id)
-        result = session.finish_with_live_text()
+        state = session.finish_with_state()
         with self._lock:
             self._sessions.pop(session_id, None)
-        return result
+        return state
 
     def close(self, session_id: str) -> None:
         with self._lock:

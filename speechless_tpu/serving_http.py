@@ -336,8 +336,7 @@ class TranscriptionServer:
                 if tail.endswith("/finish"):
                     session_id = tail[: -len("/finish")]
                     self._drain_body()
-                    final, live = server.streams.finish_with_live_text(session_id)
-                    self._reply(200, {"text": final, "live_text": live})
+                    self._reply(200, server.streams.finish_with_state(session_id))
                     return
                 # Feed one audio chunk; reply with the newly finalized text. The full
                 # transcript comes from the same locked feed call — a second lookup
@@ -346,11 +345,10 @@ class TranscriptionServer:
                 audio = _parse_audio(self.headers.get("Content-Type", ""),
                                      self._read_body())
                 try:
-                    partial, text, final_up_to_s = server.streams.feed_with_text(
-                        session_id, audio)
+                    state = server.streams.feed_with_state(session_id, audio)
                 except ValueError as error:  # backend without streaming programs
                     raise RequestError(501, str(error))
-                self._reply(200, {"partial": partial, "text": text,
-                                  "final_up_to_s": round(final_up_to_s, 3)})
+                state["final_up_to_s"] = round(state["final_up_to_s"], 3)
+                self._reply(200, state)
 
         return Handler

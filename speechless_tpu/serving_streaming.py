@@ -52,7 +52,7 @@ class UnknownSessionError(KeyError):
 
 def collapse_new_frames(frames, count: int, buffer_start: int, spf: int,
                         emit_sample: int, carry: int, emit_limit: int,
-                        blank: int) -> Tuple[List[int], int, int]:
+                        blank: int) -> Tuple[List[Tuple[int, int]], int, int]:
     """ONE streaming CTC emission step, shared by the host and device paths (their
     transcripts are pinned byte-identical — the rule must live in one place).
 
@@ -60,19 +60,64 @@ def collapse_new_frames(frames, count: int, buffer_start: int, spf: int,
     absolute sample ``buffer_start``), skipping frames already emitted
     (< ``emit_sample``) or beyond ``emit_limit`` (the margin / flush boundary), CTC
     -collapsing against ``carry`` (the previous frame's token; repeats and blanks
-    emit nothing). Returns ``(new_tokens, emit_sample, carry)``.
+    emit nothing). Returns ``(new_emissions, emit_sample, carry)`` where each
+    emission is ``(token, absolute_start_sample)`` — the start carries word-level
+    timing downstream.
     """
-    new_tokens: List[int] = []
+    new_emissions: List[Tuple[int, int]] = []
     for f in range(min(count, len(frames))):
         start = buffer_start + f * spf
         if start < emit_sample or start + spf > emit_limit:
             continue
         token = int(frames[f])
         if token != carry and token != blank:
-            new_tokens.append(token)
+            new_emissions.append((token, start))
         carry = token
         emit_sample = start + spf
-    return new_tokens, emit_sample, carry
+    return new_emissions, emit_sample, carry
+
+
+class WordAssembler:
+    """Folds finalized ``(token, start_sample)`` emissions into word timestamps —
+    shared by the host and device streaming sessions (single copy of the word
+    boundary rule). Words close on the space grapheme or on `flush()`; times are
+    absolute stream seconds: a word spans its first emitted grapheme's frame start
+    to its last grapheme's frame end."""
+
+    def __init__(self, codec, spf: int, sample_rate: int = 16000):
+        self._codec = codec
+        self._spf = spf
+        self._rate = sample_rate
+        self._chars: List[str] = []
+        self._start = 0
+        self._end = 0
+        self._new: List[dict] = []
+
+    def push(self, token: int, start: int) -> None:
+        char = self._codec.decode_graphemes([token], merge_repeated=False)
+        if char == " ":
+            self._close()
+            return
+        if not self._chars:
+            self._start = start
+        self._chars.append(char)
+        self._end = start + self._spf
+
+    def flush(self) -> None:
+        """Close the trailing word (stream end)."""
+        self._close()
+
+    def pop_new_words(self) -> List[dict]:
+        """Words finalized since the last pop, oldest first."""
+        new, self._new = self._new, []
+        return new
+
+    def _close(self) -> None:
+        if self._chars:
+            self._new.append({"word": "".join(self._chars),
+                              "start_s": round(self._start / self._rate, 3),
+                              "end_s": round(self._end / self._rate, 3)})
+            self._chars = []
 
 
 def offline_final_pass(transcriber, audio_parts: List[np.ndarray]) -> str:
@@ -126,6 +171,8 @@ class StreamingTranscriber:
         self._carry = -1         # last processed frame token (-1 = stream start)
         self._parts: List[str] = []
         self._audio_parts: List[np.ndarray] = []
+        self._words = WordAssembler(self._transcriber.codec, self._spf,
+                                    self._sample_rate)
 
     @property
     def text(self) -> str:
@@ -150,7 +197,14 @@ class StreamingTranscriber:
     def finish(self) -> str:
         """Flush the stream: decode everything pending with no right margin and
         return the newly finalized text. The stream can be reused after `reset()`."""
-        return self._drain(flush=True)
+        out = self._drain(flush=True)
+        self._words.flush()
+        return out
+
+    def pop_new_words(self) -> List[dict]:
+        """Word timestamps finalized since the last pop (absolute stream seconds;
+        see `WordAssembler`)."""
+        return self._words.pop_new_words()
 
     def finalize(self) -> str:
         """Two-pass final transcript: offline decode of the complete accumulated
@@ -184,12 +238,14 @@ class StreamingTranscriber:
                           else window_end - self._margin)
             if emit_limit > self._emit_sample:
                 frames = self._frame_fn(self._buffer[:window_len])
-                new_tokens, self._emit_sample, self._carry = collapse_new_frames(
+                emissions, self._emit_sample, self._carry = collapse_new_frames(
                     frames, len(frames), self._buffer_start, self._spf,
                     self._emit_sample, self._carry, emit_limit, blank)
-                if new_tokens:
-                    self._parts.append(codec.decode_graphemes(new_tokens,
-                                                              merge_repeated=False))
+                if emissions:
+                    self._parts.append(codec.decode_graphemes(
+                        [t for t, _ in emissions], merge_repeated=False))
+                    for token, start in emissions:
+                        self._words.push(token, start)
             if last_window:
                 break
             # More audio waits beyond this window: slide forward, dropping finalized
@@ -312,14 +368,23 @@ class StreamingSessionPool:
 
     def feed_with_text(self, session_id: str,
                        chunk: np.ndarray) -> Tuple[str, str, float]:
-        """Feed one chunk; returns ``(newly_finalized, full_text_so_far,
-        final_up_to_s)`` from the same locked call — a caller doing a second
-        `text()` lookup could lose the result to a concurrent finish/reap."""
+        """``(newly_finalized, full_text_so_far, final_up_to_s)`` — see
+        `feed_with_state` for the full result."""
+        state = self.feed_with_state(session_id, chunk)
+        return state["partial"], state["text"], state["final_up_to_s"]
+
+    def feed_with_state(self, session_id: str, chunk: np.ndarray) -> dict:
+        """Feed one chunk; returns ``{"partial", "text", "final_up_to_s",
+        "words"}`` (``words`` = word timestamps newly finalized by this feed) from
+        the same locked call — a caller doing a second `text()` lookup could lose
+        the result to a concurrent finish/reap."""
         session = self._get(session_id)
         with session.lock:
             try:
                 partial = session.stream.feed(chunk)
-                return partial, session.stream.text, session.stream.final_up_to_s
+                return {"partial": partial, "text": session.stream.text,
+                        "final_up_to_s": session.stream.final_up_to_s,
+                        "words": session.stream.pop_new_words()}
             finally:
                 # Updated on exit, not entry: a first-window feed can sit in a minutes
                 # -long remote compile, and entry-stamped sessions would look idle and
@@ -336,15 +401,22 @@ class StreamingSessionPool:
 
     def finish_with_live_text(self, session_id: str) -> Tuple[str, str]:
         """``(final_text, live_text)`` — identical for single-pass sessions."""
+        state = self.finish_with_state(session_id)
+        return state["text"], state["live_text"]
+
+    def finish_with_state(self, session_id: str) -> dict:
+        """Flush and close; ``{"text", "live_text", "words"}`` — ``words`` are the
+        timestamps finalized by the flush (the margin's tail)."""
         session = self._get(session_id)
         with session.lock:
             session.stream.finish()
             live = session.stream.text
             full = (session.stream.finalize()
                     if session.stream._final_decode else live)
+            words = session.stream.pop_new_words()
         with self._lock:
             self._sessions.pop(session_id, None)
-        return full, live
+        return {"text": full, "live_text": live, "words": words}
 
     def close(self, session_id: str) -> None:
         with self._lock:

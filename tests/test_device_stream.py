@@ -315,3 +315,44 @@ def test_failed_dispatch_poisons_sessions_and_pool_recovers(transcriber):
         assert fresh.transcribe_stream(audio, 4000) == expected
     finally:
         pool.stop()
+
+
+def test_device_word_timestamps_match_host(transcriber, pool):
+    """Short streams (< one window, where device/host transcripts are pinned
+    identical) produce byte- and time-identical word timestamps; long streams keep
+    the words==transcript invariant (transcripts may differ from the host path by
+    the documented trailing-window z-norm)."""
+    short = _audio(12000, seed=40)
+    host = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25)
+    host_words = []
+    for start in range(0, len(short), 4000):
+        host.feed(short[start:start + 4000])
+        host_words.extend(host.pop_new_words())
+    host.finish()
+    host_words.extend(host.pop_new_words())
+
+    sid = pool.create()
+    device_words = []
+    for start in range(0, len(short), 4000):
+        device_words.extend(pool.feed_with_state(sid, short[start:start + 4000])
+                            ["words"])
+    state = pool.finish_with_state(sid)
+    device_words.extend(state["words"])
+    assert device_words == host_words
+    assert [w["word"] for w in device_words] == [w for w in
+                                                 state["text"].split(" ") if w]
+
+    long_audio = _audio(52000, seed=41)
+    sid = pool.create()
+    words = []
+    for start in range(0, len(long_audio), 4000):
+        words.extend(pool.feed_with_state(sid, long_audio[start:start + 4000])
+                     ["words"])
+    state = pool.finish_with_state(sid)
+    words.extend(state["words"])
+    assert [w["word"] for w in words] == [w for w in state["text"].split(" ") if w]
+    last_end = 0.0
+    for w in words:
+        assert 0.0 <= w["start_s"] < w["end_s"] <= len(long_audio) / 16000.0
+        assert w["start_s"] >= last_end - 1e-9
+        last_end = w["end_s"]

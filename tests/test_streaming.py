@@ -170,3 +170,55 @@ def test_session_pool_final_decode():
         assert live == plain_live == plain_final
     finally:
         pool.stop()
+
+
+def test_streaming_word_timestamps():
+    """Words popped across feeds reassemble the exact transcript, with monotone
+    non-overlapping absolute times bounded by the audio duration; the flush closes
+    the trailing word."""
+    import jax
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(6))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(10).randn(48000) * 0.3).astype(np.float32)
+
+    stream = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25)
+    words = []
+    for start in range(0, len(audio), 4000):
+        stream.feed(audio[start:start + 4000])
+        words.extend(stream.pop_new_words())
+    stream.finish()
+    words.extend(stream.pop_new_words())
+
+    text = stream.text
+    assert [w["word"] for w in words] == [w for w in text.split(" ") if w]
+    last_end = 0.0
+    for w in words:
+        assert 0.0 <= w["start_s"] < w["end_s"] <= len(audio) / 16000.0
+        assert w["start_s"] >= last_end - 1e-9  # words never overlap
+        last_end = w["end_s"]
+
+
+def test_pool_feed_and_finish_state_include_words():
+    import jax
+    from speechless_tpu.serving_streaming import StreamingSessionPool
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(7))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(11).randn(30000) * 0.3).astype(np.float32)
+    pool = StreamingSessionPool(transcriber, window_s=1.024, margin_s=0.25,
+                                max_batch=4)
+    pool.start()
+    try:
+        sid = pool.create()
+        words = []
+        for start in range(0, len(audio), 4000):
+            state = pool.feed_with_state(sid, audio[start:start + 4000])
+            words.extend(state["words"])
+        final = pool.finish_with_state(sid)
+        words.extend(final["words"])
+        assert [w["word"] for w in words] == [w for w in final["text"].split(" ")
+                                              if w]
+    finally:
+        pool.stop()
