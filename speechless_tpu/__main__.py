@@ -53,6 +53,50 @@ def _serving_backend(args, command: str):
         quantize_weights=args.quantize)
 
 
+def _convert_checkpoint(source: Path, destination: Path) -> None:
+    """``convert`` command: migrate checkpoints between this package's ``.npz`` and the
+    reference's Keras ``.h5`` (`/root/reference/speechless/net.py:558-572`). Note that
+    ``.h5`` files in a run directory also load directly (no conversion needed) via the
+    `train/checkpoint.py` fallback — this command is for explicit one-off conversion,
+    mainly in the export direction (take a model trained here back to Keras)."""
+    from .models import wav2letter as w2l
+    from .train import checkpoint as ckpt
+    from .train.keras_import import (is_keras_weight_file, load_keras_params,
+                                     save_keras_params)
+
+    if is_keras_weight_file(source) and destination.suffix == ".npz":
+        ckpt.save_params_npz(destination, load_keras_params(source))
+        print("Wrote {}".format(destination))
+        return
+    if source.suffix == ".npz" and is_keras_weight_file(destination):
+        params = ckpt.load_params_npz(source)
+        if any("w_q" in layer for layer in params):
+            raise SystemExit("{} holds int8-quantized weights, which have no Keras "
+                             "representation; convert the float checkpoint.".format(source))
+        conv_layers = [layer for layer in params if "w" in layer]
+        if len(conv_layers) != len(params):
+            print("Dropping {} non-conv parameter group(s) (e.g. trained ASG "
+                  "transitions) — Keras files carry conv weights only.".format(
+                      len(params) - len(conv_layers)))
+        if not conv_layers:
+            raise SystemExit("{} holds no conv layers".format(source))
+        first_kernel = conv_layers[0]["w"]
+        config = w2l.Wav2LetterConfig(
+            input_size_per_time_step=int(first_kernel.shape[1]),
+            grapheme_set_size=int(conv_layers[-1]["w"].shape[2]),
+            use_raw_wave_input=(first_kernel.shape[1] == 1 and first_kernel.shape[0] == 250))
+        if len(config.layers) != len(conv_layers):
+            raise SystemExit(
+                "{} has {} conv layers — not the reference wav2letter geometry of {} "
+                "layers, so Keras layer names cannot be assigned.".format(
+                    source, len(conv_layers), len(config.layers)))
+        save_keras_params(destination, config, conv_layers)
+        print("Wrote {}".format(destination))
+        return
+    raise SystemExit("convert needs one .npz and one .h5/.hdf5 path "
+                     "(got {} -> {})".format(source, destination))
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="speechless_tpu",
                                      description="TPU-native wav2letter speech recognition")
@@ -205,6 +249,12 @@ def main(argv=None) -> None:
     p_transcribe.add_argument("--dispatch-batch", type=int, default=16,
                               help="files per batched device dispatch")
 
+    p_convert = sub.add_parser(
+        "convert",
+        help="convert a checkpoint between .npz and the reference's Keras .h5")
+    p_convert.add_argument("source", help="weights file (.npz or .h5/.hdf5)")
+    p_convert.add_argument("destination", help="output file with the other extension")
+
     p_record = sub.add_parser("record", help="record from the microphone and transcribe")
     add_config_arg(p_record)
     p_record.add_argument("--run", default=None, help="run name to load (default: best)")
@@ -353,6 +403,8 @@ def main(argv=None) -> None:
                 print(json_module.dumps(record))
             else:
                 print("{}\t{}".format(name, text))
+    elif args.command == "convert":
+        _convert_checkpoint(Path(args.source), Path(args.destination))
     elif args.command == "record":
         from .io import record_plot_and_save
         configuration = _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch)

@@ -81,13 +81,15 @@ class ExperimentRegistry:
 
 
 def available_epochs(net_directory: Path) -> List[int]:
-    """Checkpoint epochs present in a run directory, ascending."""
-    pattern = re.compile(r"weights-epoch(\d+)\.npz$")
-    epochs = []
-    for file in Path(net_directory).glob("weights-epoch*.npz"):
+    """Checkpoint epochs present in a run directory, ascending. Reference-format Keras
+    ``.h5`` files count too (they load through the `train/keras_import.py` fallback), so
+    epoch sweeps work directly on a migrated user's existing run directories."""
+    pattern = re.compile(r"weights-epoch(\d+)\.(npz|h5)$")
+    epochs = set()
+    for file in Path(net_directory).glob("weights-epoch*"):
         match = pattern.match(file.name)
         if match:
-            epochs.append(int(match.group(1)))
+            epochs.add(int(match.group(1)))
     return sorted(epochs)
 
 

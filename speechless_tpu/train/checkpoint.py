@@ -22,6 +22,21 @@ def model_file_name(epoch: int) -> str:
     return "weights-epoch{}.npz".format(epoch)
 
 
+def keras_model_file_name(epoch: int) -> str:
+    """The reference's own checkpoint naming (`net.py:558-560`)."""
+    return "weights-epoch{}.h5".format(epoch)
+
+
+def _keras_fallback_path(directory: Path, epoch: int) -> Optional[Path]:
+    """When no ``.npz`` checkpoint exists but the reference's ``.h5`` does, return it —
+    this makes a reference user's existing ``nets/<run>/`` directories drop-in loadable
+    (weights only; the reference never saved optimizer state, SURVEY.md §5)."""
+    if (Path(directory) / model_file_name(epoch)).exists():
+        return None
+    h5_path = Path(directory) / keras_model_file_name(epoch)
+    return h5_path if h5_path.exists() else None
+
+
 def save_checkpoint(directory: Path, epoch: int, params: w2l.Params,
                     opt_state: Any = None, step: Optional[int] = None) -> Path:
     """Write params (plus flattened optimizer state and the global step counter) to
@@ -40,20 +55,29 @@ def save_checkpoint(directory: Path, epoch: int, params: w2l.Params,
     if step is not None:
         arrays["step"] = np.asarray(int(step))
     path = directory / model_file_name(epoch)
-    temp_path = directory / (model_file_name(epoch) + ".tmp")
-    with temp_path.open("wb") as f:  # file object: np.savez won't append a suffix
-        np.savez(f, **arrays)
-    os.replace(str(temp_path), str(path))
+    _write_npz_atomically(path, arrays)
     return path
 
 
-def load_params(directory: Path, epoch: int) -> w2l.Params:
-    """Load the parameter pytree from a checkpoint file.
+def _write_npz_atomically(path: Path, arrays: dict) -> None:
+    temp_path = path.with_name(path.name + ".tmp")
+    with temp_path.open("wb") as f:  # file object: np.savez won't append a suffix
+        np.savez(f, **arrays)
+    os.replace(str(temp_path), str(path))
 
-    Each layer restores whatever keys it was saved with: conv layers carry ``w``/``b``;
-    a trainable-ASG run appends a criterion pseudo-layer with ``asg_transitions``/
-    ``asg_initials`` (see `system.Wav2Letter(train_asg_transitions=True)`)."""
-    path = Path(directory) / model_file_name(epoch)
+
+def save_params_npz(path: Path, params: w2l.Params) -> Path:
+    """Write a weights-only ``.npz`` at an arbitrary path (the CLI ``convert`` target)."""
+    arrays = {}
+    for i, layer in enumerate(params):
+        for key, value in layer.items():
+            arrays["layer{}.{}".format(i, key)] = np.asarray(value)
+    _write_npz_atomically(Path(path), arrays)
+    return Path(path)
+
+
+def load_params_npz(path: Path) -> w2l.Params:
+    """Load a parameter pytree from an ``.npz`` file at an arbitrary path."""
     with np.load(str(path)) as data:
         layer_keys: dict = {}
         for name in data.files:
@@ -65,8 +89,27 @@ def load_params(directory: Path, epoch: int) -> w2l.Params:
                  for key in sorted(layer_keys[i])} for i in sorted(layer_keys)]
 
 
+def load_params(directory: Path, epoch: int) -> w2l.Params:
+    """Load the parameter pytree from a checkpoint file.
+
+    Each layer restores whatever keys it was saved with: conv layers carry ``w``/``b``;
+    a trainable-ASG run appends a criterion pseudo-layer with ``asg_transitions``/
+    ``asg_initials`` (see `system.Wav2Letter(train_asg_transitions=True)`).
+
+    Reference-format Keras checkpoints (``weights-epoch{n}.h5``) load transparently when
+    no ``.npz`` is present, so migrated users keep their trained models."""
+    keras_path = _keras_fallback_path(directory, epoch)
+    if keras_path is not None:
+        from .keras_import import load_keras_params
+        log("Loading reference-format Keras checkpoint {}".format(keras_path))
+        return load_keras_params(keras_path)
+    return load_params_npz(Path(directory) / model_file_name(epoch))
+
+
 def load_step(directory: Path, epoch: int) -> Optional[int]:
     """Restore the global step counter saved alongside the weights (None if absent)."""
+    if _keras_fallback_path(directory, epoch) is not None:
+        return None  # the reference's .h5 files carry weights only
     path = Path(directory) / model_file_name(epoch)
     with np.load(str(path)) as data:
         return int(data["step"]) if "step" in data.files else None
@@ -74,6 +117,8 @@ def load_step(directory: Path, epoch: int) -> Optional[int]:
 
 def load_opt_state(directory: Path, epoch: int, opt_state_template: Any) -> Optional[Any]:
     """Restore optimizer state by re-leafing a template structure; None if not present."""
+    if _keras_fallback_path(directory, epoch) is not None:
+        return None  # the reference's .h5 files carry weights only
     path = Path(directory) / model_file_name(epoch)
     with np.load(str(path)) as data:
         opt_keys = sorted((k for k in data.files if k.startswith("opt.")),
