@@ -248,6 +248,9 @@ def main(argv=None) -> None:
                               help="one JSON object per file on stdout")
     p_transcribe.add_argument("--dispatch-batch", type=int, default=16,
                               help="files per batched device dispatch")
+    p_transcribe.add_argument("--nbest", type=int, default=1,
+                              help="emit the top-N hypotheses with path scores "
+                                   "(requires --json; checkpoint mode)")
 
     p_convert = sub.add_parser(
         "convert",
@@ -364,7 +367,27 @@ def main(argv=None) -> None:
         if args.timestamps and not args.as_json:
             raise SystemExit("--timestamps requires --json (the plain output is one "
                              "'file<TAB>text' line per file)")
+        if args.nbest < 1:
+            raise SystemExit("--nbest must be >= 1")
+        if args.nbest > 1 and not args.as_json:
+            raise SystemExit("--nbest requires --json")
+        if args.nbest > 1 and (args.timestamps or args.long_form):
+            raise SystemExit("--nbest is mutually exclusive with --timestamps and "
+                             "--long-form")
         backend = _serving_backend(args, "transcribe")
+        if args.nbest > 1:
+            if not hasattr(backend, "transcribe_nbest"):
+                raise SystemExit("--nbest needs a checkpoint backend (--run/--epoch); "
+                                 "AOT bundles export 1-best programs only")
+            for name in args.files:
+                audio = load_audio(Path(name))
+                hypotheses = backend.transcribe_nbest(audio, args.nbest)
+                print(json_module.dumps({
+                    "file": name,
+                    "text": hypotheses[0][0] if hypotheses else "",
+                    "hypotheses": [{"text": text, "score": round(score, 4)}
+                                   for text, score in hypotheses]}))
+            return
         audios = [load_audio(Path(f)) for f in args.files]
         if args.long_form:
             decoded = [(backend.transcribe_long_audio(audio), None)

@@ -248,10 +248,12 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
 
 @partial(jax.jit, static_argnames=("blank", "beam_width", "max_decoded_length",
                                    "lm_weight", "word_count_weight",
-                                   "valid_word_count_weight", "word_lm_static", "prune_classes"))
+                                   "valid_word_count_weight", "word_lm_static",
+                                   "prune_classes", "nbest"))
 def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
                       lm_table, lm_weight, word_arrays, word_lm_static,
-                      word_count_weight, valid_word_count_weight, prune_classes):
+                      word_count_weight, valid_word_count_weight, prune_classes,
+                      nbest=0):
     batch, t_max, class_count = log_probs.shape
     w = beam_width
     if word_arrays is not None:
@@ -301,6 +303,18 @@ def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
             tail_bonus, _, _ = _word_bonuses(word_lm, trie_nodes, word_ctx, lm_weight,
                                              word_count_weight, valid_word_count_weight)
             final = final + tail_bonus
+        if nbest:
+            # Every live beam is a DISTINCT prefix (the per-step merge collapses equal
+            # hashes), so the top-n final beams are an honest n-best list. Dead beams
+            # (fewer than n live prefixes) are masked to empty hypotheses.
+            top_scores, top_beams = jax.lax.top_k(final, nbest)
+            alive = top_scores > NEG_INF / 2
+            nbest_tokens, nbest_counts = jax.vmap(
+                lambda beam: backtrace_tokens(parents, emit_chars, beam,
+                                              lengths_out[beam], max_decoded_length)
+            )(top_beams)
+            nbest_tokens = jnp.where(alive[:, None], nbest_tokens, -1)
+            return nbest_tokens, jnp.where(alive, nbest_counts, 0), top_scores
         best = jnp.argmax(final)
 
         # Backtrace the winning prefix through the (T, W) backpointers, newest first,
@@ -308,6 +322,9 @@ def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
         return backtrace_tokens(parents, emit_chars, best, lengths_out[best],
                                 max_decoded_length)
 
+    if nbest:
+        tokens, counts, scores = jax.vmap(decode_one)(log_probs, lengths)
+        return tokens, counts.astype(jnp.int32), scores
     tokens, counts = jax.vmap(decode_one)(log_probs, lengths)
     return tokens, counts.astype(jnp.int32)
 
@@ -352,3 +369,43 @@ def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: 
     return _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
                              lm_table, lm_weight, word_arrays, word_static,
                              word_count_weight, valid_word_count_weight, prune_classes)
+
+
+def beam_search_nbest_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: int,
+                          nbest: int,
+                          beam_width: int = 25,
+                          max_decoded_length: int = 256,
+                          lm_table: jnp.ndarray = None,
+                          lm_weight: float = 0.5,
+                          word_lm=None,
+                          word_count_weight: float = 0.0,
+                          valid_word_count_weight: float = 2.3,
+                          prune_classes: int = None,
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """N-best variant of `beam_search_decode_jax`: the same search, returning the top-n
+    final beams instead of only the winner (the reference's TF decoder exposed this as
+    ``top_paths``, `net.py:438-454` / TF `ctc_beam_search_decoder`).
+
+    Beams hold distinct prefixes by construction (per-step hash merge), so the list
+    never repeats a hypothesis; when fewer than ``nbest`` prefixes are alive the tail
+    entries come back empty (count 0, score ~-1e30).
+
+    Returns ``tokens (batch, nbest, max_decoded_length)`` (-1 padded),
+    ``counts (batch, nbest)``, and ``scores (batch, nbest)`` — total path score
+    (acoustic log prob + weighted LM terms), descending."""
+    if not 1 <= nbest <= beam_width:
+        raise ValueError("nbest must be in [1, beam_width={}], got {}".format(
+            beam_width, nbest))
+    if word_lm is not None and lm_table is not None:
+        raise ValueError("char-table and word-level fusion are mutually exclusive")
+    if word_lm is not None:
+        word_lm = word_lm.as_device()
+        word_arrays = tuple(word_lm[:9])
+        word_static = (word_lm.max_probes, word_lm.bos_id, word_lm.unk_id,
+                       word_lm.space_index)
+    else:
+        word_arrays, word_static = None, None
+    return _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
+                             lm_table, lm_weight, word_arrays, word_static,
+                             word_count_weight, valid_word_count_weight, prune_classes,
+                             nbest=nbest)

@@ -211,6 +211,71 @@ class Transcriber:
         self._frame_tokens = jax.jit(frame_tokens_fn)
         self._frame_tokens_batch = jax.jit(frame_tokens_batch_fn)
 
+        # N-best decoding (`transcribe_nbest`): one jitted program per n, built lazily —
+        # most deployments never request it, and each n is a different static shape.
+        self._decoder = dict(beam_width=beam_width, lm_weight=lm_weight,
+                             word_count_weight=word_count_weight,
+                             valid_word_count_weight=valid_word_count_weight,
+                             prune_classes=prune_classes)
+        self._nbest_programs = {}
+        self._jax = jax
+
+    def _nbest_program(self, nbest: int):
+        if nbest not in self._nbest_programs:
+            jax, config, word_lm = self._jax, self.config, self.word_lm
+            decoder = self._decoder
+
+            def nbest_fn(params, wav, length):
+                from .features.spectrogram import features_batch
+                from .ops.decode_jax import beam_search_nbest_jax
+
+                features, frame_counts = features_batch(wav[None], length[None])
+                logits = w2l.apply(config, params, features)
+                log_probs = jax.nn.log_softmax(logits, axis=-1)
+                logit_lengths = w2l.prediction_lengths(config, frame_counts)
+                tokens, counts, scores = beam_search_nbest_jax(
+                    log_probs, logit_lengths, blank=config.grapheme_set_size - 1,
+                    nbest=nbest, beam_width=decoder["beam_width"], word_lm=word_lm,
+                    lm_weight=decoder["lm_weight"] if word_lm is not None else 0.0,
+                    word_count_weight=decoder["word_count_weight"],
+                    valid_word_count_weight=decoder["valid_word_count_weight"],
+                    prune_classes=decoder["prune_classes"])
+                return tokens[0], counts[0], scores[0]
+
+            self._nbest_programs[nbest] = jax.jit(nbest_fn)
+        return self._nbest_programs[nbest]
+
+    def transcribe_nbest(self, audio: np.ndarray, nbest: int = 5):
+        """The ``nbest`` most probable transcriptions with their total path scores
+        (acoustic log prob + weighted LM terms when serving with a language model),
+        descending — the reference's TF decoder exposed this as ``top_paths``.
+
+        Runs the XLA beam (`ops/decode_jax.py::beam_search_nbest_jax`) in its own fused
+        wav->hypotheses program. Returns up to ``nbest`` ``(text, score)`` pairs —
+        fewer when the search holds fewer live prefixes (very short audio)."""
+        jnp = self._jnp
+        length = len(audio)
+        bucket = self._bucket(length)
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[:length] = audio
+        tokens, counts, scores = self._nbest_program(nbest)(
+            self.params, jnp.asarray(padded), jnp.asarray(length, jnp.int32))
+        tokens, counts, scores = np.asarray(tokens), np.asarray(counts), np.asarray(scores)
+        hypotheses = []
+        seen_texts = set()
+        for i in range(tokens.shape[0]):
+            if scores[i] <= -1e29:
+                continue  # dead beam: fewer live prefixes than requested
+            text = self.codec.decode_graphemes(
+                tokens[i, : int(counts[i])].tolist(), merge_repeated=False)
+            # Beams are distinct decoded strings by construction (hash merge); the
+            # guard only protects against 32-bit hash collisions.
+            if text in seen_texts:
+                continue
+            seen_texts.add(text)
+            hypotheses.append((text, float(scores[i])))
+        return hypotheses
+
     @staticmethod
     def from_checkpoint(net_directory: Path, epoch: int, allowed_characters: List[str],
                         mel_frequency_count: int = 128,

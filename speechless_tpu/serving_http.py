@@ -222,6 +222,32 @@ class TranscriptionServer:
         self.batcher.stop()
         self.streams.stop()
 
+    def _transcribe_nbest(self, audio: np.ndarray, nbest_raw: str,
+                          want_timestamps: bool) -> dict:
+        """``?nbest=N``: top-N hypotheses with path scores. Individually dispatched
+        (not micro-batched); live-checkpoint backends only — AOT bundles don't export
+        n-best programs."""
+        try:
+            nbest = int(nbest_raw)
+        except ValueError:
+            raise RequestError(400, "nbest must be an integer")
+        if nbest < 1:
+            raise RequestError(400, "nbest must be >= 1")
+        if want_timestamps:
+            raise RequestError(400, "timestamps and nbest are mutually exclusive "
+                                    "(timestamps describe the single best path)")
+        if not hasattr(self.backend, "transcribe_nbest"):
+            raise RequestError(501, "this backend has no n-best decode surface")
+        try:
+            hypotheses = self.backend.transcribe_nbest(audio, nbest)
+        except ValueError as error:  # e.g. nbest > beam_width
+            raise RequestError(400, str(error))
+        return {
+            "text": hypotheses[0][0] if hypotheses else "",
+            "hypotheses": [{"text": text, "score": round(score, 4)}
+                           for text, score in hypotheses],
+        }
+
     def _health(self) -> dict:
         return {
             "status": "ok",
@@ -294,6 +320,13 @@ class TranscriptionServer:
                         query = parse_qs(parsed.query)
                         want_timestamps = query.get("timestamps", ["0"])[0] in (
                             "1", "true", "yes")
+                        nbest = query.get("nbest", ["1"])[0]
+                        if nbest not in ("", "1"):
+                            # N-best requests dispatch individually (their program
+                            # returns n hypotheses, not one row of a shared batch).
+                            self._reply(200, server._transcribe_nbest(
+                                audio, nbest, want_timestamps))
+                            return
                         self._reply(200, server.batcher.submit(audio, want_timestamps))
                     elif parsed.path == "/v1/stream":
                         # Create a streaming session. Optional JSON body:

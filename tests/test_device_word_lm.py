@@ -194,3 +194,29 @@ class TestBeamParity:
         assert fused == host
         assert no_lm == "the mot"
         assert fused != no_lm  # the LM pulled the decode toward vocabulary words
+
+
+class TestNbestWithWordLm:
+    WEIGHTS = dict(lm_weight=0.8, word_count_weight=0.0, valid_word_count_weight=2.3)
+
+    def test_top1_matches_lm_fused_best_search(self, device_lm):
+        from speechless_tpu.ops.decode_jax import beam_search_nbest_jax
+
+        rng = np.random.RandomState(7)
+        log_probs = _peaky_log_probs("the cat sat", rng=rng)
+        lengths = np.asarray([log_probs.shape[1]])
+        best_tokens, best_counts = beam_search_decode_jax(
+            jnp.asarray(log_probs, jnp.float32), jnp.asarray(lengths, jnp.int32),
+            blank=BLANK, beam_width=8, max_decoded_length=64,
+            word_lm=device_lm, **self.WEIGHTS)
+        nbest_tokens, nbest_counts, scores = beam_search_nbest_jax(
+            jnp.asarray(log_probs, jnp.float32), jnp.asarray(lengths, jnp.int32),
+            blank=BLANK, nbest=4, beam_width=8, max_decoded_length=64,
+            word_lm=device_lm, **self.WEIGHTS)
+        np.testing.assert_array_equal(np.asarray(nbest_tokens[:, 0]),
+                                      np.asarray(best_tokens))
+        np.testing.assert_array_equal(np.asarray(nbest_counts[:, 0]),
+                                      np.asarray(best_counts))
+        scores = np.asarray(scores)[0]
+        alive = scores > -1e29
+        assert alive[0] and np.all(np.diff(scores[alive]) <= 1e-6)

@@ -260,3 +260,29 @@ def test_stream_create_accepts_bodiless_post(server):
     status, _ = _request(server, "/v1/stream/{}/finish".format(payload["session"]),
                          b"{}")
     assert status == 200
+
+
+def test_nbest_over_http(server, transcriber):
+    audio = np.random.RandomState(2).randn(4000).astype(np.float32) * 0.1
+    status, payload = _request(server, "/v1/transcribe?nbest=3", data=_pcm_body(audio))
+    assert status == 200
+    assert payload["hypotheses"]
+    assert payload["text"] == payload["hypotheses"][0]["text"]
+    direct = transcriber.transcribe_nbest(audio, 3)
+    assert [h["text"] for h in payload["hypotheses"]] == [t for t, _ in direct]
+    scores = [h["score"] for h in payload["hypotheses"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_nbest_error_statuses(server):
+    audio = np.zeros(2000, dtype=np.float32)
+    status, payload = _request(server, "/v1/transcribe?nbest=3&timestamps=1",
+                               data=_pcm_body(audio))
+    assert status == 400 and "mutually exclusive" in payload["error"]
+    status, _ = _request(server, "/v1/transcribe?nbest=zz", data=_pcm_body(audio))
+    assert status == 400
+    status, _ = _request(server, "/v1/transcribe?nbest=0", data=_pcm_body(audio))
+    assert status == 400
+    status, payload = _request(server, "/v1/transcribe?nbest=9999",
+                               data=_pcm_body(audio))
+    assert status == 400 and "beam_width" in payload["error"]
