@@ -43,6 +43,9 @@ def _serving_backend(args, command: str):
         raise SystemExit("--run requires --epoch")
     configuration = _configuration(args.config, args.data_dir,
                                    args.batch_size, args.batches_per_epoch)
+    if getattr(args, "lexicon", False) and not args.kenlm:
+        raise SystemExit("--lexicon requires --kenlm (the vocabulary trie rides in "
+                         "the word LM)")
     from .serving import Transcriber
     return Transcriber.from_checkpoint(
         configuration.directories.nets_base_directory / args.run, args.epoch,
@@ -50,7 +53,8 @@ def _serving_backend(args, command: str):
         mel_frequency_count=configuration.mel_frequency_count,
         kenlm_directory=(configuration.directories.kenlm_base_directory /
                          configuration.name.lower()) if args.kenlm else None,
-        quantize_weights=args.quantize)
+        quantize_weights=args.quantize,
+        lexicon_constrained=getattr(args, "lexicon", False))
 
 
 def _convert_checkpoint(source: Path, destination: Path) -> None:
@@ -211,6 +215,9 @@ def main(argv=None) -> None:
     p_serve.add_argument("--port", type=int, default=8000)
     p_serve.add_argument("--kenlm", action="store_true",
                          help="serve LM-fused beam transcriptions")
+    p_serve.add_argument("--lexicon", action="store_true",
+                         help="lexicon-constrained beam: every decoded word is in the "
+                              "LM vocabulary (requires --kenlm)")
     p_serve.add_argument("--quantize", action="store_true",
                          help="serve from int8 per-channel weights")
     p_serve.add_argument("--max-batch", type=int, default=16,
@@ -236,6 +243,9 @@ def main(argv=None) -> None:
                                    "instead of a checkpoint")
     p_transcribe.add_argument("--kenlm", action="store_true",
                               help="LM-fused beam decode (checkpoint mode)")
+    p_transcribe.add_argument("--lexicon", action="store_true",
+                              help="lexicon-constrained beam: every decoded word is "
+                                   "in the LM vocabulary (requires --kenlm)")
     p_transcribe.add_argument("--quantize", action="store_true",
                               help="int8 per-channel weights (checkpoint mode)")
     p_transcribe.add_argument("--timestamps", action="store_true",

@@ -85,7 +85,8 @@ def _word_bonuses(word_lm, trie_nodes, word_contexts, lm_weight: float,
 def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len: int,
                lm_table=None, lm_weight: float = 0.0, lm_base: int = 0, lm_order: int = 2,
                word_lm=None, word_count_weight: float = 0.0,
-               valid_word_count_weight: float = 0.0, prune_classes=None):
+               valid_word_count_weight: float = 0.0, prune_classes=None,
+               lexicon_constrained: bool = False):
     """One time step of prefix beam search for one batch element.
 
     ``lm_table`` is an optional dense char-n-gram log10-prob table (contexts, classes)
@@ -135,6 +136,22 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
     # would desync the stored prefix from the hash/LM context.
     ext_scores = jnp.where(valid[:, None] & (frame_chars[None, :] != blank) &
                            (lengths < max_len)[:, None], ext_scores, NEG_INF)
+    if word_lm is not None and lexicon_constrained:
+        # Lexicon-constrained search (wav2letter's production decode mode): a character
+        # extension must stay ON the vocabulary trie, and a space may only terminate a
+        # complete vocabulary word (or follow a space/BOS — trie node 0, the empty
+        # word). Every emitted word is therefore in-vocabulary by construction; the
+        # trailing word may be a prefix of one (hypotheses are ranked mid-word too).
+        char_cols = jnp.clip(frame_chars, 0, word_lm.trie.shape[1] - 1)
+        walked_all = word_lm.trie[jnp.maximum(trie_nodes, 0)[:, None],
+                                  char_cols[None, :]]  # (W, k)
+        walked_all = jnp.where((trie_nodes >= 0)[:, None], walked_all, -1)
+        word_done = word_lm.node_word[jnp.maximum(trie_nodes, 0)] >= 0
+        is_space_col = frame_chars[None, :] == word_lm.space_index
+        allowed = jnp.where(is_space_col,
+                            (word_done | (trie_nodes == 0))[:, None],
+                            walked_all >= 0)
+        ext_scores = jnp.where(allowed, ext_scores, NEG_INF)
     if lm_table is not None:
         # Shallow fusion: log10 P_lm(c | rolling char context), scaled into natural log.
         # The table covers the lm alphabet (no blank); classes the LM does not know get a
@@ -249,11 +266,11 @@ def _beam_step(state, log_probs_t, active, blank: int, beam_width: int, max_len:
 @partial(jax.jit, static_argnames=("blank", "beam_width", "max_decoded_length",
                                    "lm_weight", "word_count_weight",
                                    "valid_word_count_weight", "word_lm_static",
-                                   "prune_classes", "nbest"))
+                                   "prune_classes", "nbest", "lexicon_constrained"))
 def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
                       lm_table, lm_weight, word_arrays, word_lm_static,
                       word_count_weight, valid_word_count_weight, prune_classes,
-                      nbest=0):
+                      nbest=0, lexicon_constrained=False):
     batch, t_max, class_count = log_probs.shape
     w = beam_width
     if word_arrays is not None:
@@ -293,7 +310,8 @@ def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
                               lm_order=lm_order, word_lm=word_lm,
                               word_count_weight=word_count_weight,
                               valid_word_count_weight=valid_word_count_weight,
-                              prune_classes=prune_classes)
+                              prune_classes=prune_classes,
+                              lexicon_constrained=lexicon_constrained)
 
         ((lengths_out, _, _, p_b, p_nb, _, lm_scores, trie_nodes, word_ctx),
          (parents, emit_chars)) = jax.lax.scan(step, state, jnp.arange(t_max))
@@ -338,6 +356,7 @@ def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: 
                            word_count_weight: float = 0.0,
                            valid_word_count_weight: float = 2.3,
                            prune_classes: int = None,
+                           lexicon_constrained: bool = False,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched on-device CTC prefix beam search with optional LM fusion.
 
@@ -354,11 +373,17 @@ def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: 
       prune_classes: only the k most probable classes may extend a prefix per frame
         (device analog of the native decoder's probability floor; output-identical on
         peaky trained outputs, ~(C+1)/(k+1)x less merge-sort work). None = exact search.
+      lexicon_constrained: with ``word_lm``, restrict the search to vocabulary words —
+        character extensions must stay on the trie and spaces may only terminate
+        complete vocabulary words (wav2letter's lexicon decode; the open-vocabulary
+        default matches the reference's KenLM fork).
     Returns:
       ``tokens (batch, max_decoded_length) int32`` (-1 padded) and ``counts (batch,)``.
     """
     if word_lm is not None and lm_table is not None:
         raise ValueError("char-table and word-level fusion are mutually exclusive")
+    if lexicon_constrained and word_lm is None:
+        raise ValueError("lexicon_constrained needs a word_lm (the vocabulary trie)")
     if word_lm is not None:
         word_lm = word_lm.as_device()
         word_arrays = tuple(word_lm[:9])
@@ -368,7 +393,8 @@ def beam_search_decode_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: 
         word_arrays, word_static = None, None
     return _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
                              lm_table, lm_weight, word_arrays, word_static,
-                             word_count_weight, valid_word_count_weight, prune_classes)
+                             word_count_weight, valid_word_count_weight, prune_classes,
+                             lexicon_constrained=lexicon_constrained)
 
 
 def beam_search_nbest_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: int,
@@ -381,6 +407,7 @@ def beam_search_nbest_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: i
                           word_count_weight: float = 0.0,
                           valid_word_count_weight: float = 2.3,
                           prune_classes: int = None,
+                          lexicon_constrained: bool = False,
                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """N-best variant of `beam_search_decode_jax`: the same search, returning the top-n
     final beams instead of only the winner (the reference's TF decoder exposed this as
@@ -398,6 +425,8 @@ def beam_search_nbest_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: i
             beam_width, nbest))
     if word_lm is not None and lm_table is not None:
         raise ValueError("char-table and word-level fusion are mutually exclusive")
+    if lexicon_constrained and word_lm is None:
+        raise ValueError("lexicon_constrained needs a word_lm (the vocabulary trie)")
     if word_lm is not None:
         word_lm = word_lm.as_device()
         word_arrays = tuple(word_lm[:9])
@@ -408,4 +437,4 @@ def beam_search_nbest_jax(log_probs: jnp.ndarray, lengths: jnp.ndarray, blank: i
     return _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
                              lm_table, lm_weight, word_arrays, word_static,
                              word_count_weight, valid_word_count_weight, prune_classes,
-                             nbest=nbest)
+                             nbest=nbest, lexicon_constrained=lexicon_constrained)

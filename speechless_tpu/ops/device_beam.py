@@ -45,6 +45,7 @@ def beam_search_decode_device(log_probs: jnp.ndarray, lengths: jnp.ndarray, blan
                               word_count_weight: float = 0.0,
                               valid_word_count_weight: float = 2.3,
                               skip_blank_log_prob: Optional[float] = None,
+                              lexicon_constrained: bool = False,
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched on-device CTC prefix beam search, routed to the fastest available path.
 
@@ -54,6 +55,15 @@ def beam_search_decode_device(log_probs: jnp.ndarray, lengths: jnp.ndarray, blan
     device kernel is picked per configuration.
     """
     class_count = log_probs.shape[-1]
+    if lexicon_constrained:
+        # Only the XLA beam implements trie-constrained extensions; the Pallas hybrid's
+        # packed frame row has no slot for the per-candidate trie mask.
+        return beam_search_decode_jax(
+            log_probs, lengths, blank, beam_width=beam_width,
+            max_decoded_length=max_decoded_length, word_lm=word_lm,
+            lm_weight=lm_weight, word_count_weight=word_count_weight,
+            valid_word_count_weight=valid_word_count_weight,
+            prune_classes=prune_classes, lexicon_constrained=True)
     if lm_table is not None or not pallas_beam_supported(class_count, prune_classes):
         if lm_table is None:
             logger.info(

@@ -119,14 +119,19 @@ class Transcriber:
                  word_count_weight: float = 0.0,
                  valid_word_count_weight: float = 2.3,
                  prune_classes: Optional[int] = 8,
-                 quantize_weights: bool = False):
+                 quantize_weights: bool = False,
+                 lexicon_constrained: bool = False):
         """``kenlm_directory``: serve LM-fused transcriptions — the word n-gram rides in
         HBM (`lm/device_lm.py`) and the beam runs inside the same device program as the
         features and the acoustic model, so fusion costs no extra host round-trip.
 
         ``quantize_weights``: serve from int8 per-channel weights (`models/quantize.py`)
         — 4x less HBM weight traffic per request and 4x smaller exported bundles;
-        dequantization fuses into the conv reads inside the program."""
+        dequantization fuses into the conv reads inside the program.
+
+        ``lexicon_constrained``: restrict the LM beam to vocabulary words (character
+        extensions must stay on the trie, spaces only terminate complete words) —
+        wav2letter's lexicon decode mode; requires ``kenlm_directory``."""
         import jax
         import jax.numpy as jnp
 
@@ -154,7 +159,11 @@ class Transcriber:
             word_lm = build_device_word_lm(arpa, allowed_characters).as_device()
         else:
             word_lm = None
+        if lexicon_constrained and word_lm is None:
+            raise ValueError("lexicon_constrained requires kenlm_directory (the "
+                             "vocabulary trie rides in the word LM)")
         self.word_lm = word_lm
+        self.lexicon_constrained = lexicon_constrained
 
         def transcribe_batch_fn(params, wavs, lengths):
             from .features.spectrogram import features_batch
@@ -180,7 +189,8 @@ class Transcriber:
                     beam_width=beam_width, word_lm=word_lm, lm_weight=lm_weight,
                     word_count_weight=word_count_weight,
                     valid_word_count_weight=valid_word_count_weight,
-                    prune_classes=prune_classes)
+                    prune_classes=prune_classes,
+                    lexicon_constrained=lexicon_constrained)
             else:
                 tokens, counts = greedy_decode(log_probs, logit_lengths,
                                                config.grapheme_set_size - 1)
@@ -239,7 +249,8 @@ class Transcriber:
                     lm_weight=decoder["lm_weight"] if word_lm is not None else 0.0,
                     word_count_weight=decoder["word_count_weight"],
                     valid_word_count_weight=decoder["valid_word_count_weight"],
-                    prune_classes=decoder["prune_classes"])
+                    prune_classes=decoder["prune_classes"],
+                    lexicon_constrained=self.lexicon_constrained)
                 return tokens[0], counts[0], scores[0]
 
             self._nbest_programs[nbest] = jax.jit(nbest_fn)
@@ -281,6 +292,7 @@ class Transcriber:
                         mel_frequency_count: int = 128,
                         kenlm_directory: Optional[Path] = None,
                         quantize_weights: bool = False,
+                        lexicon_constrained: bool = False,
                         **config_kwargs) -> "Transcriber":
         from .train.checkpoint import load_params
 
@@ -289,7 +301,8 @@ class Transcriber:
             grapheme_set_size=len(allowed_characters) + 1, **config_kwargs)
         return Transcriber(config, load_params(net_directory, epoch), allowed_characters,
                            kenlm_directory=kenlm_directory,
-                           quantize_weights=quantize_weights)
+                           quantize_weights=quantize_weights,
+                           lexicon_constrained=lexicon_constrained)
 
     def _bucket(self, num_samples: int) -> int:
         return bucket_length(num_samples, self.sample_buckets, fallback_multiple=65536)

@@ -220,3 +220,108 @@ class TestNbestWithWordLm:
         scores = np.asarray(scores)[0]
         alive = scores > -1e29
         assert alive[0] and np.all(np.diff(scores[alive]) <= 1e-6)
+
+
+class TestLexiconConstrained:
+    WEIGHTS = dict(lm_weight=0.8, word_count_weight=0.0, valid_word_count_weight=2.3)
+
+    def _decode_text(self, tokens, counts):
+        tokens, counts = np.asarray(tokens), np.asarray(counts)
+        return "".join(ALPHABET[t] for t in tokens[0, : counts[0]])
+
+    def test_in_vocabulary_text_is_unchanged(self, arpa, device_lm):
+        log_probs = _peaky_log_probs("the cat sat on the mat")
+        lengths = np.asarray([log_probs.shape[1]])
+        args = (jnp.asarray(log_probs, jnp.float32), jnp.asarray(lengths, jnp.int32))
+        open_tokens, open_counts = beam_search_decode_jax(
+            *args, blank=BLANK, beam_width=8, max_decoded_length=64,
+            word_lm=device_lm, **self.WEIGHTS)
+        constrained_tokens, constrained_counts = beam_search_decode_jax(
+            *args, blank=BLANK, beam_width=8, max_decoded_length=64,
+            word_lm=device_lm, lexicon_constrained=True, **self.WEIGHTS)
+        np.testing.assert_array_equal(np.asarray(constrained_tokens),
+                                      np.asarray(open_tokens))
+        np.testing.assert_array_equal(np.asarray(constrained_counts),
+                                      np.asarray(open_counts))
+        assert self._decode_text(constrained_tokens, constrained_counts) \
+            == "the cat sat on the mat"
+
+    def test_oov_acoustics_decode_to_vocabulary_words(self, arpa, device_lm):
+        # The acoustics spell an out-of-vocabulary word; the open beam transcribes it
+        # verbatim, the constrained beam must stay on the trie.
+        log_probs = _peaky_log_probs("the car sat", peak=3.0)  # "car" is OOV
+        lengths = np.asarray([log_probs.shape[1]])
+        args = (jnp.asarray(log_probs, jnp.float32), jnp.asarray(lengths, jnp.int32))
+        open_tokens, open_counts = beam_search_decode_jax(
+            *args, blank=BLANK, beam_width=16, max_decoded_length=64,
+            word_lm=device_lm, **self.WEIGHTS)
+        assert "car" in self._decode_text(open_tokens, open_counts)
+        constrained_tokens, constrained_counts = beam_search_decode_jax(
+            *args, blank=BLANK, beam_width=16, max_decoded_length=64,
+            word_lm=device_lm, lexicon_constrained=True, **self.WEIGHTS)
+        text = self._decode_text(constrained_tokens, constrained_counts)
+        words = [word for word in text.split(" ") if word]
+        assert words, "constrained decode emitted nothing"
+        # Every COMPLETE word (all but possibly the trailing one) is in-vocabulary;
+        # the trailing word may be a prefix of a vocabulary word.
+        for word in words[:-1]:
+            assert arpa.is_valid_word(word), "{!r} not in vocabulary ({})".format(
+                word, text)
+        vocabulary = sorted(arpa.vocabulary)
+        assert any(v.startswith(words[-1]) for v in vocabulary), \
+            "trailing {!r} is not a vocabulary-word prefix ({})".format(words[-1], text)
+
+    def test_noisy_outputs_always_stay_on_the_lexicon(self, arpa, device_lm):
+        rng = np.random.RandomState(11)
+        for text in ("the cat sat on the mat", "a dog ran to the log"):
+            log_probs = _peaky_log_probs(text, peak=2.0, rng=rng)
+            lengths = np.asarray([log_probs.shape[1]])
+            tokens, counts = beam_search_decode_jax(
+                jnp.asarray(log_probs, jnp.float32), jnp.asarray(lengths, jnp.int32),
+                blank=BLANK, beam_width=16, max_decoded_length=64,
+                word_lm=device_lm, lexicon_constrained=True, **self.WEIGHTS)
+            decoded = self._decode_text(tokens, counts)
+            words = [word for word in decoded.split(" ") if word]
+            for word in words[:-1]:
+                assert arpa.is_valid_word(word), "{!r} off-lexicon in {!r}".format(
+                    word, decoded)
+            if words:
+                assert any(v.startswith(words[-1]) for v in sorted(arpa.vocabulary))
+
+    def test_requires_word_lm(self):
+        log_probs = jnp.zeros((1, 4, 5))
+        lengths = jnp.asarray([4], jnp.int32)
+        with pytest.raises(ValueError, match="lexicon_constrained"):
+            beam_search_decode_jax(log_probs, lengths, blank=4, beam_width=4,
+                                   lexicon_constrained=True)
+
+    def test_nbest_under_lexicon_constraint(self, arpa, device_lm):
+        from speechless_tpu.ops.decode_jax import beam_search_nbest_jax
+
+        log_probs = _peaky_log_probs("the cat", peak=3.0)
+        lengths = np.asarray([log_probs.shape[1]])
+        tokens, counts, scores = beam_search_nbest_jax(
+            jnp.asarray(log_probs, jnp.float32), jnp.asarray(lengths, jnp.int32),
+            blank=BLANK, nbest=3, beam_width=16, max_decoded_length=64,
+            word_lm=device_lm, lexicon_constrained=True, **self.WEIGHTS)
+        tokens, counts, scores = (np.asarray(tokens)[0], np.asarray(counts)[0],
+                                  np.asarray(scores)[0])
+        for i in range(3):
+            if scores[i] <= -1e29:
+                continue
+            decoded = "".join(ALPHABET[t] for t in tokens[i, : counts[i]])
+            for word in [w for w in decoded.split(" ") if w][:-1]:
+                assert arpa.is_valid_word(word)
+
+    def test_device_dispatcher_routes_constrained_search(self, arpa, device_lm):
+        from speechless_tpu.ops.device_beam import beam_search_decode_device
+
+        log_probs = _peaky_log_probs("the car sat", peak=3.0)
+        lengths = np.asarray([log_probs.shape[1]])
+        tokens, counts = beam_search_decode_device(
+            jnp.asarray(log_probs, jnp.float32), jnp.asarray(lengths, jnp.int32),
+            blank=BLANK, beam_width=16, max_decoded_length=64, prune_classes=8,
+            word_lm=device_lm, lexicon_constrained=True, **self.WEIGHTS)
+        decoded = self._decode_text(tokens, counts)
+        for word in [w for w in decoded.split(" ") if w][:-1]:
+            assert arpa.is_valid_word(word), decoded
