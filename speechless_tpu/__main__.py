@@ -37,6 +37,10 @@ def _serving_backend(args, command: str):
         raise SystemExit(
             "{} needs exactly one of --bundle or --run/--epoch".format(command))
     if args.bundle is not None:
+        if getattr(args, "lexicon", False):
+            raise SystemExit("--lexicon needs a live checkpoint (--run/--epoch): AOT "
+                             "bundles bake their decoder at export time, so the flag "
+                             "would be silently ignored")
         from .serving_export import ExportedTranscriber
         return ExportedTranscriber(Path(args.bundle))
     if args.epoch is None:
@@ -164,6 +168,20 @@ def main(argv=None) -> None:
     p_validate.add_argument("--csv", required=True)
     p_validate.add_argument("--kenlm", action="store_true",
                             help="sweep with the LM-fused beam instead of greedy")
+
+    p_average = sub.add_parser(
+        "average", help="average several epoch checkpoints into one "
+                        "(decode-time smoothing; wav2letter++/ESPnet-style)")
+    add_config_arg(p_average)
+    p_average.add_argument("--run", required=True, help="run name under nets/")
+    p_average.add_argument("--epochs", type=int, nargs="+", default=None,
+                           help="explicit epochs to average")
+    p_average.add_argument("--last", type=int, default=5,
+                           help="without --epochs: average the last N available "
+                                "epochs (default 5)")
+    p_average.add_argument("--write-epoch", type=int, default=None,
+                           help="epoch number for the averaged checkpoint (default: "
+                                "max(epochs) + 1000, clear of any real epoch)")
 
     p_summarize = sub.add_parser("summarize", help="summarize + save the corpus CSV")
     add_config_arg(p_summarize)
@@ -330,6 +348,28 @@ def main(argv=None) -> None:
         from .experiments import validate_to_csv
         validate_to_csv(_configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch), args.run, Path(args.csv),
                         use_ken_lm=args.kenlm)
+    elif args.command == "average":
+        from .experiments import available_epochs
+        from .train import checkpoint as ckpt
+        configuration = _configuration(args.config, args.data_dir, args.batch_size,
+                                       args.batches_per_epoch)
+        directory = configuration.directories.nets_base_directory / args.run
+        if args.epochs:
+            epochs = sorted(args.epochs)
+        else:
+            if args.last < 1:
+                raise SystemExit("--last must be >= 1")
+            epochs = available_epochs(directory)[-args.last:]
+            if not epochs:
+                raise SystemExit("no checkpoints under {}".format(directory))
+        write_epoch = (args.write_epoch if args.write_epoch is not None
+                       else max(epochs) + 1000)
+        if write_epoch in epochs:
+            raise SystemExit("--write-epoch {} would overwrite one of the averaged "
+                             "checkpoints".format(write_epoch))
+        params = ckpt.average_checkpoint_params(directory, epochs)
+        path = ckpt.save_checkpoint(directory, write_epoch, params)
+        print("Averaged epochs {} -> {}".format(epochs, path))
     elif args.command == "summarize":
         _configuration(args.config, args.data_dir, args.batch_size, args.batches_per_epoch).summarize_and_save_corpus()
     elif args.command == "fill-cache":
@@ -389,6 +429,10 @@ def main(argv=None) -> None:
             if not hasattr(backend, "transcribe_nbest"):
                 raise SystemExit("--nbest needs a checkpoint backend (--run/--epoch); "
                                  "AOT bundles export 1-best programs only")
+            beam_width = getattr(backend, "beam_width", None)
+            if beam_width is not None and args.nbest > beam_width:
+                raise SystemExit("--nbest must be <= the decoder's beam width ({})"
+                                 .format(beam_width))
             for name in args.files:
                 audio = load_audio(Path(name))
                 hypotheses = backend.transcribe_nbest(audio, args.nbest)

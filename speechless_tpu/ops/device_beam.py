@@ -56,6 +56,16 @@ def beam_search_decode_device(log_probs: jnp.ndarray, lengths: jnp.ndarray, blan
     """
     class_count = log_probs.shape[-1]
     if lexicon_constrained:
+        # Reject unsupported combinations here, where the conflict can be named,
+        # instead of silently dropping an option or failing deep in the XLA beam.
+        if skip_blank_log_prob is not None:
+            raise ValueError("skip_blank_log_prob is not supported with "
+                             "lexicon_constrained (only the whole-loop Pallas kernel "
+                             "implements blank skipping, and it has no trie mask)")
+        if lm_table is not None:
+            raise ValueError("lexicon_constrained needs a word-level LM (word_lm): "
+                             "the vocabulary trie rides in the word LM, which a "
+                             "char-table LM (lm_table) does not carry")
         # Only the XLA beam implements trie-constrained extensions; the Pallas hybrid's
         # packed frame row has no slot for the per-candidate trie mask.
         return beam_search_decode_jax(

@@ -6,6 +6,7 @@ acoustic model, and greedy decode fused into a single device program), so a tran
 request costs one host->device transfer + one program + one small fetch. Covers the
 BASELINE.json "p50 predict latency" axis.
 """
+import threading
 import time
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
@@ -228,9 +229,19 @@ class Transcriber:
                              valid_word_count_weight=valid_word_count_weight,
                              prune_classes=prune_classes)
         self._nbest_programs = {}
+        self._nbest_lock = threading.Lock()  # direct multi-threaded callers: build once
         self._jax = jax
 
+    @property
+    def beam_width(self) -> int:
+        """The decoder's beam width — also the upper bound for ``transcribe_nbest``."""
+        return self._decoder["beam_width"]
+
     def _nbest_program(self, nbest: int):
+        with self._nbest_lock:
+            return self._nbest_program_locked(nbest)
+
+    def _nbest_program_locked(self, nbest: int):
         if nbest not in self._nbest_programs:
             jax, config, word_lm = self._jax, self.config, self.word_lm
             decoder = self._decoder
@@ -299,7 +310,8 @@ class Transcriber:
         config = w2l.Wav2LetterConfig(
             input_size_per_time_step=mel_frequency_count,
             grapheme_set_size=len(allowed_characters) + 1, **config_kwargs)
-        return Transcriber(config, load_params(net_directory, epoch), allowed_characters,
+        return Transcriber(config, load_params(net_directory, epoch, config=config),
+                           allowed_characters,
                            kenlm_directory=kenlm_directory,
                            quantize_weights=quantize_weights,
                            lexicon_constrained=lexicon_constrained)

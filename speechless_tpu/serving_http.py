@@ -76,20 +76,39 @@ class DynamicBatcher(MicroBatcher):
         except (TypeError, ValueError):
             self._batch_kwargs = {}
 
-    def submit(self, audio: np.ndarray, want_timestamps: bool = False) -> dict:
+    def submit(self, audio: np.ndarray, want_timestamps: bool = False,
+               nbest: Optional[int] = None) -> dict:
         """Enqueue one request and block until its batch is served."""
-        return super().submit((audio, want_timestamps))
+        return super().submit((audio, want_timestamps, nbest))
 
     def _serve(self, batch: List[PendingItem]) -> None:
+        # N-best requests ride the same batcher thread (the module's threading
+        # contract: ALL device dispatch happens here) but decode individually —
+        # their program returns n hypotheses, not one row of a shared batch.
+        nbest_items = [p for p in batch if p.payload[2] is not None]
+        batch = [p for p in batch if p.payload[2] is None]
+        for pending in nbest_items:
+            audio, _, nbest = pending.payload
+            try:
+                hypotheses = self.backend.transcribe_nbest(audio, nbest)
+                pending.result = {
+                    "text": hypotheses[0][0] if hypotheses else "",
+                    "hypotheses": [{"text": text, "score": round(score, 4)}
+                                   for text, score in hypotheses],
+                }
+            except BaseException as error:  # a bad n must not poison co-batched items
+                pending.error = error
+        if not batch:
+            return
         if len(batch) == 1:
-            audio, _ = batch[0].payload
+            audio, _, _ = batch[0].payload
             text, confidence = self.backend.transcribe_audio_with_confidence(audio)
             decoded = [(text, confidence)]
         else:
             decoded = self.backend.transcribe_batch(
                 [pending.payload[0] for pending in batch], **self._batch_kwargs)
         for pending, (text, confidence) in zip(batch, decoded):
-            audio, want_timestamps = pending.payload
+            audio, want_timestamps, _ = pending.payload
             result = {"text": text, "confidence": confidence}
             if want_timestamps:
                 try:
@@ -224,9 +243,10 @@ class TranscriptionServer:
 
     def _transcribe_nbest(self, audio: np.ndarray, nbest_raw: str,
                           want_timestamps: bool) -> dict:
-        """``?nbest=N``: top-N hypotheses with path scores. Individually dispatched
-        (not micro-batched); live-checkpoint backends only — AOT bundles don't export
-        n-best programs."""
+        """``?nbest=N``: top-N hypotheses with path scores, dispatched on the batcher
+        thread like every other device program (each distinct n is its own decode
+        program, so n-best items decode individually within their batch window).
+        Live-checkpoint backends only — AOT bundles don't export n-best programs."""
         try:
             nbest = int(nbest_raw)
         except ValueError:
@@ -238,15 +258,16 @@ class TranscriptionServer:
                                     "(timestamps describe the single best path)")
         if not hasattr(self.backend, "transcribe_nbest"):
             raise RequestError(501, "this backend has no n-best decode surface")
+        # Cap n before anything compiles: each (n, bucket) pair is a distinct device
+        # program, so an uncapped n would let any client force unbounded compiles.
+        limit = getattr(self.backend, "beam_width", None)
+        if limit is not None and nbest > limit:
+            raise RequestError(400, "nbest must be <= the decoder's beam width ({})"
+                               .format(limit))
         try:
-            hypotheses = self.backend.transcribe_nbest(audio, nbest)
-        except ValueError as error:  # e.g. nbest > beam_width
+            return self.batcher.submit(audio, nbest=nbest)
+        except ValueError as error:  # e.g. nbest > beam_width on uncapped backends
             raise RequestError(400, str(error))
-        return {
-            "text": hypotheses[0][0] if hypotheses else "",
-            "hypotheses": [{"text": text, "score": round(score, 4)}
-                           for text, score in hypotheses],
-        }
 
     def _health(self) -> dict:
         return {

@@ -179,7 +179,8 @@ class Wav2Letter:
                     "(pick one of experiments.available_epochs)")
             load_model_from_directory = Path(load_model_from_directory)
             if allowed_characters_for_loaded_model is None:
-                params = ckpt.load_params(load_model_from_directory, load_epoch)
+                params = ckpt.load_params(load_model_from_directory, load_epoch,
+                                          config=self.config)
             else:
                 params = ckpt.load_params_with_character_remap(
                     load_model_from_directory, load_epoch,

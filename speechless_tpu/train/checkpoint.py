@@ -44,10 +44,7 @@ def save_checkpoint(directory: Path, epoch: int, params: w2l.Params,
     mid-save never leaves a truncated checkpoint for ``train_or_resume`` to trip on."""
     directory = Path(directory)
     mkdir(directory)
-    arrays = {}
-    for i, layer in enumerate(params):
-        for key, value in layer.items():
-            arrays["layer{}.{}".format(i, key)] = np.asarray(value)
+    arrays = _flatten_params(params)
     if opt_state is not None:
         leaves = jax.tree_util.tree_leaves(opt_state)
         for i, leaf in enumerate(leaves):
@@ -66,13 +63,16 @@ def _write_npz_atomically(path: Path, arrays: dict) -> None:
     os.replace(str(temp_path), str(path))
 
 
+def _flatten_params(params: w2l.Params) -> dict:
+    """The ``layer{i}.{key}`` flat naming shared by every ``.npz`` writer — one scheme,
+    one reader (`load_params_npz`)."""
+    return {"layer{}.{}".format(i, key): np.asarray(value)
+            for i, layer in enumerate(params) for key, value in layer.items()}
+
+
 def save_params_npz(path: Path, params: w2l.Params) -> Path:
     """Write a weights-only ``.npz`` at an arbitrary path (the CLI ``convert`` target)."""
-    arrays = {}
-    for i, layer in enumerate(params):
-        for key, value in layer.items():
-            arrays["layer{}.{}".format(i, key)] = np.asarray(value)
-    _write_npz_atomically(Path(path), arrays)
+    _write_npz_atomically(Path(path), _flatten_params(params))
     return Path(path)
 
 
@@ -89,7 +89,8 @@ def load_params_npz(path: Path) -> w2l.Params:
                  for key in sorted(layer_keys[i])} for i in sorted(layer_keys)]
 
 
-def load_params(directory: Path, epoch: int) -> w2l.Params:
+def load_params(directory: Path, epoch: int,
+                config: Optional[w2l.Wav2LetterConfig] = None) -> w2l.Params:
     """Load the parameter pytree from a checkpoint file.
 
     Each layer restores whatever keys it was saved with: conv layers carry ``w``/``b``;
@@ -97,12 +98,14 @@ def load_params(directory: Path, epoch: int) -> w2l.Params:
     ``asg_initials`` (see `system.Wav2Letter(train_asg_transitions=True)`).
 
     Reference-format Keras checkpoints (``weights-epoch{n}.h5``) load transparently when
-    no ``.npz`` is present, so migrated users keep their trained models."""
+    no ``.npz`` is present, so migrated users keep their trained models. Pass ``config``
+    when you have one: a charset- or geometry-mismatched ``.h5`` then fails loudly at
+    load time instead of decoding garbage through a wrong blank index."""
     keras_path = _keras_fallback_path(directory, epoch)
     if keras_path is not None:
         from .keras_import import load_keras_params
         log("Loading reference-format Keras checkpoint {}".format(keras_path))
-        return load_keras_params(keras_path)
+        return load_keras_params(keras_path, config=config)
     return load_params_npz(Path(directory) / model_file_name(epoch))
 
 
@@ -132,6 +135,45 @@ def load_opt_state(directory: Path, epoch: int, opt_state_template: Any) -> Opti
             len(leaves), treedef.num_leaves))
         return None
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def average_checkpoint_params(directory: Path, epochs: List[int],
+                              config: Optional[w2l.Wav2LetterConfig] = None) -> w2l.Params:
+    """Uniformly average the parameters of several epoch checkpoints of one run.
+
+    Checkpoint averaging is the standard production-ASR smoothing step (wav2letter++ and
+    every ESPnet recipe average the last N epochs before decoding); the reference has no
+    equivalent — it always decodes the single last checkpoint (`net.py:558-572`). All
+    checkpoints must share one structure (same layers, same keys — including a trained-ASG
+    pseudo-layer, whose log-score tables average like any other leaf). Returns weights
+    only; optimizer state is meaningless for an averaged model.
+    """
+    if not epochs:
+        raise ValueError("need at least one epoch to average")
+    accumulated: Optional[List[dict]] = None
+    for epoch in epochs:
+        params = load_params(directory, epoch, config=config)
+        if accumulated is None:
+            accumulated = [{key: np.asarray(value, np.float64) for key, value in layer.items()}
+                           for layer in params]
+            continue
+        if len(params) != len(accumulated) or any(
+                sorted(layer) != sorted(acc) for layer, acc in zip(params, accumulated)):
+            raise ValueError(
+                "checkpoint structure of epoch {} does not match epoch {} — checkpoints "
+                "of different runs (or with/without trained ASG tables) cannot be "
+                "averaged".format(epoch, epochs[0]))
+        for acc, layer in zip(accumulated, params):
+            for key, value in layer.items():
+                value = np.asarray(value)
+                if value.shape != acc[key].shape:
+                    raise ValueError(
+                        "epoch {} parameter {!r} has shape {} vs epoch {}'s {}".format(
+                            epoch, key, value.shape, epochs[0], acc[key].shape))
+                acc[key] += value
+    scale = 1.0 / len(epochs)
+    return [{key: jnp.asarray(value * scale, jnp.float32) for key, value in layer.items()}
+            for layer in accumulated]
 
 
 def load_params_with_character_remap(

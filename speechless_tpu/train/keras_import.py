@@ -52,13 +52,22 @@ def _weight_root(h5_file):
     return h5_file
 
 
-def _layer_names_in_order(root) -> List[str]:
+def _layer_names_in_order(root, path: Path,
+                          config: Optional[w2l.Wav2LetterConfig]) -> List[str]:
     if "layer_names" in root.attrs:
         return [_decode(n) for n in root.attrs["layer_names"]]
-    # Degenerate files without the attribute: fall back to the group iteration order
-    # (h5py yields names alphabetically, which is wrong for >9 inner convs — the
-    # reference model has 7, so this stays correct for hand-built files in practice).
-    return list(root.keys())
+    # Degenerate files without the attribute: h5py iterates groups alphabetically,
+    # which misorders even the reference geometry ("big_conv_1" sorts before
+    # "striding_conv"), so group order is never trustworthy. With a config the model
+    # order is known; without one, fail with the real diagnosis instead of letting
+    # misordered kernels surface as a confusing conv-shape error deep in tracing.
+    if config is not None:
+        present = set(root.keys())
+        return [name for name in config.layer_names if name in present]
+    raise ValueError(
+        "Keras file {} lacks the root 'layer_names' attribute that records model "
+        "order (group order is alphabetical and would misorder the layers); load it "
+        "with a model config, or re-save it via Keras save_weights".format(path))
 
 
 def _pick_weight(group, weight_names: List[str], layer_name: str, kind: str) -> Optional[np.ndarray]:
@@ -88,7 +97,7 @@ def load_keras_params(path: Union[str, Path],
     loaded_names: List[str] = []
     with h5py.File(str(path), "r") as f:
         root = _weight_root(f)
-        for layer_name in _layer_names_in_order(root):
+        for layer_name in _layer_names_in_order(root, path, config):
             if layer_name not in root:
                 raise ValueError("Keras file {} names layer {!r} but has no group for it"
                                  .format(path, layer_name))

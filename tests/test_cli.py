@@ -205,6 +205,18 @@ class TestCli:
         with pytest.raises(SystemExit, match="requires --epoch"):
             main(["serve", "--data-dir", str(data_dir), "--run", "r"])
 
+    def test_lexicon_with_bundle_exits(self, data_dir, tmp_path):
+        """AOT bundles bake the decoder at export time — --lexicon would be silently
+        ignored, so both CLI surfaces must reject the combination up front."""
+        wav = tmp_path / "d.wav"
+        from conftest import make_test_wav
+        make_test_wav(wav)
+        with pytest.raises(SystemExit, match="live checkpoint"):
+            main(["serve", "--data-dir", str(data_dir), "--bundle", "b", "--lexicon"])
+        with pytest.raises(SystemExit, match="live checkpoint"):
+            main(["transcribe", "--data-dir", str(data_dir), "--bundle", "b",
+                  "--lexicon", str(wav)])
+
     def test_unknown_config_exits(self, data_dir):
         with pytest.raises(SystemExit):
             main(["train", "--config", "bogus", "--data-dir", str(data_dir)])

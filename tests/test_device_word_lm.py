@@ -325,3 +325,22 @@ class TestLexiconConstrained:
         decoded = self._decode_text(tokens, counts)
         for word in [w for w in decoded.split(" ") if w][:-1]:
             assert arpa.is_valid_word(word), decoded
+
+    def test_device_dispatcher_rejects_conflicting_options(self, device_lm):
+        """The routing layer names the real conflict instead of silently dropping an
+        option (skip_blank) or failing with a misleading message (lm_table)."""
+        from speechless_tpu.ops.device_beam import beam_search_decode_device
+
+        classes = len(ALPHABET) + 1
+        log_probs = jnp.zeros((1, 4, classes), jnp.float32)
+        lengths = jnp.asarray([4], jnp.int32)
+        with pytest.raises(ValueError, match="skip_blank"):
+            beam_search_decode_device(
+                log_probs, lengths, blank=BLANK, beam_width=4,
+                word_lm=device_lm, lexicon_constrained=True,
+                skip_blank_log_prob=-0.5)
+        with pytest.raises(ValueError, match="word-level"):
+            beam_search_decode_device(
+                log_probs, lengths, blank=BLANK, beam_width=4,
+                lm_table=jnp.zeros((classes, classes), jnp.float32),
+                lexicon_constrained=True)

@@ -167,7 +167,44 @@ class TestRoundTrip:
             save_keras_params(tmp_path / "q.h5", config, params)
 
 
+class TestMissingLayerNamesAttr:
+    """Files without the root ``layer_names`` attribute: h5py group iteration is
+    alphabetical, which misorders even the reference geometry ('big_conv_1' sorts
+    before 'striding_conv') — so order must come from the config, or loading fails."""
+
+    @staticmethod
+    def _strip_layer_names(path):
+        with h5py.File(str(path), "a") as f:
+            del f.attrs["layer_names"]
+
+    def test_config_restores_model_order(self, tmp_path):
+        config = tiny_config()
+        layers = layers_for(config)
+        path = tmp_path / "weights-epoch1.h5"
+        write_keras2_file(path, layers)
+        self._strip_layer_names(path)
+        params = load_keras_params(path, config)
+        assert_params_equal(params, [{"w": k, "b": b} for _, k, b in layers])
+
+    def test_without_config_fails_loudly(self, tmp_path):
+        config = tiny_config()
+        path = tmp_path / "weights-epoch1.h5"
+        write_keras2_file(path, layers_for(config))
+        self._strip_layer_names(path)
+        with pytest.raises(ValueError, match="layer_names"):
+            load_keras_params(path)
+
+
 class TestCheckpointFallback:
+    def test_fallback_with_config_validates_charset(self, tmp_path):
+        """`load_params(config=...)` routes validation into the .h5 fallback, so a
+        charset-mismatched reference checkpoint fails at load time instead of decoding
+        garbage through a wrong blank index."""
+        donor_layers = layers_for(tiny_config(grapheme_set_size=7))
+        write_keras2_file(tmp_path / "weights-epoch3.h5", donor_layers)
+        with pytest.raises(ValueError, match="kernel shape"):
+            ckpt.load_params(tmp_path, 3, config=tiny_config(grapheme_set_size=5))
+
     def test_load_params_falls_back_to_h5(self, tmp_path):
         config = tiny_config()
         layers = layers_for(config)

@@ -285,4 +285,16 @@ def test_nbest_error_statuses(server):
     assert status == 400
     status, payload = _request(server, "/v1/transcribe?nbest=9999",
                                data=_pcm_body(audio))
-    assert status == 400 and "beam_width" in payload["error"]
+    # Capped BEFORE anything compiles — an uncapped n would let any client force a
+    # cold device compile per (n, bucket).
+    assert status == 400 and "beam width" in payload["error"]
+
+
+def test_nbest_rides_the_batcher_thread(server, transcriber):
+    """N-best dispatch obeys the module's threading contract (all device programs run
+    on the single batcher thread) and is therefore visible in the batch metrics."""
+    audio = np.random.RandomState(3).randn(4000).astype(np.float32) * 0.1
+    before = server.batcher.metrics()["requests"]
+    status, _ = _request(server, "/v1/transcribe?nbest=2", data=_pcm_body(audio))
+    assert status == 200
+    assert server.batcher.metrics()["requests"] == before + 1
