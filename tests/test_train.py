@@ -248,3 +248,70 @@ class TestLearningRateSchedules:
                   if np.ndim(leaf) == 0 and np.issubdtype(np.asarray(leaf).dtype,
                                                           np.integer)]
         assert 4 in counts, "Adam count (schedule position) lost in round-trip"
+
+
+class TestCheckpointAveraging:
+    def test_average_is_uniform_mean(self, tmp_path):
+        from speechless_tpu.train.checkpoint import average_checkpoint_params
+
+        config = tiny_config()
+        saved = []
+        for epoch in (1, 2, 3):
+            params = w2l.init_params(config, jax.random.PRNGKey(epoch))
+            save_checkpoint(tmp_path, epoch, params)
+            saved.append(params)
+        averaged = average_checkpoint_params(tmp_path, [1, 2, 3])
+        assert len(averaged) == len(saved[0])
+        for i, layer in enumerate(averaged):
+            for key in layer:
+                want = np.mean([np.asarray(p[i][key]) for p in saved], axis=0)
+                np.testing.assert_allclose(np.asarray(layer[key]), want,
+                                           rtol=1e-6, atol=1e-7)
+                assert layer[key].dtype == jnp.float32
+
+    def test_average_carries_asg_pseudo_layer(self, tmp_path):
+        from speechless_tpu.train.checkpoint import average_checkpoint_params
+
+        config = tiny_config()
+        for epoch in (1, 2):
+            params = w2l.init_params(config, jax.random.PRNGKey(epoch))
+            params.append({"asg_transitions": jnp.full((5, 5), float(epoch)),
+                           "asg_initials": jnp.full((5,), float(epoch))})
+            save_checkpoint(tmp_path, epoch, params)
+        averaged = average_checkpoint_params(tmp_path, [1, 2])
+        np.testing.assert_allclose(np.asarray(averaged[-1]["asg_transitions"]),
+                                   np.full((5, 5), 1.5))
+
+    def test_structure_mismatch_rejected(self, tmp_path):
+        from speechless_tpu.train.checkpoint import average_checkpoint_params
+
+        config = tiny_config()
+        save_checkpoint(tmp_path, 1, w2l.init_params(config, jax.random.PRNGKey(1)))
+        with_asg = w2l.init_params(config, jax.random.PRNGKey(2))
+        with_asg.append({"asg_transitions": jnp.zeros((5, 5)),
+                         "asg_initials": jnp.zeros((5,))})
+        save_checkpoint(tmp_path, 2, with_asg)
+        with pytest.raises(ValueError, match="cannot be averaged"):
+            average_checkpoint_params(tmp_path, [1, 2])
+        with pytest.raises(ValueError, match="at least one"):
+            average_checkpoint_params(tmp_path, [])
+
+    def test_cli_average_writes_loadable_checkpoint(self, tmp_path):
+        from speechless_tpu.__main__ import main
+        from speechless_tpu.experiments import available_epochs
+
+        config = tiny_config()
+        run_dir = tmp_path / "nets" / "r"
+        for epoch in (1, 2, 3, 4):
+            save_checkpoint(run_dir, epoch, w2l.init_params(config,
+                                                            jax.random.PRNGKey(epoch)))
+        main(["average", "--data-dir", str(tmp_path), "--run", "r", "--last", "3"])
+        assert available_epochs(run_dir) == [1, 2, 3, 4, 1004]
+        averaged = load_params(run_dir, 1004)
+        want = np.mean([np.asarray(load_params(run_dir, e)[0]["w"])
+                        for e in (2, 3, 4)], axis=0)
+        np.testing.assert_allclose(np.asarray(averaged[0]["w"]), want,
+                                   rtol=1e-6, atol=1e-7)
+        with pytest.raises(SystemExit, match="overwrite"):
+            main(["average", "--data-dir", str(tmp_path), "--run", "r",
+                  "--epochs", "2", "3", "--write-epoch", "3"])
