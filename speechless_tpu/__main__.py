@@ -140,6 +140,10 @@ def main(argv=None) -> None:
     p_train.add_argument("--lr-decay-steps", type=int, default=None,
                          help="total schedule length in steps (incl. warmup) for "
                               "--lr-decay cosine")
+    p_train.add_argument("--accumulate-steps", type=int, default=None,
+                         help="gradient accumulation: one Adam update per N "
+                              "micro-batches (effective batch = N x batch size at "
+                              "fixed HBM)")
 
     p_transfer = sub.add_parser("transfer", help="transfer-train from the best English model")
     add_config_arg(p_transfer)
@@ -314,6 +318,8 @@ def main(argv=None) -> None:
         if getattr(args, "lr_decay", None) is not None:
             kwargs["lr_decay"] = args.lr_decay
             kwargs["lr_decay_steps"] = args.lr_decay_steps
+        if getattr(args, "accumulate_steps", None) is not None:
+            kwargs["accumulate_gradient_steps"] = args.accumulate_steps
         return kwargs
 
     if args.command == "train":

@@ -64,6 +64,7 @@ class Wav2Letter:
                  lr_decay: Optional[str] = None,
                  lr_decay_steps: Optional[int] = None,
                  gradient_clip_norm: Optional[float] = None,
+                 accumulate_gradient_steps: Optional[int] = None,
                  dropout: Optional[float] = None,
                  load_model_from_directory: Optional[Path] = None,
                  load_epoch: Optional[int] = None,
@@ -168,7 +169,8 @@ class Wav2Letter:
         self.optimizer = make_optimizer(
             make_lr_schedule(learning_rate, warmup_steps=lr_warmup_steps,
                              decay=lr_decay, decay_steps=lr_decay_steps),
-            trainable=trainable, gradient_clip_norm=gradient_clip_norm)
+            trainable=trainable, gradient_clip_norm=gradient_clip_norm,
+            accumulate_steps=accumulate_gradient_steps)
 
         rng = jax.random.PRNGKey(seed)
         params = None

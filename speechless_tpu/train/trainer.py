@@ -80,9 +80,11 @@ def make_lr_schedule(base_learning_rate: float = 1e-4,
 
 def make_optimizer(learning_rate=1e-4,
                    trainable: Optional[List[bool]] = None,
-                   gradient_clip_norm: Optional[float] = None
+                   gradient_clip_norm: Optional[float] = None,
+                   accumulate_steps: Optional[int] = None
                    ) -> optax.GradientTransformation:
-    """Adam with optional per-layer freezing mask and global-norm gradient clipping.
+    """Adam with optional per-layer freezing mask, global-norm gradient clipping, and
+    gradient accumulation.
 
     ``learning_rate`` is a float or an optax schedule (see `make_lr_schedule`).
 
@@ -91,7 +93,15 @@ def make_optimizer(learning_rate=1e-4,
     above steady state, and one such step can throw Adam into a multi-epoch loss
     blowup (observed on the hard-tier synthetic corpus: loss 0.7 -> 140 in one epoch,
     ~15 epochs to recover). Off by default — the reference trains unclipped Adam
-    (`net.py:132`) and easy corpora never trip it."""
+    (`net.py:132`) and easy corpora never trip it.
+
+    ``accumulate_steps=k`` applies one Adam update per k micro-batches from their mean
+    gradient (`optax.MultiSteps`). Because the loss is the batch MEAN and bucketed
+    training batches have one static size, k accumulated micro-batches step exactly
+    like one k-times-larger batch — large effective batches at a fixed HBM footprint
+    (activation memory is the single-chip batch limiter; the reference has no
+    equivalent). Clipping wraps the ACCUMULATED gradient; schedules advance once per
+    real update, so decay horizons count effective steps."""
     optimizer = optax.adam(learning_rate)
     if gradient_clip_norm is not None:
         optimizer = optax.chain(optax.clip_by_global_norm(gradient_clip_norm), optimizer)
@@ -103,6 +113,12 @@ def make_optimizer(learning_rate=1e-4,
         # (optax.masked would pass raw gradients through instead).
         optimizer = optax.multi_transform(
             {"train": optimizer, "freeze": optax.set_to_zero()}, labels)
+    if accumulate_steps is not None:
+        if accumulate_steps < 1:
+            raise ValueError("accumulate_steps must be >= 1, got {}".format(
+                accumulate_steps))
+        if accumulate_steps > 1:
+            optimizer = optax.MultiSteps(optimizer, every_k_schedule=accumulate_steps)
     return optimizer
 
 

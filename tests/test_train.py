@@ -315,3 +315,53 @@ class TestCheckpointAveraging:
         with pytest.raises(SystemExit, match="overwrite"):
             main(["average", "--data-dir", str(tmp_path), "--run", "r",
                   "--epochs", "2", "3", "--write-epoch", "3"])
+
+
+class TestGradientAccumulation:
+    @staticmethod
+    def _slice_batch(batch, rows):
+        return Batch(inputs=batch.inputs[rows], input_lengths=batch.input_lengths[rows],
+                     labels=batch.labels[rows], label_lengths=batch.label_lengths[rows])
+
+    def test_k_micro_steps_match_one_full_batch_step(self, rng):
+        """Mean loss + equal-size micro-batches: k accumulated micro-steps must produce
+        exactly the update of one k-times-larger batch."""
+        config = tiny_config()
+        full = synthetic_batch(rng, config, batch=8)
+        initial = w2l.init_params(config, jax.random.PRNGKey(7))
+
+        opt_full = make_optimizer(1e-3)
+        state_full = init_train_state(config, opt_full, jax.random.PRNGKey(1),
+                                      params=initial)
+        state_full, _ = make_train_step(config, opt_full, donate=False)(state_full, full)
+
+        opt_acc = make_optimizer(1e-3, accumulate_steps=2)
+        state_acc = init_train_state(config, opt_acc, jax.random.PRNGKey(1),
+                                     params=initial)
+        step_acc = make_train_step(config, opt_acc, donate=False)
+        state_acc, _ = step_acc(state_acc, self._slice_batch(full, slice(0, 4)))
+        for i, layer in enumerate(state_acc.params):  # no update mid-accumulation
+            np.testing.assert_array_equal(np.asarray(layer["w"]),
+                                          np.asarray(initial[i]["w"]))
+        state_acc, _ = step_acc(state_acc, self._slice_batch(full, slice(4, 8)))
+        for i, layer in enumerate(state_acc.params):
+            np.testing.assert_allclose(np.asarray(layer["w"]),
+                                       np.asarray(state_full.params[i]["w"]),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_accumulation_state_survives_checkpoint(self, rng, tmp_path):
+        config = tiny_config()
+        optimizer = make_optimizer(1e-3, accumulate_steps=3)
+        state = init_train_state(config, optimizer, jax.random.PRNGKey(0))
+        step = make_train_step(config, optimizer, donate=False)
+        state, _ = step(state, synthetic_batch(rng, config))  # mid-accumulation
+        save_checkpoint(tmp_path, 1, state.params, state.opt_state)
+        restored = load_opt_state(tmp_path, 1, optimizer.init(state.params))
+        assert restored is not None
+        for a, b in zip(jax.tree_util.tree_leaves(restored),
+                        jax.tree_util.tree_leaves(state.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_invalid_accumulate_steps_rejected(self):
+        with pytest.raises(ValueError, match="accumulate_steps"):
+            make_optimizer(1e-3, accumulate_steps=0)
