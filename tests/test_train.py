@@ -365,3 +365,34 @@ class TestGradientAccumulation:
     def test_invalid_accumulate_steps_rejected(self):
         with pytest.raises(ValueError, match="accumulate_steps"):
             make_optimizer(1e-3, accumulate_steps=0)
+
+    def test_accumulation_under_dp_tp_mesh(self, rng):
+        """The MultiSteps gradient accumulator is a param-shaped opt-state leaf; under
+        a mesh it must inherit the param shardings (via optimizer.init on sharded
+        params) and two sharded micro-steps must equal one full-batch step."""
+        config = tiny_config()
+        full = synthetic_batch(rng, config, batch=8)
+        initial = w2l.init_params(config, jax.random.PRNGKey(7))
+
+        opt_full = make_optimizer(1e-3)
+        state_full = init_train_state(config, opt_full, jax.random.PRNGKey(1),
+                                      params=initial)
+        state_full, _ = make_train_step(config, opt_full, donate=False)(state_full, full)
+
+        opt_acc = make_optimizer(1e-3, accumulate_steps=2)
+        mesh = pmesh.make_mesh(jax.devices()[:8], model_parallelism=2)
+        shardings = pmesh.param_shardings(mesh, config.layer_names)
+        sharded_params = pmesh.shard_params(initial, shardings)
+        state_acc = init_train_state(
+            config, opt_acc, jax.random.PRNGKey(1),
+            params=sharded_params)._replace(opt_state=opt_acc.init(sharded_params))
+        step_acc = make_train_step(config, opt_acc, donate=False)
+        with jax.set_mesh(mesh):
+            for rows in (slice(0, 4), slice(4, 8)):
+                micro = jax.tree.map(
+                    lambda x: jax.device_put(x[rows],
+                                             pmesh.batch_sharding(mesh, x.ndim)), full)
+                state_acc, _ = step_acc(state_acc, micro)
+        for a, b in zip(state_full.params, state_acc.params):
+            np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]),
+                                       rtol=2e-4, atol=2e-6)
