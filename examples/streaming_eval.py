@@ -31,6 +31,11 @@ def main() -> None:
                         help="also measure final_decode streams: live greedy "
                              "partials + word-LM-beam offline second pass on "
                              "finish (needs kenlm/ under --data-dir)")
+    parser.add_argument("--beam-partials", action="store_true",
+                        help="also measure partial_decode='beam' streams: LIVE "
+                             "partials from the incremental word-LM-fused prefix "
+                             "beam (ops/decode_incremental.py) — the streaming "
+                             "answer with no second pass (needs kenlm/)")
     parser.add_argument("--out", type=Path,
                         default=Path(__file__).resolve().parent.parent
                         / "evidence" / "STREAMING_r03.json")
@@ -100,13 +105,15 @@ def main() -> None:
         "streaming_ler": stream_label_errors / max(label_chars, 1),
         "offline_ler": offline_label_errors / max(label_chars, 1),
     }
+    lm_transcriber = None
+    if args.two_pass or args.beam_partials:
+        lm_transcriber = Transcriber(
+            config, transcriber.params, english_frequent_characters,
+            kenlm_directory=args.data_dir / "kenlm" / "english")
     if args.two_pass:
         # Two-pass sessions on an LM-fused transcriber: the live pass stays greedy
         # (frame argmax), finish() re-decodes the accumulated audio with the word-LM
         # beam — the measured gap is what the second pass buys a streaming client.
-        lm_transcriber = Transcriber(
-            config, transcriber.params, english_frequent_characters,
-            kenlm_directory=args.data_dir / "kenlm" / "english")
         live_errors = 0
         final_errors = 0
         for example in examples:
@@ -122,6 +129,32 @@ def main() -> None:
         result["two_pass"] = {
             "live_greedy_ler": live_errors / max(label_chars, 1),
             "final_lm_beam_ler": final_errors / max(label_chars, 1),
+        }
+    if args.beam_partials:
+        # Incremental-beam sessions: the LIVE transcript itself comes from the
+        # word-LM-fused prefix beam whose state rides across feeds — beam-quality
+        # partials with no offline second pass. The only gaps vs the offline beam
+        # are per-window z-norm and margin-finalized (irrevocable) frames.
+        import time
+
+        beam_errors = 0
+        feed_wall = 0.0
+        feeds = 0
+        for example in examples:
+            audio = load_audio(example.audio_file, 16000)
+            stream = StreamingTranscriber(lm_transcriber, window_s=args.window_s,
+                                          margin_s=args.margin_s,
+                                          partial_decode="beam")
+            t0 = time.time()
+            for start in range(0, len(audio), chunk):
+                stream.feed(audio[start:start + chunk])
+                feeds += 1
+            stream.finish()
+            feed_wall += time.time() - t0
+            beam_errors += levenshtein(example.label, stream.text)
+        result["beam_partials"] = {
+            "live_beam_ler": beam_errors / max(label_chars, 1),
+            "mean_feed_ms": round(1000 * feed_wall / max(feeds, 1), 2),
         }
 
     args.out.write_text(json.dumps(result, indent=2))

@@ -1,0 +1,222 @@
+"""Incremental (streaming) CTC prefix beam search — beam state carried across feeds.
+
+The reference has no streaming decode at all (its interactive path records a complete
+utterance, then predicts — `main.py:239-253`); our streaming serving layer previously
+offered live GREEDY partials plus an optional offline beam re-decode at `finish`
+(two-pass). This module upgrades live partials to full beam quality: the exact prefix
+beam search of `decode_jax.beam_search_decode_jax` (including char-table and word-LM
+shallow fusion) split at arbitrary frame boundaries, with the beam state riding between
+feeds.
+
+Why this is exact: `decode_jax._beam_step` is Markov in its carried state — (prefix
+length, last char, rolling hash, log P(ending-in-blank), log P(ending-in-non-blank),
+char-LM context, word-LM score, trie node, word context) per beam. Feeding frames
+[0, t1), [t1, t2), ... through per-chunk scans that carry this state is bit-identical
+to one scan over [0, t2) — pinned by parity tests against the offline decoder for every
+fusion mode.
+
+The one thing the offline decoder reconstructs only at the end — the winning prefix,
+via a reverse scan over (T, W) backpointers — a streaming decoder must keep current
+after every chunk. The state therefore additionally carries a (W, max_len) token
+buffer, stitched per chunk: a reverse scan over the CHUNK's backpointers yields each
+surviving beam's ancestor index at chunk entry plus its tokens emitted within the
+chunk, and the new row is ``old_buffer[ancestor] ++ chunk_tokens``. This costs
+W*max_len HBM traffic once per chunk (not per frame, which is why the offline decoder
+refuses to carry it through the scan).
+
+Beam partials are NOT append-only: the best hypothesis may be re-ranked by later
+audio, so each feed returns the full current best prefix (callers replace, not
+append). Frames fed are consumed permanently — callers must only feed frames whose
+receptive field is complete (the streaming layer's margin rule).
+"""
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .decode_jax import EMPTY_HASH, NEG_INF, _beam_step, _word_bonuses
+
+
+class BeamStreamResult(NamedTuple):
+    """Best hypothesis after a feed: ``tokens`` (count,) int32 grapheme indices of the
+    CURRENT best beam (full prefix since stream start, replaces any prior partial) and
+    its total path ``score`` (acoustic log prob + weighted LM terms)."""
+    tokens: np.ndarray
+    score: float
+
+
+@partial(
+    jax.jit,
+    static_argnames=("blank", "beam_width", "max_len", "lm_weight", "word_lm_static",
+                     "word_count_weight", "valid_word_count_weight", "prune_classes",
+                     "lexicon_constrained"))
+def _stream_step_impl(state, log_probs, count, blank, beam_width, max_len,
+                      lm_table, lm_weight, word_arrays, word_lm_static,
+                      word_count_weight, valid_word_count_weight, prune_classes,
+                      lexicon_constrained):
+    import jax.numpy as jnp
+
+    w = beam_width
+    t_chunk = log_probs.shape[0]
+    if word_arrays is not None:
+        from ..lm.device_lm import DeviceWordLm
+
+        word_lm = DeviceWordLm(*word_arrays, *word_lm_static)
+    else:
+        word_lm = None
+    if lm_table is not None:
+        lm_base = lm_table.shape[1]
+        lm_order = round(math.log(lm_table.shape[0]) / math.log(lm_base + 1)) + 1
+    else:
+        lm_base, lm_order = 0, 2
+
+    core, tokens = state[:-1], state[-1]
+    prev_lengths = core[0]
+
+    def step(s, t):
+        return _beam_step(s, log_probs[t], t < count, blank, w, max_len,
+                          lm_table=lm_table, lm_weight=lm_weight, lm_base=lm_base,
+                          lm_order=lm_order, word_lm=word_lm,
+                          word_count_weight=word_count_weight,
+                          valid_word_count_weight=valid_word_count_weight,
+                          prune_classes=prune_classes,
+                          lexicon_constrained=lexicon_constrained)
+
+    core_out, (parents, emit_chars) = jax.lax.scan(step, core, jnp.arange(t_chunk))
+    new_lengths = core_out[0]
+
+    # Stitch the carried token buffer: each surviving beam's ancestor at chunk entry
+    # plus its within-chunk emissions, from the chunk's (t_chunk, W) backpointers.
+    def stitch(beam):
+        def trace(b, pointers):
+            step_parents, step_chars = pointers
+            return step_parents[b], step_chars[b]
+
+        ancestor, path_chars = jax.lax.scan(trace, beam, (parents, emit_chars),
+                                            reverse=True)
+        t_range = jnp.arange(t_chunk)
+        kept = path_chars >= 0
+        order = jnp.argsort(jnp.where(kept, t_range, t_range + t_chunk))
+        return ancestor, path_chars[order]
+
+    ancestors, packed = jax.vmap(stitch)(jnp.arange(w))
+    entry_len = prev_lengths[ancestors]                           # (W,)
+    old_rows = tokens[ancestors]                                  # (W, max_len)
+    out = jnp.arange(max_len)[None, :]
+    chunk_pos = jnp.clip(out - entry_len[:, None], 0, t_chunk - 1)
+    rows = jnp.where(out < entry_len[:, None], old_rows,
+                     jnp.take_along_axis(packed, chunk_pos, axis=1))
+    rows = jnp.where(out < new_lengths[:, None], rows, -1)
+
+    # Current best hypothesis — the offline final ranking applied to the live state
+    # (logsumexp of the blank/non-blank masses + the per-prefix LM score + the
+    # trailing-word bonus when word fusion is on).
+    _, _, _, p_b, p_nb, _, lm_scores, trie_nodes, word_ctx = core_out
+    final = jnp.logaddexp(p_b, p_nb) + lm_scores
+    if word_lm is not None:
+        tail_bonus, _, _ = _word_bonuses(word_lm, trie_nodes, word_ctx, lm_weight,
+                                         word_count_weight, valid_word_count_weight)
+        final = final + tail_bonus
+    best = jnp.argmax(final)
+    return core_out + (rows,), rows[best], new_lengths[best], final[best]
+
+
+class BeamStreamDecoder:
+    """Streaming prefix-beam decoder for ONE stream: construct once per decoder
+    configuration (the jitted step program is shared across streams), `init_state()`
+    per stream, then `feed(state, log_probs)` with each newly FINALIZED frame range.
+
+    Exactly matches `beam_search_decode_jax` fed the concatenated frames, for every
+    fusion mode (none / `lm_table` char fusion / `word_lm` word fusion, optionally
+    `lexicon_constrained`) — the reference's TF beam (`net.py:438-454`) and KenLM fork
+    weights (`net.py:449-451`) semantics, online.
+
+    ``chunk_frames`` is the static per-dispatch frame capacity: feeds are sliced into
+    at most ``chunk_frames``-frame pieces (the last zero-padded and masked), so any
+    feed size hits one of a single compiled program's shapes.
+    """
+
+    def __init__(self, blank: int, beam_width: int = 25,
+                 max_decoded_length: int = 512, chunk_frames: int = 128,
+                 lm_table=None, lm_weight: float = 0.8, word_lm=None,
+                 word_count_weight: float = 0.0,
+                 valid_word_count_weight: float = 2.3,
+                 prune_classes: Optional[int] = None,
+                 lexicon_constrained: bool = False):
+        if word_lm is not None and lm_table is not None:
+            raise ValueError("char-table and word-level fusion are mutually exclusive")
+        if lexicon_constrained and word_lm is None:
+            raise ValueError("lexicon_constrained needs a word_lm (the vocabulary trie)")
+        if chunk_frames < 1:
+            raise ValueError("chunk_frames must be >= 1")
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.blank = blank
+        self.beam_width = beam_width
+        self.max_decoded_length = max_decoded_length
+        self.chunk_frames = chunk_frames
+        self.lm_table = None if lm_table is None else jnp.asarray(lm_table)
+        self.lm_weight = float(lm_weight)
+        self.word_count_weight = float(word_count_weight)
+        self.valid_word_count_weight = float(valid_word_count_weight)
+        self.prune_classes = prune_classes
+        self.lexicon_constrained = lexicon_constrained
+        if word_lm is not None:
+            word_lm = word_lm.as_device()
+            self._word_arrays = tuple(word_lm[:9])
+            self._word_static = (word_lm.max_probes, word_lm.bos_id, word_lm.unk_id,
+                                 word_lm.space_index)
+            self._bos = word_lm.bos_id
+        else:
+            self._word_arrays, self._word_static, self._bos = None, None, 0
+
+    def init_state(self):
+        """Fresh per-stream beam state (a pytree of device arrays): one live empty
+        prefix, the rest dead. Matches the offline decoder's initial carry plus the
+        (W, max_len) token buffer."""
+        jnp = self._jnp
+        w = self.beam_width
+        if self.lm_table is not None:
+            contexts = jnp.full((w,), self.lm_table.shape[0] - 1, jnp.int32)
+        else:
+            contexts = jnp.zeros((w,), jnp.int32)
+        return (jnp.zeros((w,), jnp.int32),                                   # lengths
+                -jnp.ones((w,), jnp.int32),                                   # last_chars
+                jnp.concatenate([jnp.asarray([EMPTY_HASH]),
+                                 jnp.zeros((w - 1,), jnp.uint32)]),           # hashes
+                jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), NEG_INF)]),  # p_b
+                jnp.full((w,), NEG_INF),                                      # p_nb
+                contexts,
+                jnp.zeros((w,)),                                              # lm_scores
+                jnp.zeros((w,), jnp.int32),                                   # trie_nodes
+                jnp.full((w, 2), self._bos, jnp.int32),                       # word_ctx
+                -jnp.ones((w, self.max_decoded_length), jnp.int32))           # tokens
+
+    def feed(self, state, log_probs: np.ndarray) -> Tuple[tuple, BeamStreamResult]:
+        """Advance the beam over ``log_probs`` (t, classes) — frames are consumed
+        permanently. Returns ``(new_state, BeamStreamResult)``; an empty feed returns
+        the state unchanged and the current best from the carried buffer (one cheap
+        step with count=0)."""
+        jnp = self._jnp
+        log_probs = np.asarray(log_probs, np.float32)
+        if log_probs.ndim != 2:
+            raise ValueError("log_probs must be (frames, classes), got shape {}".format(
+                log_probs.shape))
+        pieces = max(1, -(-log_probs.shape[0] // self.chunk_frames))
+        tokens = count = score = None
+        for p in range(pieces):
+            piece = log_probs[p * self.chunk_frames:(p + 1) * self.chunk_frames]
+            valid = piece.shape[0]
+            if valid < self.chunk_frames:
+                piece = np.pad(piece, ((0, self.chunk_frames - valid), (0, 0)))
+            state, tokens, count, score = _stream_step_impl(
+                state, jnp.asarray(piece), jnp.asarray(valid, jnp.int32),
+                self.blank, self.beam_width, self.max_decoded_length,
+                self.lm_table, self.lm_weight, self._word_arrays, self._word_static,
+                self.word_count_weight, self.valid_word_count_weight,
+                self.prune_classes, self.lexicon_constrained)
+        tokens = np.asarray(tokens)[: int(count)]
+        return state, BeamStreamResult(tokens, float(score))

@@ -217,10 +217,29 @@ class Transcriber:
             frames, counts = frame_tokens_batch_fn(params, wav[None], length[None])
             return frames[0], counts[0]
 
+        def frame_log_probs_batch_fn(params, wavs, lengths):
+            # Per-frame log posteriors (no collapse, no argmax): the incremental
+            # streaming BEAM (serving_streaming partial_decode="beam") advances its
+            # carried prefix-beam state over exactly the finalized frame rows, so it
+            # needs the full distributions, not just frame decisions.
+            from .features.spectrogram import features_batch
+
+            features, frame_counts = features_batch(wavs, lengths)
+            logits = w2l.apply(config, params, features)
+            return (jax.nn.log_softmax(logits, axis=-1),
+                    w2l.prediction_lengths(config, frame_counts))
+
+        def frame_log_probs_fn(params, wav, length):
+            log_probs, counts = frame_log_probs_batch_fn(params, wav[None],
+                                                         length[None])
+            return log_probs[0], counts[0]
+
         self._transcribe = jax.jit(transcribe_fn)
         self._transcribe_batch = jax.jit(transcribe_batch_fn)
         self._frame_tokens = jax.jit(frame_tokens_fn)
         self._frame_tokens_batch = jax.jit(frame_tokens_batch_fn)
+        self._frame_log_probs = jax.jit(frame_log_probs_fn)
+        self._frame_log_probs_batch = jax.jit(frame_log_probs_batch_fn)
 
         # N-best decoding (`transcribe_nbest`): one jitted program per n, built lazily —
         # most deployments never request it, and each n is a different static shape.
@@ -370,6 +389,36 @@ class Transcriber:
             counts = np.asarray(counts)
             for row, index in enumerate(group):
                 results[index] = frames[row, : int(counts[row])]
+        return results
+
+    def frame_log_probs(self, audio: np.ndarray) -> np.ndarray:
+        """Per-frame log posteriors ``(frames, classes)`` for ``audio`` (uncollapsed)
+        — what the streaming beam consumes (`serving_streaming`, partial_decode=
+        "beam"). Same padding/bucketing as `frame_tokens`."""
+        jnp = self._jnp
+        length = len(audio)
+        bucket = self._bucket(length)
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[:length] = audio
+        log_probs, count = self._frame_log_probs(self.params, jnp.asarray(padded),
+                                                 jnp.asarray(length, jnp.int32))
+        return np.asarray(log_probs)[: int(count)]
+
+    def frame_log_probs_batch(self, audios: Sequence[np.ndarray],
+                              batch_size: int = 16) -> List[np.ndarray]:
+        """Per-frame log posteriors for many windows in batched dispatches (the
+        multi-stream beam-partials path). Grouping/padding rules match
+        `frame_tokens_batch`; one trimmed (frames, classes) array per input."""
+        jnp = self._jnp
+        results: List[Optional[np.ndarray]] = [None] * len(audios)
+        for group, wavs, lengths in grouped_padded_batches(audios, self._bucket,
+                                                           batch_size):
+            log_probs, counts = self._frame_log_probs_batch(
+                self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+            log_probs = np.asarray(log_probs)
+            counts = np.asarray(counts)
+            for row, index in enumerate(group):
+                results[index] = log_probs[row, : int(counts[row])]
         return results
 
     @property

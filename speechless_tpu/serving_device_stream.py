@@ -458,10 +458,22 @@ class DeviceStreamingPool:
 
     # -- session surface (mirrors StreamingSessionPool) ---------------------------
 
-    def create(self, final_decode: bool = False) -> str:
+    def create(self, final_decode: bool = False,
+               partial_decode: str = "greedy") -> str:
         """``final_decode``: two-pass session — `finish` additionally re-decodes the
         complete accumulated audio through the offline path (LM beam when the
-        transcriber has one) and returns that as the authoritative transcript."""
+        transcriber has one) and returns that as the authoritative transcript.
+
+        ``partial_decode``: the device pool's fused append+decode program emits
+        greedy partials only — beam partials (`StreamingSessionPool`'s
+        partial_decode="beam") would serialize per-session beam state through the
+        shared program and are refused here; use the host-window pool or two-pass
+        ``final_decode`` for beam-quality finals."""
+        if partial_decode != "greedy":
+            raise ValueError("the device streaming pool serves greedy live partials "
+                             "only (got partial_decode={!r}); use the host-window "
+                             "pool for beam partials or final_decode=True for a "
+                             "beam-quality final transcript".format(partial_decode))
         with self._lock:
             self._reap_locked()
             if not self._free:

@@ -353,23 +353,34 @@ class TranscriptionServer:
                         # Create a streaming session. Optional JSON body:
                         # {"final_decode": true} makes finish() re-decode the full
                         # accumulated audio through the offline path (LM beam when
-                        # the backend has one) — live partials stay greedy. The body
-                        # stays OPTIONAL: a bare POST (no Content-Length) must keep
-                        # working, so only read one when the client declares it.
+                        # the backend has one); {"partial_decode": "beam"} serves
+                        # LIVE partials from the incremental prefix beam — each
+                        # feed's "partial" then holds the full current best text and
+                        # REPLACES the previous partial. The body stays OPTIONAL: a
+                        # bare POST (no Content-Length) must keep working, so only
+                        # read one when the client declares it.
                         has_body = int(self.headers.get("Content-Length", 0)) > 0
                         body = self._read_body() if has_body else b""
                         final_decode = False
+                        partial_decode = "greedy"
                         if body.strip():
                             try:
+                                options = json.loads(body)
                                 final_decode = bool(
-                                    json.loads(body).get("final_decode", False))
+                                    options.get("final_decode", False))
+                                partial_decode = str(
+                                    options.get("partial_decode", "greedy"))
                             except (ValueError, AttributeError):
                                 raise RequestError(400, "body must be empty or a "
                                                         "JSON object")
+                        if partial_decode not in ("greedy", "beam"):
+                            raise RequestError(400, "partial_decode must be "
+                                                    "'greedy' or 'beam'")
                         try:
                             self._reply(200, {"session": server.streams.create(
-                                final_decode=final_decode)})
-                        except ValueError as error:  # backend without stream surface
+                                final_decode=final_decode,
+                                partial_decode=partial_decode)})
+                        except ValueError as error:  # backend without the surface
                             raise RequestError(501, str(error))
                     elif parsed.path.startswith("/v1/stream/"):
                         self._stream_post(parsed.path[len("/v1/stream/"):])

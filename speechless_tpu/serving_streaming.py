@@ -138,23 +138,62 @@ def _check_window(window_s: float, margin_s: float) -> None:
 class StreamingTranscriber:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
                  sample_rate: int = 16000, frame_fn=None,
-                 final_decode: bool = False):
-        """``frame_fn``: optional override for the per-frame window token call
-        (defaults to ``transcriber.frame_tokens``). A `StreamingFrameBatcher.submit`
-        here lets many concurrent streams share batched device dispatches.
+                 final_decode: bool = False, partial_decode: str = "greedy",
+                 beam_chunk_frames: int = 64):
+        """``frame_fn``: optional override for the per-frame window call (defaults to
+        ``transcriber.frame_tokens``, or ``transcriber.frame_log_probs`` in beam
+        mode). A `StreamingFrameBatcher.submit` here lets many concurrent streams
+        share batched device dispatches.
 
         ``final_decode``: two-pass mode — the stream additionally accumulates every
         fed chunk on the host (~3.7 MB per minute of 16 kHz float32) and `finalize()`
         re-decodes the COMPLETE audio through the backend's offline path
         (`transcribe_long_audio`: full-utterance z-norm, silence segmentation, and
-        the LM-fused beam when the transcriber has one). Live greedy partials keep
-        flowing unchanged; the second pass trades one extra offline decode at the
-        end for the offline path's accuracy (no per-window normalization, LM beam
-        instead of argmax)."""
+        the LM-fused beam when the transcriber has one). Live partials keep flowing
+        unchanged; the second pass trades one extra offline decode at the end for the
+        offline path's accuracy (no per-window normalization).
+
+        ``partial_decode``: ``"greedy"`` (default — live partials are append-only CTC
+        -collapsed argmax) or ``"beam"`` — live partials come from an INCREMENTAL
+        prefix beam (`ops.decode_incremental.BeamStreamDecoder`) whose state rides
+        across feeds, with the transcriber's LM fusion when it serves one. Beam
+        partials are NOT append-only (later audio can re-rank the best hypothesis):
+        `feed` returns the full current best transcript, which REPLACES any earlier
+        partial, and `.text` is that live best. The greedy transcript (and the word
+        timestamps, which are greedy-derived) stay available as `.greedy_text` /
+        `pop_new_words`. Requires a transcriber with per-frame posteriors
+        (`frame_log_probs` — JIT backends; AOT bundles must be exported with it)."""
         _check_window(window_s, margin_s)
+        if partial_decode not in ("greedy", "beam"):
+            raise ValueError("partial_decode must be 'greedy' or 'beam', got {!r}"
+                             .format(partial_decode))
         self._transcriber = transcriber
         self._final_decode = final_decode
-        self._frame_fn = frame_fn if frame_fn is not None else transcriber.frame_tokens
+        self._partial_beam = partial_decode == "beam"
+        if self._partial_beam:
+            if frame_fn is None and not hasattr(transcriber, "frame_log_probs"):
+                raise ValueError(
+                    "partial_decode='beam' needs per-frame posteriors; this backend "
+                    "has no frame_log_probs program")
+            from .ops.decode_incremental import BeamStreamDecoder
+
+            decoder = getattr(transcriber, "_decoder", {})
+            self._beam_decoder = BeamStreamDecoder(
+                blank=transcriber.blank_index,
+                beam_width=decoder.get("beam_width", 25),
+                chunk_frames=beam_chunk_frames,
+                word_lm=getattr(transcriber, "word_lm", None),
+                lm_weight=decoder.get("lm_weight", 0.8),
+                word_count_weight=decoder.get("word_count_weight", 0.0),
+                valid_word_count_weight=decoder.get("valid_word_count_weight", 2.3),
+                prune_classes=decoder.get("prune_classes", None),
+                lexicon_constrained=getattr(transcriber, "lexicon_constrained",
+                                            False))
+            default_fn = transcriber.frame_log_probs
+        else:
+            self._beam_decoder = None
+            default_fn = transcriber.frame_tokens
+        self._frame_fn = frame_fn if frame_fn is not None else default_fn
         spf = transcriber.samples_per_frame
         # Window/margin aligned to the output frame grid so absolute frame<->sample
         # mapping survives buffer drops.
@@ -173,10 +212,25 @@ class StreamingTranscriber:
         self._audio_parts: List[np.ndarray] = []
         self._words = WordAssembler(self._transcriber.codec, self._spf,
                                     self._sample_rate)
+        if self._partial_beam:
+            self._beam_state = self._beam_decoder.init_state()
+            self._beam_tokens = np.zeros(0, np.int32)
 
     @property
     def text(self) -> str:
-        """Everything emitted so far."""
+        """The live transcript: everything emitted so far (greedy mode), or the
+        incremental beam's current best hypothesis (beam mode — may be re-ranked by
+        later feeds, so read it as a replacement, not an append)."""
+        if self._partial_beam:
+            return self._transcriber.codec.decode_graphemes(
+                self._beam_tokens.tolist(), merge_repeated=False)
+        return "".join(self._parts)
+
+    @property
+    def greedy_text(self) -> str:
+        """The append-only greedy transcript (equal to `.text` in greedy mode; in
+        beam mode the argmax partials still accumulate — they drive the word
+        timestamps — and remain readable here)."""
         return "".join(self._parts)
 
     @property
@@ -187,7 +241,9 @@ class StreamingTranscriber:
         return self._emit_sample / self._sample_rate
 
     def feed(self, chunk: np.ndarray) -> str:
-        """Append audio; returns newly finalized text (possibly empty)."""
+        """Append audio; returns newly finalized text (possibly empty). In beam mode
+        the return is the FULL current best transcript (replaces earlier partials —
+        later audio can re-rank the winning hypothesis)."""
         chunk = np.asarray(chunk, np.float32)
         if self._final_decode:
             self._audio_parts.append(chunk)
@@ -237,10 +293,27 @@ class StreamingTranscriber:
             emit_limit = (window_end + self._spf if flush and last_window
                           else window_end - self._margin)
             if emit_limit > self._emit_sample:
-                frames = self._frame_fn(self._buffer[:window_len])
+                window_out = self._frame_fn(self._buffer[:window_len])
+                if self._partial_beam:
+                    # Beam mode gets per-frame posteriors; the greedy machinery
+                    # (emission boundary, words, greedy_text) runs on their argmax.
+                    log_probs = np.asarray(window_out)
+                    frames = log_probs.argmax(-1)
+                else:
+                    frames = window_out
+                finalized_from = self._emit_sample
                 emissions, self._emit_sample, self._carry = collapse_new_frames(
                     frames, len(frames), self._buffer_start, self._spf,
                     self._emit_sample, self._carry, emit_limit, blank)
+                if self._partial_beam and self._emit_sample > finalized_from:
+                    # Advance the carried beam over exactly the rows the greedy rule
+                    # just finalized ([finalized_from, emit_sample) on the absolute
+                    # sample axis — everything is frame-grid aligned by construction).
+                    row_from = (finalized_from - self._buffer_start) // self._spf
+                    row_to = (self._emit_sample - self._buffer_start) // self._spf
+                    self._beam_state, result = self._beam_decoder.feed(
+                        self._beam_state, log_probs[row_from:row_to])
+                    self._beam_tokens = result.tokens
                 if emissions:
                     self._parts.append(codec.decode_graphemes(
                         [t for t, _ in emissions], merge_repeated=False))
@@ -257,6 +330,10 @@ class StreamingTranscriber:
                 break  # cannot make progress without more audio (margin-bound)
             self._buffer = self._buffer[new_start - self._buffer_start:]
             self._buffer_start = new_start
+        if self._partial_beam:
+            # Beam partials replace rather than append (re-ranking): hand back the
+            # full current best transcript.
+            return self.text
         return "".join(self._parts[emitted_before:])
 
 
@@ -275,23 +352,30 @@ class StreamingFrameBatcher(MicroBatcher):
 
     item_noun = "windows"
 
-    def __init__(self, transcriber, max_batch: int = 16, max_wait_ms: float = 20.0):
+    def __init__(self, transcriber, max_batch: int = 16, max_wait_ms: float = 20.0,
+                 log_probs: bool = False):
+        """``log_probs``: serve per-frame posteriors (`frame_log_probs_batch`) instead
+        of argmax tokens — the window program for beam-partial streams. A pool serving
+        both modes runs one batcher per mode (a dispatch can only run one program)."""
         super().__init__(max_batch=max_batch, max_wait_ms=max_wait_ms,
-                         name="streaming-frame-batcher")
+                         name="streaming-{}-batcher".format(
+                             "posteriors" if log_probs else "frame"))
         self._transcriber = transcriber
+        self._single_name = "frame_log_probs" if log_probs else "frame_tokens"
 
     def submit(self, audio: np.ndarray) -> np.ndarray:
-        """Frame tokens for one window; blocks until its batch is served. This is the
-        ``frame_fn`` for `StreamingTranscriber`."""
+        """Frame tokens (or posteriors) for one window; blocks until its batch is
+        served. This is the ``frame_fn`` for `StreamingTranscriber`."""
         return super().submit(np.asarray(audio, np.float32))
 
     def _serve(self, batch: List[PendingItem]) -> None:
-        batched = getattr(self._transcriber, "frame_tokens_batch", None)
+        batched = getattr(self._transcriber, self._single_name + "_batch", None)
         if len(batch) == 1 or batched is None:
             # Lone window — or a backend without the batched program (e.g. an
-            # AOT bundle exported before frame_tokens_batch existed).
+            # AOT bundle exported before the batched variant existed).
+            single = getattr(self._transcriber, self._single_name)
             for pending in batch:
-                pending.result = self._transcriber.frame_tokens(pending.payload)
+                pending.result = single(pending.payload)
         else:
             results = batched([pending.payload for pending in batch],
                               batch_size=self.max_batch)
@@ -337,29 +421,51 @@ class StreamingSessionPool:
         self._lock = threading.Lock()
         self.batcher = StreamingFrameBatcher(transcriber, max_batch=max_batch,
                                              max_wait_ms=max_wait_ms)
+        # Beam-partial sessions dispatch a different window program (posteriors), so
+        # they batch among themselves on a second batcher thread; absent the program
+        # (e.g. an old AOT bundle) beam sessions are refused at create().
+        self.posterior_batcher = (
+            StreamingFrameBatcher(transcriber, max_batch=max_batch,
+                                  max_wait_ms=max_wait_ms, log_probs=True)
+            if hasattr(transcriber, "frame_log_probs") else None)
 
     def start(self) -> None:
         self.batcher.start()
+        if self.posterior_batcher is not None:
+            self.posterior_batcher.start()
 
     def stop(self) -> None:
         self.batcher.stop()
+        if self.posterior_batcher is not None:
+            self.posterior_batcher.stop()
         with self._lock:
             self._sessions.clear()
 
-    def create(self, final_decode: bool = False) -> str:
+    def create(self, final_decode: bool = False,
+               partial_decode: str = "greedy") -> str:
         """``final_decode``: two-pass session — `finish` additionally re-decodes the
         complete accumulated audio through the offline path (LM beam when the
-        transcriber has one) and returns that as the authoritative transcript."""
+        transcriber has one) and returns that as the authoritative transcript.
+
+        ``partial_decode``: ``"beam"`` serves live partials from the incremental
+        prefix beam (see `StreamingTranscriber`); each feed's text REPLACES the
+        previous partial instead of appending."""
+        if partial_decode == "beam" and self.posterior_batcher is None:
+            raise ValueError("partial_decode='beam' needs per-frame posteriors; "
+                             "this backend has no frame_log_probs program")
         with self._lock:
             self._reap_locked()
             if len(self._sessions) >= self._max_sessions:
                 raise RuntimeError("session limit reached ({})".format(
                     self._max_sessions))
             session_id = uuid.uuid4().hex[:16]
+            frame_fn = (self.posterior_batcher.submit if partial_decode == "beam"
+                        else self.batcher.submit)
             stream = StreamingTranscriber(self._transcriber, window_s=self._window_s,
                                           margin_s=self._margin_s,
-                                          frame_fn=self.batcher.submit,
-                                          final_decode=final_decode)
+                                          frame_fn=frame_fn,
+                                          final_decode=final_decode,
+                                          partial_decode=partial_decode)
             self._sessions[session_id] = _Session(stream)
             return session_id
 

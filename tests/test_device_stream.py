@@ -356,3 +356,12 @@ def test_device_word_timestamps_match_host(transcriber, pool):
         assert 0.0 <= w["start_s"] < w["end_s"] <= len(long_audio) / 16000.0
         assert w["start_s"] >= last_end - 1e-9
         last_end = w["end_s"]
+
+
+def test_device_pool_refuses_beam_partials(pool):
+    """The device pool's fused program emits greedy partials only; beam-partial
+    sessions must be refused loudly at create (clients fall back to the host-window
+    pool or two-pass final_decode)."""
+    with pytest.raises(ValueError, match="greedy"):
+        pool.create(partial_decode="beam")
+    assert pool.session_count == 0  # no session row leaked by the refusal

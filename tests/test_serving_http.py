@@ -298,3 +298,27 @@ def test_nbest_rides_the_batcher_thread(server, transcriber):
     status, _ = _request(server, "/v1/transcribe?nbest=2", data=_pcm_body(audio))
     assert status == 200
     assert server.batcher.metrics()["requests"] == before + 1
+
+
+def test_streaming_beam_partials_over_http(server, transcriber):
+    """POST /v1/stream {"partial_decode": "beam"}: live partials come from the
+    incremental prefix beam — each feed's "partial" is the FULL current best text
+    (replace semantics) and equals "text" from the same reply; an invalid mode is a
+    400, and the device pool (greedy-only) maps its refusal to an HTTP error."""
+    audio = (np.random.RandomState(21).randn(30000) * 0.3).astype(np.float32)
+    status, payload = _request(server, "/v1/stream",
+                               json.dumps({"partial_decode": "beam"}).encode())
+    assert status == 200
+    sid = payload["session"]
+    last = None
+    for start in range(0, len(audio), 4000):
+        status, reply = _request(server, "/v1/stream/{}".format(sid),
+                                 _pcm_body(audio[start:start + 4000]))
+        assert status == 200
+        assert reply["partial"] == reply["text"]  # full replacement text
+        last = reply
+    status, final = _request(server, "/v1/stream/{}/finish".format(sid), b"{}")
+    assert status == 200 and isinstance(final["text"], str)
+    assert last is not None
+    assert _request(server, "/v1/stream",
+                    json.dumps({"partial_decode": "viterbi"}).encode())[0] == 400

@@ -222,3 +222,89 @@ def test_pool_feed_and_finish_state_include_words():
                                               if w]
     finally:
         pool.stop()
+
+
+def test_beam_partials_single_window_matches_offline_beam():
+    """A short stream flushed in one window must decode EXACTLY like the offline
+    beam over the same posteriors (partial_decode='beam' consumes every frame with
+    full-utterance z-norm in that case)."""
+    import jax
+    from speechless_tpu.ops.decode_jax import beam_search_decode_jax
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(6))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(10).randn(24000) * 0.3).astype(np.float32)
+    stream = StreamingTranscriber(transcriber, window_s=8.0, margin_s=2.0,
+                                  partial_decode="beam")
+    stream.feed(audio)
+    final = stream.finish()
+    log_probs = transcriber.frame_log_probs(audio)
+    import jax.numpy as jnp
+    tokens, counts = beam_search_decode_jax(
+        jnp.asarray(log_probs[None]), jnp.asarray([log_probs.shape[0]]),
+        blank=transcriber.blank_index, beam_width=transcriber.beam_width,
+        prune_classes=transcriber._decoder["prune_classes"])
+    expected = transcriber.codec.decode_graphemes(
+        np.asarray(tokens)[0][: int(counts[0])].tolist(), merge_repeated=False)
+    assert final == stream.text == expected
+
+
+def test_beam_partials_cross_window_merge():
+    """Beam partials carry state across window boundaries: a 20 s constant-token
+    stream emits exactly one 'a' (per-window beams without carry would emit one per
+    window), and the greedy machinery keeps running alongside."""
+    config = _tiny_config()
+    params = _constant_token_params(config, ALPHABET.index("a"))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    stream = StreamingTranscriber(transcriber, window_s=4.0, margin_s=1.0,
+                                  partial_decode="beam")
+    rng = np.random.RandomState(11)
+    for _ in range(20):
+        partial = stream.feed((rng.randn(16000) * 0.1).astype(np.float32))
+        assert partial in ("", "a")  # full replacement text, never "aa..."
+    stream.finish()
+    assert stream.text == stream.greedy_text == "a"
+
+
+def test_beam_mode_requires_posteriors_program():
+    class NoPosteriors:
+        samples_per_frame = 256
+        blank_index = 28
+
+        class codec:  # noqa: N801 — minimal stand-in
+            pass
+
+    with pytest.raises(ValueError, match="frame_log_probs"):
+        StreamingTranscriber(NoPosteriors(), window_s=4.0, margin_s=1.0,
+                             partial_decode="beam")
+    with pytest.raises(ValueError, match="partial_decode"):
+        StreamingTranscriber(NoPosteriors(), window_s=4.0, margin_s=1.0,
+                             partial_decode="viterbi")
+
+
+def test_session_pool_beam_partials():
+    """Pool sessions with partial_decode='beam' ride the posterior batcher and their
+    finish equals a direct beam-mode stream fed the same chunks."""
+    import jax
+    from speechless_tpu.serving_streaming import StreamingSessionPool
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(7))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(12).randn(30000) * 0.3).astype(np.float32)
+    pool = StreamingSessionPool(transcriber, window_s=1.024, margin_s=0.25,
+                                max_batch=4)
+    pool.start()
+    try:
+        sid = pool.create(partial_decode="beam")
+        for start in range(0, len(audio), 4000):
+            pool.feed(sid, audio[start:start + 4000])
+        final = pool.finish(sid)
+    finally:
+        pool.stop()
+    direct = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25,
+                                  partial_decode="beam")
+    for start in range(0, len(audio), 4000):
+        direct.feed(audio[start:start + 4000])
+    assert final == direct.finish()

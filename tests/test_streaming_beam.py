@@ -1,0 +1,158 @@
+"""Incremental streaming beam (ops/decode_incremental.py).
+
+Contract: feeding any chunking of a posterior sequence through `BeamStreamDecoder`
+yields EXACTLY the offline `beam_search_decode_jax` result on the concatenated
+sequence — for every fusion mode (none / char table / word LM / lexicon-constrained)
+and with per-frame class pruning. The offline decoder is itself parity-pinned against
+the host reference beam, so this transitively pins the streaming beam to the
+reference's TF/KenLM-fork semantics (`net.py:438-454`)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from speechless_tpu.lm.arpa_builder import build_kenlm_directory
+from speechless_tpu.lm.char_ngram import char_ngram_table_from_texts
+from speechless_tpu.lm.device_lm import build_device_word_lm
+from speechless_tpu.lm.ngram import ArpaLanguageModel
+from speechless_tpu.ops.decode_incremental import BeamStreamDecoder
+from speechless_tpu.ops.decode_jax import beam_search_decode_jax, beam_search_nbest_jax
+
+ALPHABET = list("abcdefghijklmnopqrstuvwxyz '")
+BLANK = len(ALPHABET)
+
+TEXTS = ["the cat sat on the mat",
+         "the cat ran to the dog",
+         "a dog sat on a log",
+         "the dog ran to the cat"]
+
+
+def random_log_probs(t, classes, seed, peaky=2.5):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(t, classes) * peaky
+    logits = logits - np.log(np.sum(np.exp(logits - logits.max(-1, keepdims=True)),
+                                    -1, keepdims=True)) - logits.max(-1, keepdims=True)
+    return logits.astype(np.float32)
+
+
+def offline(lp, **kwargs):
+    tokens, counts = beam_search_decode_jax(jnp.asarray(lp[None]),
+                                            jnp.asarray([lp.shape[0]]), **kwargs)
+    return np.asarray(tokens)[0][: int(counts[0])]
+
+
+def stream(lp, splits, **kwargs):
+    decoder = BeamStreamDecoder(**kwargs)
+    state = decoder.init_state()
+    result = None
+    start = 0
+    for end in list(splits) + [lp.shape[0]]:
+        state, result = decoder.feed(state, lp[start:end])
+        start = end
+    return decoder, result
+
+
+CHUNKINGS = [[], [1], [7, 8, 9], list(range(1, 40))]  # one-shot, odd splits, per-frame
+
+
+class TestNoLmParity:
+    @pytest.mark.parametrize("splits", CHUNKINGS)
+    def test_matches_offline(self, splits):
+        lp = random_log_probs(40, 6, seed=0)
+        expected = offline(lp, blank=5, beam_width=8, max_decoded_length=32)
+        _, result = stream(lp, splits, blank=5, beam_width=8, max_decoded_length=32,
+                           chunk_frames=16)
+        np.testing.assert_array_equal(result.tokens, expected)
+
+    def test_chunk_capacity_slicing(self):
+        # A feed far larger than chunk_frames is sliced + padded internally.
+        lp = random_log_probs(57, 5, seed=1)
+        expected = offline(lp, blank=4, beam_width=6, max_decoded_length=64)
+        _, result = stream(lp, [], blank=4, beam_width=6, max_decoded_length=64,
+                           chunk_frames=8)
+        np.testing.assert_array_equal(result.tokens, expected)
+
+    def test_score_matches_nbest_top1(self):
+        lp = random_log_probs(30, 6, seed=2)
+        _, _, scores = beam_search_nbest_jax(jnp.asarray(lp[None]),
+                                             jnp.asarray([30]), blank=5, nbest=1,
+                                             beam_width=8, max_decoded_length=32)
+        _, result = stream(lp, [10, 20], blank=5, beam_width=8,
+                           max_decoded_length=32, chunk_frames=16)
+        assert result.score == pytest.approx(float(scores[0, 0]), rel=1e-5)
+
+    def test_empty_feed_keeps_best(self):
+        lp = random_log_probs(20, 6, seed=3)
+        decoder, result = stream(lp, [], blank=5, beam_width=8,
+                                 max_decoded_length=32, chunk_frames=32)
+        state = decoder.init_state()
+        state, _ = decoder.feed(state, lp)
+        state, again = decoder.feed(state, lp[:0])
+        np.testing.assert_array_equal(again.tokens, result.tokens)
+        assert again.score == pytest.approx(result.score)
+
+    def test_prune_classes(self):
+        lp = random_log_probs(40, 12, seed=4, peaky=4.0)
+        kwargs = dict(blank=11, beam_width=8, max_decoded_length=32, prune_classes=4)
+        expected = offline(lp, **kwargs)
+        _, result = stream(lp, [13, 26], chunk_frames=16, **kwargs)
+        np.testing.assert_array_equal(result.tokens, expected)
+
+    def test_max_decoded_length_capacity(self):
+        # Force many emissions with alternating peaks; the buffer must cap honestly.
+        t, classes, cap = 30, 4, 6
+        lp = np.full((t, classes), -20.0, np.float32)
+        lp[np.arange(t), np.arange(t) % 2] = -0.01
+        expected = offline(lp, blank=3, beam_width=4, max_decoded_length=cap)
+        _, result = stream(lp, [11], blank=3, beam_width=4, max_decoded_length=cap,
+                           chunk_frames=16)
+        assert len(result.tokens) <= cap
+        np.testing.assert_array_equal(result.tokens, expected)
+
+
+class TestCharLmParity:
+    @pytest.mark.parametrize("splits", [[], [5, 17]])
+    def test_matches_offline(self, splits):
+        table = jnp.asarray(char_ngram_table_from_texts(
+            ["abab", "ba", "aabb"], ["a", "b"], order=3))
+        lp = random_log_probs(24, 3, seed=5, peaky=1.5)
+        kwargs = dict(blank=2, beam_width=6, max_decoded_length=32,
+                      lm_table=table, lm_weight=0.7)
+        expected = offline(lp, **kwargs)
+        _, result = stream(lp, splits, chunk_frames=8, **kwargs)
+        np.testing.assert_array_equal(result.tokens, expected)
+
+
+@pytest.fixture(scope="module")
+def word_lm(tmp_path_factory):
+    directory = tmp_path_factory.mktemp("lm")
+    build_kenlm_directory(TEXTS, directory, allowed_characters=ALPHABET, order=3)
+    arpa = ArpaLanguageModel.load(directory / "lm.arpa")
+    return build_device_word_lm(arpa, ALPHABET)
+
+
+class TestWordLmParity:
+    @pytest.mark.parametrize("lexicon", [False, True])
+    @pytest.mark.parametrize("splits", [[], [9, 31]])
+    def test_matches_offline(self, word_lm, splits, lexicon):
+        lp = random_log_probs(48, len(ALPHABET) + 1, seed=6, peaky=3.0)
+        kwargs = dict(blank=BLANK, beam_width=8, max_decoded_length=64,
+                      word_lm=word_lm, lm_weight=0.8, word_count_weight=0.0,
+                      valid_word_count_weight=2.3, lexicon_constrained=lexicon)
+        expected = offline(lp, **kwargs)
+        _, result = stream(lp, splits, chunk_frames=16, **kwargs)
+        np.testing.assert_array_equal(result.tokens, expected)
+
+
+class TestValidation:
+    def test_rejects_both_lms(self, word_lm):
+        with pytest.raises(ValueError):
+            BeamStreamDecoder(blank=BLANK, lm_table=jnp.zeros((3, 2)), word_lm=word_lm)
+
+    def test_rejects_lexicon_without_word_lm(self):
+        with pytest.raises(ValueError):
+            BeamStreamDecoder(blank=BLANK, lexicon_constrained=True)
+
+    def test_rejects_bad_feed_shape(self):
+        decoder = BeamStreamDecoder(blank=2, beam_width=4)
+        with pytest.raises(ValueError):
+            decoder.feed(decoder.init_state(), np.zeros((3,), np.float32))
