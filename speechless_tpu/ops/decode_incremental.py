@@ -29,14 +29,14 @@ audio, so each feed returns the full current best prefix (callers replace, not
 append). Frames fed are consumed permanently — callers must only feed frames whose
 receptive field is complete (the streaming layer's margin rule).
 """
-import math
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import numpy as np
 
-from .decode_jax import EMPTY_HASH, NEG_INF, _beam_step, _word_bonuses
+from .decode_jax import (_beam_step, _word_bonuses, initial_beam_state,
+                         lm_table_geometry)
 
 
 class BeamStreamResult(NamedTuple):
@@ -45,6 +45,16 @@ class BeamStreamResult(NamedTuple):
     its total path ``score`` (acoustic log prob + weighted LM terms)."""
     tokens: np.ndarray
     score: float
+
+
+class BeamStreamState(NamedTuple):
+    """Per-stream decoder state: the ``beam`` carry (a pytree of device arrays) plus
+    the host-side ``committed`` prefix — tokens rolled out of the beam when a stream
+    outgrows ``max_decoded_length`` (see `BeamStreamDecoder` rollover) — and its
+    accumulated path ``committed_score``."""
+    beam: tuple
+    committed: np.ndarray
+    committed_score: float
 
 
 @partial(
@@ -66,11 +76,7 @@ def _stream_step_impl(state, log_probs, count, blank, beam_width, max_len,
         word_lm = DeviceWordLm(*word_arrays, *word_lm_static)
     else:
         word_lm = None
-    if lm_table is not None:
-        lm_base = lm_table.shape[1]
-        lm_order = round(math.log(lm_table.shape[0]) / math.log(lm_base + 1)) + 1
-    else:
-        lm_base, lm_order = 0, 2
+    lm_base, lm_order = lm_table_geometry(lm_table)
 
     core, tokens = state[:-1], state[-1]
     prev_lengths = core[0]
@@ -136,6 +142,16 @@ class BeamStreamDecoder:
     ``chunk_frames`` is the static per-dispatch frame capacity: feeds are sliced into
     at most ``chunk_frames``-frame pieces (the last zero-padded and masked), so any
     feed size hits one of a single compiled program's shapes.
+
+    Unbounded streams: the carried token buffer is static (W, ``max_decoded_length``),
+    and `_beam_step` forbids extensions for at-capacity prefixes — a transcript that
+    outgrew the buffer would silently stop emitting. The decoder therefore ROLLS OVER
+    before that can happen: whenever the best prefix could reach capacity within the
+    next chunk, it is committed to a host-side buffer and the beam restarts fresh.
+    Committed text is final (later audio can no longer re-rank it) and the LM context
+    does not span the seam (the new segment starts at BOS / the trie root — a
+    mid-word seam splits that word), so quality degrades only locally at seams that
+    are ``max_decoded_length`` characters apart; partials keep flowing forever.
     """
 
     def __init__(self, blank: int, beam_width: int = 25,
@@ -151,6 +167,12 @@ class BeamStreamDecoder:
             raise ValueError("lexicon_constrained needs a word_lm (the vocabulary trie)")
         if chunk_frames < 1:
             raise ValueError("chunk_frames must be >= 1")
+        if chunk_frames > max_decoded_length:
+            # Rollover happens between chunks; a chunk longer than the buffer could
+            # saturate (and silently drop characters) within one dispatch.
+            raise ValueError(
+                "chunk_frames ({}) must not exceed max_decoded_length ({})".format(
+                    chunk_frames, max_decoded_length))
         import jax.numpy as jnp
 
         self._jnp = jnp
@@ -173,50 +195,57 @@ class BeamStreamDecoder:
         else:
             self._word_arrays, self._word_static, self._bos = None, None, 0
 
-    def init_state(self):
-        """Fresh per-stream beam state (a pytree of device arrays): one live empty
-        prefix, the rest dead. Matches the offline decoder's initial carry plus the
-        (W, max_len) token buffer."""
-        jnp = self._jnp
-        w = self.beam_width
-        if self.lm_table is not None:
-            contexts = jnp.full((w,), self.lm_table.shape[0] - 1, jnp.int32)
-        else:
-            contexts = jnp.zeros((w,), jnp.int32)
-        return (jnp.zeros((w,), jnp.int32),                                   # lengths
-                -jnp.ones((w,), jnp.int32),                                   # last_chars
-                jnp.concatenate([jnp.asarray([EMPTY_HASH]),
-                                 jnp.zeros((w - 1,), jnp.uint32)]),           # hashes
-                jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), NEG_INF)]),  # p_b
-                jnp.full((w,), NEG_INF),                                      # p_nb
-                contexts,
-                jnp.zeros((w,)),                                              # lm_scores
-                jnp.zeros((w,), jnp.int32),                                   # trie_nodes
-                jnp.full((w, 2), self._bos, jnp.int32),                       # word_ctx
-                -jnp.ones((w, self.max_decoded_length), jnp.int32))           # tokens
+    def init_state(self) -> BeamStreamState:
+        """Fresh per-stream state: the offline decoder's initial carry
+        (`decode_jax.initial_beam_state` — the shared definition is what makes
+        chunked-equals-offline exact) plus the (W, max_len) token buffer, and an
+        empty committed prefix."""
+        return BeamStreamState(self._fresh_beam(), np.zeros(0, np.int32), 0.0)
 
-    def feed(self, state, log_probs: np.ndarray) -> Tuple[tuple, BeamStreamResult]:
+    def _fresh_beam(self) -> tuple:
+        jnp = self._jnp
+        return initial_beam_state(self.beam_width, lm_table=self.lm_table,
+                                  bos=self._bos) + (
+            -jnp.ones((self.beam_width, self.max_decoded_length), jnp.int32),)
+
+    def feed(self, state: BeamStreamState,
+             log_probs: np.ndarray) -> Tuple[BeamStreamState, BeamStreamResult]:
         """Advance the beam over ``log_probs`` (t, classes) — frames are consumed
-        permanently. Returns ``(new_state, BeamStreamResult)``; an empty feed returns
-        the state unchanged and the current best from the carried buffer (one cheap
-        step with count=0)."""
+        permanently. Returns ``(new_state, BeamStreamResult)`` where the result's
+        tokens are the committed prefix plus the live beam's current best; an empty
+        feed returns the current best from the carried buffer (one cheap step with
+        count=0)."""
         jnp = self._jnp
         log_probs = np.asarray(log_probs, np.float32)
         if log_probs.ndim != 2:
             raise ValueError("log_probs must be (frames, classes), got shape {}".format(
                 log_probs.shape))
+        beam, committed, committed_score = state
         pieces = max(1, -(-log_probs.shape[0] // self.chunk_frames))
-        tokens = count = score = None
+        tokens = np.zeros(0, np.int32)
+        count, score = 0, 0.0
         for p in range(pieces):
             piece = log_probs[p * self.chunk_frames:(p + 1) * self.chunk_frames]
             valid = piece.shape[0]
             if valid < self.chunk_frames:
                 piece = np.pad(piece, ((0, self.chunk_frames - valid), (0, 0)))
-            state, tokens, count, score = _stream_step_impl(
-                state, jnp.asarray(piece), jnp.asarray(valid, jnp.int32),
+            beam, tokens, count, score = _stream_step_impl(
+                beam, jnp.asarray(piece), jnp.asarray(valid, jnp.int32),
                 self.blank, self.beam_width, self.max_decoded_length,
                 self.lm_table, self.lm_weight, self._word_arrays, self._word_static,
                 self.word_count_weight, self.valid_word_count_weight,
                 self.prune_classes, self.lexicon_constrained)
-        tokens = np.asarray(tokens)[: int(count)]
-        return state, BeamStreamResult(tokens, float(score))
+            count, score = int(count), float(score)
+            if count + self.chunk_frames > self.max_decoded_length:
+                # Rollover (see class docstring): the best prefix could hit the
+                # buffer capacity within the next chunk — where extensions are
+                # forbidden and characters would be lost. Commit it and restart.
+                committed = np.concatenate(
+                    [committed, np.asarray(tokens)[:count].astype(np.int32)])
+                committed_score += score
+                beam = self._fresh_beam()
+                tokens, count, score = np.zeros(0, np.int32), 0, 0.0
+        live = np.asarray(tokens)[:count].astype(np.int32)
+        full = np.concatenate([committed, live]) if committed.size else live
+        return (BeamStreamState(beam, committed, committed_score),
+                BeamStreamResult(full, committed_score + score))

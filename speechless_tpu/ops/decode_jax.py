@@ -54,6 +54,43 @@ def backtrace_tokens(parents, emit_chars, best, count, max_decoded_length):
     return tokens, count
 
 
+def lm_table_geometry(lm_table) -> tuple:
+    """``(base, order)`` of a packed char-LM context table (`lm/char_ngram.py`
+    layout: (base+1)**(order-1) context rows x base next-char columns). One place
+    derives it — the offline beam and the streaming decoder must agree exactly."""
+    if lm_table is None:
+        return 0, 2
+    base = lm_table.shape[1]
+    return base, round(math.log(lm_table.shape[0]) / math.log(base + 1)) + 1
+
+
+def initial_beam_state(beam_width: int, lm_table=None, bos: int = 0):
+    """The prefix beam's initial carry: one live empty prefix (log P(blank)=0), the
+    rest dead. Shared by the offline decoder (`_beam_search_impl`) and the streaming
+    decoder (`decode_incremental.BeamStreamDecoder`), whose chunked-equals-offline
+    exactness guarantee requires bit-identical initial state.
+
+    Char-LM contexts start at the all-BOS row (the table's last row). Word-LM
+    registers start as an empty word at the trie root with context (BOS, BOS) — the
+    ARPA cannot hold (<s>, <s>, w) n-grams, so the uniform trigram lookup reproduces
+    the host scorer's shorter-n-gram handling for the first words exactly."""
+    w = beam_width
+    if lm_table is not None:
+        contexts = jnp.full((w,), lm_table.shape[0] - 1, jnp.int32)  # all-BOS start
+    else:
+        contexts = jnp.zeros((w,), jnp.int32)
+    return (jnp.zeros((w,), jnp.int32),                                    # lengths
+            -jnp.ones((w,), jnp.int32),                                    # last_chars
+            jnp.concatenate([jnp.asarray([EMPTY_HASH]),
+                             jnp.zeros((w - 1,), jnp.uint32)]),            # hashes
+            jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), NEG_INF)]),  # p_b
+            jnp.full((w,), NEG_INF),                                       # p_nb
+            contexts,
+            jnp.zeros((w,)),                                               # lm_scores
+            jnp.zeros((w,), jnp.int32),                                    # trie_nodes
+            jnp.full((w, 2), bos, jnp.int32))                              # word_ctx
+
+
 def _segment_logsumexp(values: jnp.ndarray, segment_ids: jnp.ndarray,
                        num_segments: int) -> jnp.ndarray:
     maxima = jax.ops.segment_max(values, segment_ids, num_segments=num_segments)
@@ -281,28 +318,10 @@ def _beam_search_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
     else:
         word_lm, bos = None, 0
 
+    lm_base, lm_order = lm_table_geometry(lm_table)
+
     def decode_one(lp, length):
-        last_chars = -jnp.ones((w,), jnp.int32)
-        lengths0 = jnp.zeros((w,), jnp.int32)
-        hashes = jnp.concatenate([jnp.asarray([EMPTY_HASH]),
-                                  jnp.zeros((w - 1,), jnp.uint32)])
-        p_b = jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), NEG_INF)])
-        p_nb = jnp.full((w,), NEG_INF)
-        if lm_table is not None:
-            lm_base = lm_table.shape[1]
-            lm_order = round(math.log(lm_table.shape[0]) / math.log(lm_base + 1)) + 1
-            contexts = jnp.full((w,), lm_table.shape[0] - 1, jnp.int32)  # all-BOS start
-        else:
-            lm_base, lm_order = 0, 2
-            contexts = jnp.zeros((w,), jnp.int32)
-        # Word-lm registers: empty word at the trie root, context = (BOS, BOS) — the ARPA
-        # cannot hold (<s>, <s>, w) n-grams, so the uniform trigram lookup reproduces the
-        # host scorer's shorter-n-gram handling for the first words exactly.
-        lm_scores = jnp.zeros((w,))
-        trie_nodes = jnp.zeros((w,), jnp.int32)
-        word_ctx = jnp.full((w, 2), bos, jnp.int32)
-        state = (lengths0, last_chars, hashes, p_b, p_nb, contexts, lm_scores, trie_nodes,
-                 word_ctx)
+        state = initial_beam_state(w, lm_table=lm_table, bos=bos)
 
         def step(state, t):
             return _beam_step(state, lp[t], t < length, blank, w, max_decoded_length,

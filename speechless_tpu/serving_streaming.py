@@ -139,7 +139,7 @@ class StreamingTranscriber:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
                  sample_rate: int = 16000, frame_fn=None,
                  final_decode: bool = False, partial_decode: str = "greedy",
-                 beam_chunk_frames: int = 64):
+                 beam_chunk_frames: int = 64, beam_max_decoded_length: int = 512):
         """``frame_fn``: optional override for the per-frame window call (defaults to
         ``transcriber.frame_tokens``, or ``transcriber.frame_log_probs`` in beam
         mode). A `StreamingFrameBatcher.submit` here lets many concurrent streams
@@ -182,6 +182,7 @@ class StreamingTranscriber:
                 blank=transcriber.blank_index,
                 beam_width=decoder.get("beam_width", 25),
                 chunk_frames=beam_chunk_frames,
+                max_decoded_length=beam_max_decoded_length,
                 word_lm=getattr(transcriber, "word_lm", None),
                 lm_weight=decoder.get("lm_weight", 0.8),
                 word_count_weight=decoder.get("word_count_weight", 0.0),
@@ -237,7 +238,20 @@ class StreamingTranscriber:
     def final_up_to_s(self) -> float:
         """Absolute stream time (seconds) up to which the transcript is FINAL —
         everything spoken before this instant has been emitted; later audio is still
-        inside the emission margin. Live-captioning clients align display on this."""
+        inside the emission margin. Live-captioning clients align display on this.
+
+        Beam mode returns 0.0: beam partials carry replace semantics (any later feed
+        may re-rank tokens arbitrarily far back), so NO prefix of `.text` is stable
+        before `finish()`. The greedy emission horizon — which is what bounds the
+        word timestamps — stays available as `greedy_final_up_to_s`."""
+        if self._partial_beam:
+            return 0.0
+        return self._emit_sample / self._sample_rate
+
+    @property
+    def greedy_final_up_to_s(self) -> float:
+        """The greedy emission horizon (seconds): `greedy_text` and the word
+        timestamps never change before this instant, in every mode."""
         return self._emit_sample / self._sample_rate
 
     def feed(self, chunk: np.ndarray) -> str:
@@ -276,7 +290,12 @@ class StreamingTranscriber:
         self.reset()
         for start in range(0, len(audio), chunk_samples):
             self.feed(audio[start:start + chunk_samples])
-        return self.text + self.finish()
+        # `.text` after the flush IS the complete transcript in both modes (greedy:
+        # all emitted parts; beam: the final best hypothesis). Concatenating the
+        # pre-flush text with finish()'s return would double the transcript in beam
+        # mode, where finish returns the full re-ranked best, not a delta.
+        self.finish()
+        return self.text
 
     def _drain(self, flush: bool) -> str:
         emitted_before = len(self._parts)

@@ -267,6 +267,47 @@ def test_beam_partials_cross_window_merge():
     assert stream.text == stream.greedy_text == "a"
 
 
+def test_beam_transcribe_stream_no_duplication():
+    """transcribe_stream in beam mode returns the transcript ONCE: finish() returns
+    the full re-ranked best (not a delta), so naively concatenating pre-flush text
+    with finish()'s return would double it."""
+    import jax
+    from speechless_tpu.ops.decode_jax import beam_search_decode_jax
+    import jax.numpy as jnp
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(6))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(10).randn(24000) * 0.3).astype(np.float32)
+    stream = StreamingTranscriber(transcriber, window_s=8.0, margin_s=2.0,
+                                  partial_decode="beam")
+    streamed = stream.transcribe_stream(audio)
+    log_probs = transcriber.frame_log_probs(audio)
+    tokens, counts = beam_search_decode_jax(
+        jnp.asarray(log_probs[None]), jnp.asarray([log_probs.shape[0]]),
+        blank=transcriber.blank_index, beam_width=transcriber.beam_width,
+        prune_classes=transcriber._decoder["prune_classes"])
+    expected = transcriber.codec.decode_graphemes(
+        np.asarray(tokens)[0][: int(counts[0])].tolist(), merge_repeated=False)
+    assert streamed == expected
+
+
+def test_final_up_to_s_zero_in_beam_mode():
+    """Beam partials carry replace semantics — no prefix is stable before finish —
+    so final_up_to_s must not advertise finality; the greedy emission horizon stays
+    readable as greedy_final_up_to_s."""
+    config = _tiny_config()
+    params = _constant_token_params(config, ALPHABET.index("a"))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    stream = StreamingTranscriber(transcriber, window_s=4.0, margin_s=1.0,
+                                  partial_decode="beam")
+    rng = np.random.RandomState(12)
+    for _ in range(8):
+        stream.feed((rng.randn(16000) * 0.1).astype(np.float32))
+    assert stream.final_up_to_s == 0.0
+    assert stream.greedy_final_up_to_s > 0.0
+
+
 def test_beam_mode_requires_posteriors_program():
     class NoPosteriors:
         samples_per_frame = 256

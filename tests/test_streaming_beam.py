@@ -91,22 +91,49 @@ class TestNoLmParity:
         assert again.score == pytest.approx(result.score)
 
     def test_prune_classes(self):
+        # max_decoded_length is generous: the exactness contract holds while the
+        # transcript stays clear of capacity rollover (40 frames emit ~32 chars,
+        # which would trigger rollover — and offline capacity truncation — at 32).
         lp = random_log_probs(40, 12, seed=4, peaky=4.0)
-        kwargs = dict(blank=11, beam_width=8, max_decoded_length=32, prune_classes=4)
+        kwargs = dict(blank=11, beam_width=8, max_decoded_length=64, prune_classes=4)
         expected = offline(lp, **kwargs)
         _, result = stream(lp, [13, 26], chunk_frames=16, **kwargs)
         np.testing.assert_array_equal(result.tokens, expected)
 
-    def test_max_decoded_length_capacity(self):
-        # Force many emissions with alternating peaks; the buffer must cap honestly.
-        t, classes, cap = 30, 4, 6
+    def test_rollover_beyond_capacity(self):
+        # A stream that outgrows max_decoded_length must keep emitting: the decoder
+        # commits the best prefix and restarts the beam (rollover) instead of
+        # freezing at the buffer capacity. With deterministic alternating peaks the
+        # transcript equals the offline decode at a capacity large enough to hold it.
+        t, classes, cap = 30, 4, 8
         lp = np.full((t, classes), -20.0, np.float32)
         lp[np.arange(t), np.arange(t) % 2] = -0.01
-        expected = offline(lp, blank=3, beam_width=4, max_decoded_length=cap)
+        expected = offline(lp, blank=3, beam_width=4, max_decoded_length=64)
+        assert len(expected) == t  # every frame emits — the stream MUST exceed cap
         _, result = stream(lp, [11], blank=3, beam_width=4, max_decoded_length=cap,
-                           chunk_frames=16)
-        assert len(result.tokens) <= cap
+                           chunk_frames=4)
+        assert len(result.tokens) == t > cap
         np.testing.assert_array_equal(result.tokens, expected)
+
+    def test_rollover_committed_prefix_is_stable(self):
+        # Tokens committed by a rollover never change on later feeds.
+        t, classes, cap = 24, 4, 6
+        lp = np.full((t, classes), -20.0, np.float32)
+        lp[np.arange(t), np.arange(t) % 2] = -0.01
+        decoder = BeamStreamDecoder(blank=3, beam_width=4, max_decoded_length=cap,
+                                    chunk_frames=3)
+        state = decoder.init_state()
+        state, mid = decoder.feed(state, lp[:12])
+        committed_len = len(state.committed)
+        assert committed_len > 0
+        state, end = decoder.feed(state, lp[12:])
+        np.testing.assert_array_equal(end.tokens[:committed_len],
+                                      mid.tokens[:committed_len])
+
+    def test_rejects_chunk_frames_beyond_capacity(self):
+        with pytest.raises(ValueError, match="chunk_frames"):
+            BeamStreamDecoder(blank=3, beam_width=4, max_decoded_length=8,
+                              chunk_frames=16)
 
 
 class TestCharLmParity:
