@@ -144,6 +144,11 @@ def main(argv=None) -> None:
                          help="gradient accumulation: one Adam update per N "
                               "micro-batches (effective batch = N x batch size at "
                               "fixed HBM)")
+    p_train.add_argument("--remat", action="store_true",
+                         help="gradient rematerialization (jax.checkpoint): drop "
+                              "most stored activations and recompute them in the "
+                              "backward pass (~1.33x step FLOPs for much larger "
+                              "batches/buckets when HBM binds)")
 
     p_transfer = sub.add_parser("transfer", help="transfer-train from the best English model")
     add_config_arg(p_transfer)
@@ -320,6 +325,8 @@ def main(argv=None) -> None:
             kwargs["lr_decay_steps"] = args.lr_decay_steps
         if getattr(args, "accumulate_steps", None) is not None:
             kwargs["accumulate_gradient_steps"] = args.accumulate_steps
+        if getattr(args, "remat", False):
+            kwargs["remat"] = True
         return kwargs
 
     if args.command == "train":

@@ -50,6 +50,12 @@ class Wav2LetterConfig:
     activation: str = "relu"
     dropout: Optional[float] = None
     compute_dtype: Any = jnp.float32  # bfloat16 on TPU for the fast path
+    # Gradient rematerialization (`jax.checkpoint`): the training forward stores only
+    # block-boundary activations and the backward pass recomputes the rest — trading
+    # one extra block forward (~1.33x step FLOPs) for dropping most stored
+    # activations, the standard TPU lever for larger batches / longer buckets when
+    # HBM binds. Inference paths are unaffected (remat applies under train=True only).
+    remat: bool = False
     layers: Tuple[ConvSpec, ...] = field(default=None)
 
     def __post_init__(self):
@@ -113,33 +119,68 @@ def _activate(x: jnp.ndarray, activation: str) -> jnp.ndarray:
     raise ValueError("Unknown activation: {}".format(activation))
 
 
+def _layer_apply(config: Wav2LetterConfig, spec: ConvSpec, layer_params,
+                 x: jnp.ndarray, dropout_key: Optional[jax.Array]) -> jnp.ndarray:
+    if dropout_key is not None and spec.dropout_before and config.dropout:
+        keep = jax.random.bernoulli(dropout_key, 1.0 - config.dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - config.dropout), 0.0).astype(config.compute_dtype)
+    # Conv runs natively in the compute dtype: on TPU the MXU accumulates bf16 inputs
+    # in f32 internally; keeping in/out dtypes equal also keeps the transposed
+    # (backward) convs dtype-consistent.
+    if "w" in layer_params:
+        w = layer_params["w"].astype(config.compute_dtype)
+    else:
+        # int8 weight-only quantization (models/quantize.py): dequantize in-program
+        # so XLA fuses the multiply into the conv's operand read (inference only).
+        w = (layer_params["w_q"].astype(jnp.float32) * layer_params["w_scale"]
+             ).astype(config.compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x, w, window_strides=(spec.stride,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    x = x + layer_params["b"].astype(config.compute_dtype)
+    return _activate(x, spec.activation)
+
+
+def _remat_block_starts(config: Wav2LetterConfig) -> List[int]:
+    """Checkpoint-block boundaries: one block of the narrow (250-filter) front, one of
+    the wide tail from big_conv_1 — whose (B, T', 2000) activations dominate training
+    memory. Stored residuals shrink to the block inputs (features + one 250-wide
+    tensor); everything else is recomputed during backward."""
+    names = config.layer_names
+    return [0, names.index("big_conv_1")] if "big_conv_1" in names else [0]
+
+
 def apply(config: Wav2LetterConfig, params: Params, inputs: jnp.ndarray, *,
           train: bool = False, dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Forward pass: ``(batch, time, features) -> (batch, time/stride_ratio, graphemes)``
     logits (float32)."""
     x = inputs.astype(config.compute_dtype)
-    for spec, layer_params in zip(config.layers, params):
-        if train and spec.dropout_before and config.dropout:
-            if dropout_rng is None:
-                raise ValueError("dropout_rng required for training with dropout")
-            dropout_rng, key = jax.random.split(dropout_rng)
-            keep = jax.random.bernoulli(key, 1.0 - config.dropout, x.shape)
-            x = jnp.where(keep, x / (1.0 - config.dropout), 0.0).astype(config.compute_dtype)
-        # Conv runs natively in the compute dtype: on TPU the MXU accumulates bf16 inputs
-        # in f32 internally; keeping in/out dtypes equal also keeps the transposed
-        # (backward) convs dtype-consistent.
-        if "w" in layer_params:
-            w = layer_params["w"].astype(config.compute_dtype)
-        else:
-            # int8 weight-only quantization (models/quantize.py): dequantize in-program
-            # so XLA fuses the multiply into the conv's operand read (inference only).
-            w = (layer_params["w_q"].astype(jnp.float32) * layer_params["w_scale"]
-                 ).astype(config.compute_dtype)
-        x = jax.lax.conv_general_dilated(
-            x, w, window_strides=(spec.stride,), padding="SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"))
-        x = x + layer_params["b"].astype(config.compute_dtype)
-        x = _activate(x, spec.activation)
+    use_dropout = train and config.dropout
+    if use_dropout:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required for training with dropout")
+        keys = list(jax.random.split(dropout_rng, len(config.layers)))
+    else:
+        keys = [None] * len(config.layers)
+
+    if config.remat and train:
+        starts = _remat_block_starts(config)
+        for block_index, start in enumerate(starts):
+            end = (starts[block_index + 1] if block_index + 1 < len(starts)
+                   else len(config.layers))
+
+            def block(x, block_params, block_keys, start=start, end=end):
+                for i, spec in enumerate(config.layers[start:end]):
+                    key = block_keys[i] if use_dropout else None
+                    x = _layer_apply(config, spec, block_params[i], x, key)
+                return x
+
+            block_keys = (tuple(keys[start:end]) if use_dropout else ())
+            x = jax.checkpoint(block)(x, tuple(params[start:end]), block_keys)
+    else:
+        for spec, layer_params, key in zip(config.layers, params, keys):
+            x = _layer_apply(config, spec, layer_params, x,
+                             key if use_dropout else None)
     return x.astype(jnp.float32)
 
 

@@ -81,6 +81,7 @@ class Wav2Letter:
                  word_count_weight: float = WORD_COUNT_WEIGHT,
                  valid_word_count_weight: float = VALID_WORD_COUNT_WEIGHT,
                  compute_dtype: Any = None,
+                 remat: bool = False,
                  mesh: Any = None,
                  spec_augment: Any = None,
                  seed: int = 0):
@@ -146,7 +147,8 @@ class Wav2Letter:
             use_raw_wave_input=use_raw_wave_input,
             activation=activation,
             dropout=dropout,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            remat=remat)
 
         if self.kenlm_directory is not None:
             expected_characters = list(single(

@@ -67,6 +67,49 @@ class TestArchitecture:
         np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
 
 
+class TestRemat:
+    """Gradient rematerialization must be a pure memory/compute trade: the training
+    forward, the loss, and every gradient are unchanged (jax.checkpoint recomputes
+    the same ops), including under dropout (the per-layer keys are pre-split
+    identically in both modes)."""
+
+    def _loss(self, config, params, x, rng=None):
+        logits = w2l.apply(config, params, x, train=True, dropout_rng=rng)
+        return jnp.sum(logits ** 2) / x.size
+
+    def test_forward_and_grads_match_non_remat(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 40, 128), jnp.float32)
+        params = w2l.init_params(small_config(), jax.random.PRNGKey(0))
+        values = {}
+        grads = {}
+        for remat in (False, True):
+            config = small_config(remat=remat)
+            values[remat], grads[remat] = jax.value_and_grad(
+                lambda p: self._loss(config, p, x))(params)
+        np.testing.assert_allclose(float(values[True]), float(values[False]),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(grads[True]),
+                        jax.tree_util.tree_leaves(grads[False])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                       atol=1e-7)
+
+    def test_dropout_stream_identical_across_modes(self):
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 30, 128), jnp.float32)
+        rng = jax.random.PRNGKey(3)
+        params = w2l.init_params(small_config(dropout=0.3), jax.random.PRNGKey(0))
+        out = [w2l.apply(small_config(dropout=0.3, remat=remat), params, x,
+                         train=True, dropout_rng=rng) for remat in (False, True)]
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_inference_path_ignores_remat(self):
+        x = jnp.ones((1, 20, 128))
+        params = w2l.init_params(small_config(), jax.random.PRNGKey(0))
+        a = w2l.apply(small_config(), params, x)
+        b = w2l.apply(small_config(remat=True), params, x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestTransferRemap:
     def test_remap_english_to_german(self):
         rng = np.random.RandomState(0)
