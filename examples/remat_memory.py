@@ -24,6 +24,9 @@ def main() -> None:
     parser.add_argument("--frames", type=int, default=2048)
     parser.add_argument("--label-length", type=int, default=256)
     parser.add_argument("--criterion", default="ctc_pallas")
+    parser.add_argument("--steps", type=int, default=0,
+                        help="also execute N chained steps per mode and report the "
+                             "measured per-step wall (the remat recompute cost)")
     parser.add_argument("--out", type=Path, default=None)
     args = parser.parse_args()
 
@@ -66,10 +69,25 @@ def main() -> None:
             "argument_size_mb": round(analysis.argument_size_in_bytes / 2**20, 1),
             "output_size_mb": round(analysis.output_size_in_bytes / 2**20, 1),
         }
+        if args.steps:
+            import time
+
+            # Chain steps and fetch ONE loss at the end: per-dispatch RTT (~24 ms on
+            # the tunnel) amortizes, and the value transfer is the sync barrier
+            # (block_until_ready is a no-op over the tunneled backend).
+            metrics = None
+            state, metrics = step(state, batch)  # warm-up dispatch
+            float(metrics["loss"])
+            t0 = time.time()
+            for _ in range(args.steps):
+                state, metrics = step(state, batch)
+            float(metrics["loss"])
+            row["step_ms"] = round((time.time() - t0) / args.steps * 1e3, 1)
         results["remat" if remat else "baseline"] = row
-        log("remat={}: temp {} MB, args {} MB, outputs {} MB".format(
+        log("remat={}: temp {} MB, args {} MB, outputs {} MB{}".format(
             remat, row["temp_size_mb"], row["argument_size_mb"],
-            row["output_size_mb"]))
+            row["output_size_mb"],
+            ", step {} ms".format(row["step_ms"]) if args.steps else ""))
         del state, step
 
     results["temp_reduction"] = round(

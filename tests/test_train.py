@@ -120,6 +120,39 @@ class TestMeshSharding:
                                        rtol=1e-4, atol=1e-6)
 
 
+class TestRematComposition:
+    def test_remat_under_dp_tp_mesh_matches_plain_single_device(self, rng):
+        """remat composes with GSPMD sharding: the rematerialized step under a
+        (data, model) mesh produces the plain single-device step's exact loss and
+        updated params (jax.checkpoint recomputes the same sharded ops)."""
+        plain = tiny_config()
+        remat = w2l.Wav2LetterConfig(
+            input_size_per_time_step=plain.input_size_per_time_step,
+            grapheme_set_size=plain.grapheme_set_size, layers=plain.layers,
+            remat=True)
+        optimizer = make_optimizer(1e-3)
+        state = init_train_state(plain, optimizer, jax.random.PRNGKey(0))
+        batch = synthetic_batch(rng, plain, batch=8)
+        single_state, single_metrics = make_train_step(plain, optimizer,
+                                                       donate=False)(state, batch)
+
+        mesh = pmesh.make_mesh(jax.devices()[:8], model_parallelism=2)
+        shardings = pmesh.param_shardings(mesh, remat.layer_names)
+        sharded_params = pmesh.shard_params(state.params, shardings)
+        sharded_state = state._replace(params=sharded_params,
+                                       opt_state=optimizer.init(sharded_params))
+        sharded_batch = jax.tree.map(
+            lambda x: jax.device_put(x, pmesh.batch_sharding(mesh, x.ndim)), batch)
+        step = make_train_step(remat, optimizer, donate=False)
+        with jax.set_mesh(mesh):
+            sharded_out, sharded_metrics = step(sharded_state, sharded_batch)
+        np.testing.assert_allclose(float(sharded_metrics["loss"]),
+                                   float(single_metrics["loss"]), rtol=1e-5)
+        for a, b in zip(single_state.params, sharded_out.params):
+            np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]),
+                                       rtol=1e-4, atol=1e-6)
+
+
 class TestInfeasibleLabelGuard:
     """A label needing more frames than the utterance has (len + adjacent repeats > T')
     admits no CTC alignment; its ~1e30 'loss' must not poison the batch (observed on the
