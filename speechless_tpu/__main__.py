@@ -289,6 +289,24 @@ def main(argv=None) -> None:
                               help="emit the top-N hypotheses with path scores "
                                    "(requires --json; checkpoint mode)")
 
+    p_align = sub.add_parser(
+        "align", help="forced alignment: word timestamps for a known transcript")
+    add_config_arg(p_align)
+    p_align.add_argument("file", help="audio file (wav or flac)")
+    p_align.add_argument("--text", default=None,
+                         help="the transcript to align (default: read from "
+                              "--text-file)")
+    p_align.add_argument("--text-file", default=None,
+                         help="file holding the transcript")
+    p_align.add_argument("--run", default=None, help="run name under nets/")
+    p_align.add_argument("--epoch", type=int, default=None)
+    p_align.add_argument("--bundle", default=None,
+                         help="align with an AOT bundle exported with streaming "
+                              "programs (frame posteriors)")
+    p_align.add_argument("--quantize", action="store_true",
+                         help="int8 weight-only quantization (checkpoint mode)")
+    p_align.set_defaults(kenlm=False)  # alignment never needs the LM
+
     p_convert = sub.add_parser(
         "convert",
         help="convert a checkpoint between .npz and the reference's Keras .h5")
@@ -493,6 +511,23 @@ def main(argv=None) -> None:
                 print(json_module.dumps(record))
             else:
                 print("{}\t{}".format(name, text))
+    elif args.command == "align":
+        import json as json_module
+
+        from .features.audio_io import load_audio
+        from .serving import align_audio
+
+        if (args.text is None) == (args.text_file is None):
+            raise SystemExit("align needs exactly one of --text or --text-file")
+        transcript = (args.text if args.text is not None
+                      else Path(args.text_file).read_text(encoding="utf8").strip())
+        backend = _serving_backend(args, "align")
+        if not hasattr(backend, "frame_log_probs"):
+            raise SystemExit("this bundle has no frame-posterior program; re-export "
+                             "with --streaming")
+        words = align_audio(backend, load_audio(Path(args.file)), transcript)
+        print(json_module.dumps({"file": args.file, "text": transcript,
+                                 "words": words}))
     elif args.command == "convert":
         _convert_checkpoint(Path(args.source), Path(args.destination))
     elif args.command == "record":

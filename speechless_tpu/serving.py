@@ -53,6 +53,32 @@ def words_from_frame_tokens(frames: np.ndarray, codec: CtcGraphemeCodec,
     return words
 
 
+def align_audio(backend, audio: np.ndarray, transcript: str) -> List[dict]:
+    """Forced alignment over any serving backend exposing ``frame_log_probs`` /
+    ``codec`` / ``blank_index`` / ``seconds_per_frame`` (the live `Transcriber` or an
+    AOT bundle exported with streaming posteriors). See
+    `Transcriber.align_audio` for semantics."""
+    import jax.numpy as jnp
+
+    from .ops.forced_align import ctc_forced_align, word_spans_from_alignment
+
+    tokens = backend.codec.encode(transcript.lower())
+    if not tokens:
+        return []
+    log_probs = backend.frame_log_probs(audio)
+    starts, ends, score = ctc_forced_align(
+        jnp.asarray(log_probs[None]), jnp.asarray([log_probs.shape[0]]),
+        jnp.asarray(np.asarray(tokens, np.int32)[None]),
+        jnp.asarray([len(tokens)]), blank=backend.blank_index)
+    if float(score[0]) <= -1e29:
+        raise ValueError(
+            "transcript cannot be aligned: {} labels need more than the "
+            "{} output frames available".format(len(tokens), log_probs.shape[0]))
+    return word_spans_from_alignment(backend.codec, tokens,
+                                     np.asarray(starts)[0], np.asarray(ends)[0],
+                                     backend.seconds_per_frame)
+
+
 def grouped_padded_batches(audios: Sequence[np.ndarray], bucket_fn, batch_size: int):
     """Yield ``(indices, wavs, lengths)`` batches for a batched device dispatch.
 
@@ -452,6 +478,18 @@ class Transcriber:
         return words_from_frame_tokens(self.frame_tokens(audio), self.codec,
                                        self.blank_index,
                                        self.samples_per_frame / 16000.0)
+
+    def align_audio(self, audio: np.ndarray, transcript: str) -> List[dict]:
+        """Forced alignment: word timestamps for a KNOWN transcript —
+        ``[{"word", "start_s", "end_s"}, ...]`` from the maximum-score Viterbi path
+        through the transcript's CTC lattice (`ops/forced_align.py`). This produces
+        the word-position data the reference only consumes as corpus annotations
+        (`labeled_example.py:32-60` PositionalLabel); use it to position-label
+        corpora that ship plain transcripts, or to caption with exact words.
+
+        Raises ValueError when the transcript cannot be aligned (more labels than
+        the audio has output frames)."""
+        return align_audio(self, audio, transcript)
 
     def transcribe_batch(self, audios: Sequence[np.ndarray],
                          batch_size: int = 16) -> List[Tuple[str, float]]:
