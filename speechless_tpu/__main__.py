@@ -522,9 +522,11 @@ def main(argv=None) -> None:
         transcript = (args.text if args.text is not None
                       else Path(args.text_file).read_text(encoding="utf8").strip())
         backend = _serving_backend(args, "align")
-        if not hasattr(backend, "frame_log_probs"):
-            raise SystemExit("this bundle has no frame-posterior program; re-export "
-                             "with --streaming")
+        # Bundles exported without streaming posteriors cannot align (the live
+        # Transcriber always can — its posterior program jit-compiles on demand).
+        if not getattr(backend, "_posterior_programs", True):
+            raise SystemExit("this bundle has no frame-posterior programs; "
+                             "re-export with --streaming")
         words = align_audio(backend, load_audio(Path(args.file)), transcript)
         print(json_module.dumps({"file": args.file, "text": transcript,
                                  "words": words}))

@@ -56,6 +56,14 @@ class Wav2LetterConfig:
     # activations, the standard TPU lever for larger batches / longer buckets when
     # HBM binds. Inference paths are unaffected (remat applies under train=True only).
     remat: bool = False
+    # Tensor parallelism: explicitly pin the big_conv_1 output activations to
+    # P(data, None, model) — Megatron's column->row conv pair keeps the intermediate
+    # sharded on channels with NO collective between the two convs; the lone psum
+    # after big_conv_2 is inserted by GSPMD from the parameter shardings. GSPMD
+    # usually propagates this from the weights alone, so the flag exists to make the
+    # layout an invariant rather than an inference (audited by
+    # examples/tp_collective_audit.py). Requires a (data, model) mesh in context.
+    tp_activation_constraint: bool = False
     layers: Tuple[ConvSpec, ...] = field(default=None)
 
     def __post_init__(self):
@@ -119,6 +127,17 @@ def _activate(x: jnp.ndarray, activation: str) -> jnp.ndarray:
     raise ValueError("Unknown activation: {}".format(activation))
 
 
+def _maybe_constrain_tp(config: Wav2LetterConfig, spec: ConvSpec,
+                        x: jnp.ndarray) -> jnp.ndarray:
+    """Pin the wide tail's intermediate activation sharding (see
+    `Wav2LetterConfig.tp_activation_constraint`)."""
+    if config.tp_activation_constraint and spec.name == "big_conv_1":
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, P("data", None, "model"))
+    return x
+
+
 def _layer_apply(config: Wav2LetterConfig, spec: ConvSpec, layer_params,
                  x: jnp.ndarray, dropout_key: Optional[jax.Array]) -> jnp.ndarray:
     if dropout_key is not None and spec.dropout_before and config.dropout:
@@ -138,7 +157,7 @@ def _layer_apply(config: Wav2LetterConfig, spec: ConvSpec, layer_params,
         x, w, window_strides=(spec.stride,), padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"))
     x = x + layer_params["b"].astype(config.compute_dtype)
-    return _activate(x, spec.activation)
+    return _maybe_constrain_tp(config, spec, _activate(x, spec.activation))
 
 
 def _remat_block_starts(config: Wav2LetterConfig) -> List[int]:

@@ -126,7 +126,12 @@ def _stream_step_impl(state, log_probs, count, blank, beam_width, max_len,
                                          word_count_weight, valid_word_count_weight)
         final = final + tail_bonus
     best = jnp.argmax(final)
-    return core_out + (rows,), rows[best], new_lengths[best], final[best]
+    # One stacked scalar vector per dispatch (count, score, max live length) —
+    # a single host fetch per piece instead of three; every round-trip over the
+    # tunneled backend costs ~24 ms. float32 is exact for lengths < 2**24.
+    scalars = jnp.stack([new_lengths[best].astype(jnp.float32), final[best],
+                         jnp.max(new_lengths).astype(jnp.float32)])
+    return core_out + (rows,), rows[best], scalars
 
 
 class BeamStreamDecoder:
@@ -229,17 +234,20 @@ class BeamStreamDecoder:
             valid = piece.shape[0]
             if valid < self.chunk_frames:
                 piece = np.pad(piece, ((0, self.chunk_frames - valid), (0, 0)))
-            beam, tokens, count, score = _stream_step_impl(
+            beam, tokens, scalars = _stream_step_impl(
                 beam, jnp.asarray(piece), jnp.asarray(valid, jnp.int32),
                 self.blank, self.beam_width, self.max_decoded_length,
                 self.lm_table, self.lm_weight, self._word_arrays, self._word_static,
                 self.word_count_weight, self.valid_word_count_weight,
                 self.prune_classes, self.lexicon_constrained)
-            count, score = int(count), float(score)
-            if count + self.chunk_frames > self.max_decoded_length:
-                # Rollover (see class docstring): the best prefix could hit the
-                # buffer capacity within the next chunk — where extensions are
-                # forbidden and characters would be lost. Commit it and restart.
+            count_f, score_f, max_live = np.asarray(scalars)
+            count, score = int(count_f), float(score_f)
+            if int(max_live) + self.chunk_frames > self.max_decoded_length:
+                # Rollover (see class docstring): ANY live prefix — not just the
+                # best; `_beam_step` forbids extensions for every at-capacity
+                # prefix, and a longer competitor could saturate mid-chunk, lose
+                # characters, and later win — could hit the buffer capacity
+                # within the next chunk. Commit the best and restart.
                 committed = np.concatenate(
                     [committed, np.asarray(tokens)[:count].astype(np.int32)])
                 committed_score += score

@@ -62,7 +62,24 @@ def align_audio(backend, audio: np.ndarray, transcript: str) -> List[dict]:
 
     from .ops.forced_align import ctc_forced_align, word_spans_from_alignment
 
-    tokens = backend.codec.encode(transcript.lower())
+    # External transcripts routinely carry punctuation/digits outside the model's
+    # alphabet; strip them (collapsing any whitespace runs the stripping opens up)
+    # instead of letting the strict codec raise "Unexpected char" from deep inside.
+    text = transcript.lower()
+    allowed = set(backend.codec.allowed_characters)
+    if any(c not in allowed for c in text):
+        text = "".join(c if c in allowed else " " for c in text)
+        if " " in allowed:
+            text = " ".join(text.split())
+        else:
+            text = text.replace(" ", "")
+    if not text:
+        if transcript.strip():
+            raise ValueError(
+                "transcript has no characters in the model alphabet ({!r}); "
+                "got {!r}".format(backend.codec.allowed_characters, transcript))
+        return []
+    tokens = backend.codec.encode(text)
     if not tokens:
         return []
     log_probs = backend.frame_log_probs(audio)

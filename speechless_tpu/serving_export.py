@@ -110,6 +110,15 @@ def export_transcriber(transcriber, directory: Path,
                 jax.ShapeDtypeStruct((), np.int32))
             (directory / "frames-{}.shlo".format(bucket)).write_bytes(
                 exported.serialize())
+            # Per-frame posteriors: what forced alignment (`serving.align_audio`,
+            # CLI `align --bundle`) and beam-mode streaming partials
+            # (`serving_streaming` partial_decode="beam") consume.
+            exported = jax_export.export(transcriber._frame_log_probs, **kwargs)(
+                params_shapes,
+                jax.ShapeDtypeStruct((bucket,), np.float32),
+                jax.ShapeDtypeStruct((), np.int32))
+            (directory / "posteriors-{}.shlo".format(bucket)).write_bytes(
+                exported.serialize())
 
     feed_spec = None
     if device_streaming is not None:
@@ -135,6 +144,7 @@ def export_transcriber(transcriber, directory: Path,
         "lm_fused": transcriber.word_lm is not None,
         "quantized": bool(getattr(transcriber, "quantized", False)),
         "streaming": bool(streaming),
+        "streaming_posteriors": bool(streaming),
         "device_streaming": feed_spec,
         "samples_per_frame": transcriber.samples_per_frame,
         "blank_index": transcriber.blank_index,
@@ -176,6 +186,13 @@ class ExportedTranscriber:
             bucket: jax_export.deserialize(
                 (directory / "frames-{}.shlo".format(bucket)).read_bytes())
             for bucket in self.sample_buckets} if manifest.get("streaming") else {}
+        # Per-frame posteriors (forced alignment + beam-mode streaming); bundles
+        # exported before the posterior programs existed lack the manifest flag.
+        self._posterior_programs = {
+            bucket: jax_export.deserialize(
+                (directory / "posteriors-{}.shlo".format(bucket)).read_bytes())
+            for bucket in self.sample_buckets
+        } if manifest.get("streaming_posteriors") else {}
         # Device-resident streaming (`serving_device_stream.DeviceStreamingPool`
         # duck-types on these two attributes): the fused feed program plus the pool
         # dimensions baked into its shapes.
@@ -265,6 +282,29 @@ class ExportedTranscriber:
         frames, count = self._frame_programs[bucket].call(
             self.params, jnp.asarray(padded), jnp.asarray(length, jnp.int32))
         return np.asarray(frames)[: int(count)]
+
+    def frame_log_probs(self, audio: np.ndarray) -> np.ndarray:
+        """Per-frame log posteriors ``(frames, classes)`` from the bundle — same
+        contract as `serving.Transcriber.frame_log_probs`, enabling forced alignment
+        (`serving.align_audio`, CLI ``align --bundle``) and beam-mode streaming
+        partials on an exported bundle."""
+        import jax.numpy as jnp
+
+        if not self._posterior_programs:
+            raise ValueError("bundle has no posterior programs; re-export with "
+                             "streaming=True (bundles exported before posterior "
+                             "programs existed need a re-export)")
+        length = len(audio)
+        bucket = next((b for b in self.sample_buckets if length <= b), None)
+        if bucket is None:
+            raise ValueError(
+                "audio of {} samples exceeds the largest exported bucket ({})"
+                .format(length, self.sample_buckets[-1]))
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[:length] = audio
+        log_probs, count = self._posterior_programs[bucket].call(
+            self.params, jnp.asarray(padded), jnp.asarray(length, jnp.int32))
+        return np.asarray(log_probs)[: int(count)]
 
     def transcribe_batch(self, audios: Sequence[np.ndarray]):
         """Offline throughput from a bundle: same grouping contract as

@@ -171,10 +171,13 @@ class StreamingTranscriber:
         self._final_decode = final_decode
         self._partial_beam = partial_decode == "beam"
         if self._partial_beam:
-            if frame_fn is None and not hasattr(transcriber, "frame_log_probs"):
+            if frame_fn is None and not (
+                    hasattr(transcriber, "frame_log_probs")
+                    and getattr(transcriber, "_posterior_programs", True)):
                 raise ValueError(
                     "partial_decode='beam' needs per-frame posteriors; this backend "
-                    "has no frame_log_probs program")
+                    "has no frame_log_probs program (bundles: re-export with "
+                    "streaming=True)")
             from .ops.decode_incremental import BeamStreamDecoder
 
             decoder = getattr(transcriber, "_decoder", {})
@@ -206,6 +209,7 @@ class StreamingTranscriber:
 
     def reset(self) -> None:
         self._buffer = np.zeros(0, dtype=np.float32)
+        self._finished = False
         self._buffer_start = 0   # absolute sample index of buffer[0]
         self._emit_sample = 0    # everything before this absolute sample is final
         self._carry = -1         # last processed frame token (-1 = stream start)
@@ -240,11 +244,15 @@ class StreamingTranscriber:
         everything spoken before this instant has been emitted; later audio is still
         inside the emission margin. Live-captioning clients align display on this.
 
-        Beam mode returns 0.0: beam partials carry replace semantics (any later feed
-        may re-rank tokens arbitrarily far back), so NO prefix of `.text` is stable
-        before `finish()`. The greedy emission horizon — which is what bounds the
-        word timestamps — stays available as `greedy_final_up_to_s`."""
+        Beam mode returns 0.0 while live: beam partials carry replace semantics (any
+        later feed may re-rank tokens arbitrarily far back), so NO prefix of `.text`
+        is stable before `finish()`. AFTER `finish()` the whole transcript is final
+        and this returns the full stream duration. The greedy emission horizon —
+        which is what bounds the word timestamps — stays available as
+        `greedy_final_up_to_s`."""
         if self._partial_beam:
+            if self._finished:
+                return (self._buffer_start + len(self._buffer)) / self._sample_rate
             return 0.0
         return self._emit_sample / self._sample_rate
 
@@ -269,6 +277,7 @@ class StreamingTranscriber:
         return the newly finalized text. The stream can be reused after `reset()`."""
         out = self._drain(flush=True)
         self._words.flush()
+        self._finished = True
         return out
 
     def pop_new_words(self) -> List[dict]:
@@ -446,7 +455,8 @@ class StreamingSessionPool:
         self.posterior_batcher = (
             StreamingFrameBatcher(transcriber, max_batch=max_batch,
                                   max_wait_ms=max_wait_ms, log_probs=True)
-            if hasattr(transcriber, "frame_log_probs") else None)
+            if (hasattr(transcriber, "frame_log_probs")
+                and getattr(transcriber, "_posterior_programs", True)) else None)
 
     def start(self) -> None:
         self.batcher.start()
@@ -530,8 +540,10 @@ class StreamingSessionPool:
         return state["text"], state["live_text"]
 
     def finish_with_state(self, session_id: str) -> dict:
-        """Flush and close; ``{"text", "live_text", "words"}`` — ``words`` are the
-        timestamps finalized by the flush (the margin's tail)."""
+        """Flush and close; ``{"text", "live_text", "words", "final_up_to_s"}`` —
+        ``words`` are the timestamps finalized by the flush (the margin's tail);
+        ``final_up_to_s`` is the full stream duration (everything is final now,
+        including for beam-partial sessions)."""
         session = self._get(session_id)
         with session.lock:
             session.stream.finish()
@@ -539,9 +551,11 @@ class StreamingSessionPool:
             full = (session.stream.finalize()
                     if session.stream._final_decode else live)
             words = session.stream.pop_new_words()
+            final_up_to = session.stream.final_up_to_s
         with self._lock:
             self._sessions.pop(session_id, None)
-        return {"text": full, "live_text": live, "words": words}
+        return {"text": full, "live_text": live, "words": words,
+                "final_up_to_s": round(final_up_to, 3)}
 
     def close(self, session_id: str) -> None:
         with self._lock:

@@ -159,6 +159,23 @@ class TestServingSurface:
         transcriber = self._transcriber()
         assert transcriber.align_audio(np.zeros(8000, np.float32), "  ") == []
 
+    def test_align_audio_normalizes_out_of_alphabet_characters(self):
+        # External transcripts carry punctuation/digits; alignment must strip them
+        # (word-boundary preserving) instead of raising from inside the codec.
+        transcriber = self._transcriber()
+        audio = (np.random.RandomState(3).randn(24000) * 0.3).astype(np.float32)
+        transcript = transcriber.transcribe_audio(audio)
+        if not transcript.strip() or " " in (transcript[0], transcript[-1]):
+            pytest.skip("random model decoded to silence/edge-space for this seed")
+        dirty = transcript.replace(" ", ", ", 1) + "!!"
+        words = transcriber.align_audio(audio, dirty.upper())
+        assert [w["word"] for w in words] == [w for w in transcript.split(" ") if w]
+
+    def test_align_audio_all_out_of_alphabet_raises_clear_error(self):
+        transcriber = self._transcriber()
+        with pytest.raises(ValueError, match="no characters in the model alphabet"):
+            transcriber.align_audio(np.zeros(8000, np.float32), "1234?!")
+
 
 class TestWordSpans:
     def test_words_fold_on_space(self):

@@ -109,6 +109,29 @@ class TestExportRoundtrip:
         with pytest.raises(ValueError, match="no streaming programs"):
             ExportedTranscriber(bundle).frame_tokens(np.zeros(100, dtype=np.float32))
 
+    def test_posteriors_and_alignment_from_streaming_bundle(self, transcriber,
+                                                            tmp_path):
+        # Streaming bundles carry per-frame posterior programs: frame_log_probs
+        # parity with the live transcriber, and forced alignment (`align_audio`,
+        # the CLI `align --bundle` path) works with no model code.
+        from speechless_tpu.serving import align_audio
+        out = export_transcriber(transcriber, tmp_path / "posteriors",
+                                 sample_buckets=(16384,), streaming=True)
+        loaded = ExportedTranscriber(out)
+        audio = (np.random.RandomState(4).randn(12000) * 0.3).astype(np.float32)
+        np.testing.assert_allclose(loaded.frame_log_probs(audio),
+                                   transcriber.frame_log_probs(audio),
+                                   rtol=1e-5, atol=1e-5)
+        transcript = transcriber.transcribe_audio(audio)
+        if transcript.strip():
+            assert (align_audio(loaded, audio, transcript)
+                    == align_audio(transcriber, audio, transcript))
+
+    def test_posteriors_require_streaming_export(self, bundle):
+        with pytest.raises(ValueError, match="no posterior programs"):
+            ExportedTranscriber(bundle).frame_log_probs(
+                np.zeros(100, dtype=np.float32))
+
     def test_transcribe_batch_requires_batched_export(self, bundle):
         with pytest.raises(ValueError, match="no batched programs"):
             ExportedTranscriber(bundle).transcribe_batch(

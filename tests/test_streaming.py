@@ -306,6 +306,10 @@ def test_final_up_to_s_zero_in_beam_mode():
         stream.feed((rng.randn(16000) * 0.1).astype(np.float32))
     assert stream.final_up_to_s == 0.0
     assert stream.greedy_final_up_to_s > 0.0
+    # After finish() the WHOLE transcript is final: final_up_to_s reports the full
+    # stream duration (8 x 1 s of audio), not 0.0.
+    stream.finish()
+    assert stream.final_up_to_s == pytest.approx(8.0)
 
 
 def test_beam_mode_requires_posteriors_program():
