@@ -251,6 +251,10 @@ def main(argv=None) -> None:
                          help="dynamic batcher: max requests per device dispatch")
     p_serve.add_argument("--max-wait-ms", type=float, default=10.0,
                          help="dynamic batcher: batching window after the first request")
+    p_serve.add_argument("--max-queue", type=int, default=None,
+                         help="bounded backlog: past this many queued requests the "
+                              "server sheds load with 503 + Retry-After (default "
+                              "8 x max-batch; 0 = unbounded)")
     p_serve.add_argument("--no-warm-up", action="store_true",
                          help="skip compiling all bucket programs before binding")
     p_serve.add_argument("--device-streams", action="store_true",
@@ -432,7 +436,8 @@ def main(argv=None) -> None:
         server = TranscriptionServer(backend, host=args.host, port=args.port,
                                      max_batch=args.max_batch,
                                      max_wait_ms=args.max_wait_ms,
-                                     device_streams=args.device_streams)
+                                     device_streams=args.device_streams,
+                                     max_queue=args.max_queue)
         if args.device_streams and not args.no_warm_up:
             server.streams.warm_up()  # the fused feed program compiles before binding
         server.serve_forever()

@@ -33,7 +33,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from .utils.microbatch import MicroBatcher, PendingItem
+from .utils.microbatch import BatcherSaturated, MicroBatcher, PendingItem
 from .utils.tools import log
 
 _MAX_BODY_BYTES = 64 * 1024 * 1024  # ~35 min of 16 kHz float32; guards the heap
@@ -61,11 +61,12 @@ class DynamicBatcher(MicroBatcher):
 
     item_noun = "requests"
 
-    def __init__(self, backend, max_batch: int = 16, max_wait_ms: float = 10.0):
+    def __init__(self, backend, max_batch: int = 16, max_wait_ms: float = 10.0,
+                 max_queue: Optional[int] = None):
         import inspect
 
         super().__init__(max_batch=max_batch, max_wait_ms=max_wait_ms,
-                         name="transcribe-batcher")
+                         name="transcribe-batcher", max_queue=max_queue)
         self.backend = backend
         # The live Transcriber pads groups to an explicit batch_size — size its device
         # program to the batcher width; bundles fix the width at export time.
@@ -182,10 +183,16 @@ class TranscriptionServer:
     def __init__(self, backend, host: str = "127.0.0.1", port: int = 8000,
                  max_batch: int = 16, max_wait_ms: float = 10.0,
                  stream_window_s: float = 8.0, stream_margin_s: float = 2.0,
-                 device_streams: bool = False):
+                 device_streams: bool = False, max_queue: Optional[int] = None):
         self.backend = backend
+        # Bounded backlog (default 8 dispatches deep): past it the server sheds
+        # load with 503 + Retry-After instead of queueing requests into a latency
+        # tail nobody will wait for. None disables shedding (unbounded queue).
+        if max_queue is None:
+            max_queue = 8 * max_batch
         self.batcher = DynamicBatcher(backend, max_batch=max_batch,
-                                      max_wait_ms=max_wait_ms)
+                                      max_wait_ms=max_wait_ms,
+                                      max_queue=max_queue or None)
         # Streaming sessions (POST /v1/stream): windows of every live stream share
         # batched frame-token dispatches. Backends without the streaming surface
         # (bundles exported without frame programs) simply 501 on the routes.
@@ -288,11 +295,14 @@ class TranscriptionServer:
             def log_message(self, format, *args):  # route through our logger
                 log("http {} {}".format(self.address_string(), format % args))
 
-            def _reply(self, status: int, payload: dict) -> None:
+            def _reply(self, status: int, payload: dict,
+                       headers: Optional[dict] = None) -> None:
                 body = json.dumps(payload).encode("utf-8")
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for name, value in (headers or {}).items():
+                    self.send_header(name, value)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -389,6 +399,12 @@ class TranscriptionServer:
                             parsed.path)})
                 except RequestError as error:
                     self._reply(error.status, {"error": str(error)})
+                except BatcherSaturated as error:
+                    # Saturation: shed explicitly instead of queueing into an
+                    # unbounded tail; clients back off by Retry-After.
+                    self._reply(503, {"error": str(error)},
+                                headers={"Retry-After": str(
+                                    max(1, int(round(error.retry_after_s))))})
                 except UnknownSessionError as error:
                     # Scoped to the session routes' lookups; any other KeyError is a
                     # real server fault and must surface as 500 below.

@@ -33,8 +33,19 @@ class BatcherStopped(RuntimeError):
     """The batcher was stopped before (or while) this item could be served."""
 
 
+class BatcherSaturated(RuntimeError):
+    """The bounded queue is full: the service is saturated and sheds this item
+    instead of queueing it into an unbounded latency tail. ``retry_after_s`` is a
+    drain-time estimate (queue depth x recent per-item service time)."""
+
+    def __init__(self, message: str, retry_after_s: float):
+        super().__init__(message)
+        self.retry_after_s = retry_after_s
+
+
 class PendingItem:
-    __slots__ = ("payload", "done", "result", "error", "enqueued_at")
+    __slots__ = ("payload", "done", "result", "error", "enqueued_at",
+                 "dispatched_at", "served_at")
 
     def __init__(self, payload: Any):
         self.payload = payload
@@ -42,6 +53,17 @@ class PendingItem:
         self.result: Any = None
         self.error: Optional[BaseException] = None
         self.enqueued_at = time.time()
+        self.dispatched_at: Optional[float] = None  # batch left the queue
+        self.served_at: Optional[float] = None      # _serve returned
+
+    def timing(self) -> dict:
+        """Per-request latency decomposition (seconds): time spent waiting in the
+        queue (including the batching window) vs being served on the device."""
+        served = self.served_at or time.time()
+        dispatched = self.dispatched_at or served
+        return {"queue_wait_s": dispatched - self.enqueued_at,
+                "service_s": served - dispatched,
+                "total_s": served - self.enqueued_at}
 
 
 class MicroBatcher:
@@ -51,17 +73,26 @@ class MicroBatcher:
     item_noun = "items"  # metrics key for the item counter ("requests", "windows", ...)
 
     def __init__(self, max_batch: int = 16, max_wait_ms: float = 10.0,
-                 name: str = "micro-batcher"):
+                 name: str = "micro-batcher", max_queue: Optional[int] = None):
+        """``max_queue``: bound the backlog — a `submit` that finds the queue full
+        raises `BatcherSaturated` immediately (explicit backpressure; the HTTP layer
+        maps it to 503 + Retry-After) instead of joining an unbounded latency tail.
+        ``None`` (default) keeps the queue unbounded."""
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
-        self._queue: "queue.Queue[Optional[PendingItem]]" = queue.Queue()
+        self.max_queue = max_queue
+        self._queue: "queue.Queue[Optional[PendingItem]]" = queue.Queue(
+            maxsize=max_queue or 0)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True, name=name)
         self._lock = threading.Lock()
         self.items = 0
         self.batches = 0
         self.errors = 0
+        self.shed = 0  # items refused with BatcherSaturated
         self._latencies: List[float] = []
+        self._queue_waits: List[float] = []
+        self._service_times: List[float] = []
 
     def start(self) -> None:
         self._thread.start()
@@ -72,17 +103,38 @@ class MicroBatcher:
 
     def stop(self) -> None:
         self._stop.set()
-        self._queue.put(None)  # wake the loop
+        try:
+            self._queue.put_nowait(None)  # wake the loop
+        except queue.Full:
+            pass  # bounded queue at capacity: the loop wakes on its 0.25 s poll
         if self._thread.ident is not None:  # join() on a never-started thread raises
             self._thread.join(timeout=30)
         self._fail_pending()  # anything the loop never took must not block its waiter
 
     def submit(self, payload: Any) -> Any:
         """Enqueue one item and block until its batch is served."""
+        return self.submit_item(payload).result
+
+    def submit_item(self, payload: Any) -> PendingItem:
+        """Like `submit` but returns the served `PendingItem` (callers can read the
+        per-request `timing()` decomposition). Raises the item's error if serving
+        failed, `BatcherSaturated` if the bounded queue is full."""
         if self._stop.is_set():
             raise BatcherStopped("batcher is stopped")
         item = PendingItem(payload)
-        self._queue.put(item)
+        try:
+            self._queue.put_nowait(item)
+        except queue.Full:
+            with self._lock:
+                self.shed += 1
+                service = (self._service_times[-32:]
+                           if self._service_times else [self.max_wait_ms / 1000.0])
+            # Drain estimate: backlog batches x recent per-batch service time.
+            per_batch = sum(service) / len(service)
+            retry = max(0.1, (self.max_queue or 0) / self.max_batch * per_batch)
+            raise BatcherSaturated(
+                "queue full ({} {} pending); retry in ~{:.1f}s".format(
+                    self.max_queue, self.item_noun, retry), retry)
         if self._stop.is_set():
             # stop() may have drained the queue before this put landed; drain again so
             # this item cannot wait on a loop that already exited.
@@ -90,22 +142,32 @@ class MicroBatcher:
         item.done.wait()
         if item.error is not None:
             raise item.error
-        return item.result
+        return item
 
     def metrics(self) -> dict:
+        def percentiles(values, prefix, out):
+            values = sorted(values)
+            if values:
+                out[prefix + "_p50_s"] = values[len(values) // 2]
+                out[prefix + "_p95_s"] = values[min(len(values) - 1,
+                                                    int(len(values) * 0.95))]
+
         with self._lock:
-            latencies = sorted(self._latencies)
             out = {
                 self.item_noun: self.items,
                 "batches": self.batches,
                 "errors": self.errors,
+                "shed": self.shed,
                 "mean_batch_size": self.items / self.batches if self.batches else 0.0,
                 "queue_depth": self._queue.qsize(),
+                "max_queue": self.max_queue,
             }
-            if latencies:
-                out["latency_p50_s"] = latencies[len(latencies) // 2]
-                out["latency_p95_s"] = latencies[min(len(latencies) - 1,
-                                                     int(len(latencies) * 0.95))]
+            percentiles(self._latencies, "latency", out)
+            # Timeline decomposition: latency = queue wait (backlog + batching
+            # window) + device service time. Under saturation the queue term is
+            # what explodes; the bounded queue caps it.
+            percentiles(self._queue_waits, "queue_wait", out)
+            percentiles(self._service_times, "service", out)
             return out
 
     def _serve(self, batch: List[PendingItem]) -> None:
@@ -143,6 +205,9 @@ class MicroBatcher:
                 if item is None:
                     break
                 batch.append(item)
+            dispatched = time.time()
+            for item in batch:
+                item.dispatched_at = dispatched
             try:
                 self._serve(batch)
             except BaseException as error:  # surface compile/OOM to every waiter
@@ -157,7 +222,13 @@ class MicroBatcher:
                     self.batches += 1
                     self.errors += failed
                     self._latencies.extend(now - item.enqueued_at for item in batch)
+                    self._queue_waits.extend(dispatched - item.enqueued_at
+                                             for item in batch)
+                    self._service_times.append(now - dispatched)
                     del self._latencies[:-_LATENCY_WINDOW]
+                    del self._queue_waits[:-_LATENCY_WINDOW]
+                    del self._service_times[:-_LATENCY_WINDOW]
                 for item in batch:
+                    item.served_at = now
                     item.done.set()
         self._fail_pending()
