@@ -34,24 +34,28 @@ from speechless_tpu.text.charsets import english_frequent_characters
 
 
 def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
-                    max_batch: int, window_s: float, margin_s: float) -> dict:
+                    max_batch: int, window_s: float, margin_s: float,
+                    partial_decode: str = "greedy") -> dict:
     """Device-resident windows (`serving_device_stream.DeviceStreamingPool`): each
     feed uploads only the chunk — the window never re-crosses the link. This is the
     mode that should escape the link-bandwidth wall the other two hit (both the
     batched and unbatched host-window modes re-upload ~window_s of audio per feed and
-    measured within 2% of each other on the 37 MB/s tunnel)."""
+    measured within 2% of each other on the 37 MB/s tunnel). ``partial_decode="beam"``
+    measures beam-partial sessions: the posterior block additionally crosses the link
+    per feed, and the host advances each session's incremental prefix beam."""
     from speechless_tpu.serving_device_stream import DeviceStreamingPool
 
     texts = [None] * streams
     pool = DeviceStreamingPool(transcriber, window_s=window_s, margin_s=margin_s,
                                max_batch=max_batch, max_wait_ms=20.0,
-                               max_sessions=max(streams, max_batch))
+                               max_sessions=max(streams, max_batch),
+                               beam_partials=partial_decode == "beam")
     pool.start()
     try:
         pool.warm_up()  # one compile, outside the timed region
 
         def run(i):
-            sid = pool.create()
+            sid = pool.create(partial_decode=partial_decode)
             audio = audio_clips[i]
             for start in range(0, len(audio), chunk_samples):
                 pool.feed(sid, audio[start:start + chunk_samples])
@@ -73,7 +77,7 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
 
 def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,
              batched: bool, max_batch: int, window_s: float,
-             margin_s: float) -> dict:
+             margin_s: float, partial_decode: str = "greedy") -> dict:
     texts = [None] * streams
     if batched:
         pool = StreamingSessionPool(transcriber, window_s=window_s, margin_s=margin_s,
@@ -81,14 +85,16 @@ def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,
         pool.start()
         try:
             def run(i):
-                sid = pool.create()
+                sid = pool.create(partial_decode=partial_decode)
                 audio = audio_clips[i]
                 for start in range(0, len(audio), chunk_samples):
                     pool.feed(sid, audio[start:start + chunk_samples])
                 texts[i] = pool.finish(sid)
 
             wall = _run_threads(run, streams)
-            metrics = pool.batcher.metrics()
+            batcher = (pool.posterior_batcher if partial_decode == "beam"
+                       else pool.batcher)
+            metrics = batcher.metrics()
         finally:
             pool.stop()
         windows, batches = metrics["windows"], metrics["batches"]
@@ -147,15 +153,23 @@ def main() -> None:
     parser.add_argument("--window-s", type=float, default=8.0)
     parser.add_argument("--margin-s", type=float, default=2.0)
     parser.add_argument("--max-batch", type=int, default=16)
+    parser.add_argument("--beam", action="store_true",
+                        help="additionally measure beam-partial sessions "
+                             "(partial_decode='beam') on both pools; pass --run "
+                             "with an LM-fused checkpoint to load the word LM")
+    parser.add_argument("--kenlm", action="store_true",
+                        help="LM-fuse the beam (kenlm/english under --data-dir)")
     parser.add_argument("--out", type=Path,
                         default=Path(__file__).resolve().parent.parent
-                        / "evidence" / "STREAMING_LOAD_r03.json")
+                        / "evidence" / "STREAMING_LOAD_r04.json")
     args = parser.parse_args()
 
     import jax
     print("platform:", jax.devices()[0].platform, flush=True)
     transcriber = Transcriber.from_checkpoint(
-        args.data_dir / "nets" / args.run, args.epoch, english_frequent_characters)
+        args.data_dir / "nets" / args.run, args.epoch, english_frequent_characters,
+        kenlm_directory=(args.data_dir / "kenlm" / "english" if args.kenlm
+                         else None))
 
     rng = np.random.RandomState(0)
     samples = int(args.stream_seconds * 16000)
@@ -178,20 +192,40 @@ def main() -> None:
         transcriber.frame_tokens(warm)
         transcriber.frame_tokens_batch([warm] * args.max_batch,
                                        batch_size=args.max_batch)
+        if args.beam:
+            transcriber.frame_log_probs(warm)
+            transcriber.frame_log_probs_batch([warm] * args.max_batch,
+                                              batch_size=args.max_batch)
+    if args.beam:
+        # Compile the incremental beam's step program (shared across sessions via
+        # the jit cache) outside the timed region — an LM-fused beam compile can
+        # take minutes on remote-compiled backends.
+        warm_stream = StreamingTranscriber(transcriber, window_s=args.window_s,
+                                           margin_s=args.margin_s,
+                                           partial_decode="beam")
+        warm_stream.transcribe_stream(np.zeros(int(args.window_s * 16000) + chunk,
+                                               np.float32), chunk)
 
     results = {"platform": jax.devices()[0].platform,
                "window_s": args.window_s, "margin_s": args.margin_s,
                "chunk_ms": args.chunk_ms}
-    for label, batched in (("device", None), ("batched", True),
-                           ("unbatched", False)):
+    modes = [("device", None, "greedy"), ("batched", True, "greedy"),
+             ("unbatched", False, "greedy")]
+    if args.beam:
+        # The round-3 flagship under load: live beam partials via the incremental
+        # prefix beam, on both the host-window pool and the HBM-resident pool.
+        modes += [("device-beam", None, "beam"), ("batched-beam", True, "beam")]
+    for label, batched, partial in modes:
         if batched is None:
             row = run_device_load(transcriber, args.streams, clips, chunk,
-                                  args.max_batch, args.window_s, args.margin_s)
+                                  args.max_batch, args.window_s, args.margin_s,
+                                  partial_decode=partial)
         else:
             row = run_load(transcriber, args.streams, clips, chunk, batched,
-                           args.max_batch, args.window_s, args.margin_s)
+                           args.max_batch, args.window_s, args.margin_s,
+                           partial_decode=partial)
         results[label] = row
-        print("{:10s}: {:6.1f}x realtime aggregate over {} streams, "
+        print("{:12s}: {:6.1f}x realtime aggregate over {} streams, "
               "{} windows in {} batches (mean {:.1f})".format(
                   label, row["aggregate_xrt"], row["streams"],
                   row["windows"], row["batches"], row["mean_batch_size"]), flush=True)

@@ -229,6 +229,10 @@ def main(argv=None) -> None:
                           help="device-streaming: concurrent session capacity")
     p_export.add_argument("--stream-max-batch", type=int, default=16,
                           help="device-streaming: feeds fused per dispatch")
+    p_export.add_argument("--stream-posteriors", action="store_true",
+                          help="device-streaming: bake the per-frame posterior "
+                               "output into the feed program (enables beam-partial "
+                               "sessions on the bundle-backed pool)")
 
     p_serve = sub.add_parser("serve",
                              help="HTTP transcription service (dynamic micro-batching)")
@@ -427,6 +431,7 @@ def main(argv=None) -> None:
                                "window_s": args.stream_window_s,
                                "max_sessions": args.stream_max_sessions,
                                "max_batch": args.stream_max_batch,
+                               "posteriors": args.stream_posteriors,
                            } if args.device_streaming else None)
     elif args.command == "serve":
         from .serving_http import TranscriptionServer

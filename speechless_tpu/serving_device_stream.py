@@ -12,7 +12,10 @@ the device:
 * a feed uploads only the new chunk; a single fused program appends it to the session's
   row (shift quantized to the output frame grid, so absolute frame positions stay
   valid across drops exactly like the host path), scatters the updated rows back, and
-  returns per-frame argmax tokens for the updated windows;
+  returns per-frame argmax tokens for the updated windows (plus, when
+  ``beam_partials`` is on, per-frame log posteriors — beam-partial sessions run them
+  through the shared incremental prefix beam, `ops/decode_incremental.py`; the
+  posterior block crosses the link only for feeds of beam sessions);
 * the pooled buffers/lengths are donated back to the program, so steady-state HBM
   traffic per feed is one chunk up + one token row down — the window itself never
   crosses the link again.
@@ -49,7 +52,8 @@ _POISONED_MESSAGE = ("stream lost: a device dispatch failed and the pool state w
                      "reset; create a new session")
 
 
-def _build_feed_fn(config, window: int, chunk_cap: int, spf: int):
+def _build_feed_fn(config, window: int, chunk_cap: int, spf: int,
+                   posteriors: bool = False):
     """The fused append+decode program over the pooled session windows.
 
     ``(params, buffers (S+1, W), lengths (S+1,), rows (B,), chunks (B, cap),
@@ -58,6 +62,11 @@ def _build_feed_fn(config, window: int, chunk_cap: int, spf: int):
     The append shift is quantized UP to ``spf`` (the model's samples-per-output-frame)
     so every row's window start stays on the absolute frame grid — the host-side
     emission bookkeeping mirrors the same integer arithmetic.
+
+    ``posteriors``: additionally return per-frame log posteriors ``(B, F, classes)``
+    for the updated windows — what beam-partial sessions feed the incremental prefix
+    beam (`ops/decode_incremental.py`). The softmax is one extra elementwise pass over
+    logits the program already computed; greedy-only pools skip it.
     """
     import jax
     import jax.numpy as jnp
@@ -90,8 +99,11 @@ def _build_feed_fn(config, window: int, chunk_cap: int, spf: int):
         feats, frame_counts = features_batch(new_bufs, jnp.maximum(new_lens, 1))
         logits = w2l.apply(config, params, feats)
         tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (buffers, lengths, tokens,
-                w2l.prediction_lengths(config, frame_counts), new_lens)
+        out = (buffers, lengths, tokens,
+               w2l.prediction_lengths(config, frame_counts), new_lens)
+        if posteriors:
+            out = out + (jax.nn.log_softmax(logits, axis=-1),)
+        return out
 
     return feed_fn
 
@@ -108,7 +120,7 @@ def quantize_pool_dims(samples_per_frame: int, window_s: float,
 
 def export_feed_program(transcriber, window_s: float = 8.0,
                         chunk_cap_s: float = 1.0, max_sessions: int = 64,
-                        max_batch: int = 16,
+                        max_batch: int = 16, posteriors: bool = False,
                         platforms: Optional[List[str]] = None):
     """Export the fused append+decode program for AOT bundles.
 
@@ -116,14 +128,16 @@ def export_feed_program(transcriber, window_s: float = 8.0,
     (buffer/length donation preserved via the jitted function's ``donate_argnums``)
     and ``spec`` is the manifest entry `DeviceStreamingPool` reads back: the pool
     dimensions are baked into the program's static shapes, so a pool serving this
-    bundle adopts them verbatim.
+    bundle adopts them verbatim. ``posteriors`` bakes the per-frame-posterior output
+    in, enabling beam-partial sessions on the bundle-backed pool.
     """
     import jax
     from jax import export as jax_export
 
     spf = transcriber.samples_per_frame
     window, chunk_cap = quantize_pool_dims(spf, window_s, chunk_cap_s)
-    feed = jax.jit(_build_feed_fn(transcriber.config, window, chunk_cap, spf),
+    feed = jax.jit(_build_feed_fn(transcriber.config, window, chunk_cap, spf,
+                                  posteriors=posteriors),
                    donate_argnums=(1, 2))
     params_shapes = jax.tree.map(
         lambda leaf: jax.ShapeDtypeStruct(np.shape(leaf), np.asarray(leaf).dtype),
@@ -139,7 +153,7 @@ def export_feed_program(transcriber, window_s: float = 8.0,
         jax.ShapeDtypeStruct((max_batch,), np.bool_))
     spec = {"window": window, "chunk_cap": chunk_cap,
             "max_sessions": max_sessions, "max_batch": max_batch,
-            "samples_per_frame": spf}
+            "samples_per_frame": spf, "posteriors": posteriors}
     return exported, spec
 
 
@@ -191,13 +205,20 @@ class DeviceStreamingSession:
     ``finish() -> remaining text``, ``.text``."""
 
     def __init__(self, pool: "DeviceStreamingPool", row: int,
-                 final_decode: bool = False):
+                 final_decode: bool = False, partial_beam: bool = False):
         self._pool = pool
         self._row = row
         self._spf = pool.spf
         self._blank = pool.blank_index
         self._codec = pool.codec
         self._final_decode = final_decode
+        self._partial_beam = partial_beam
+        if partial_beam:
+            # Shared jitted step program (pool-level decoder), per-session state —
+            # exactly the host pool's arrangement (`serving_streaming`).
+            self._beam_decoder = pool._get_beam_decoder()
+            self._beam_state = self._beam_decoder.init_state()
+            self._beam_tokens = np.zeros(0, np.int32)
         self._audio_parts: List[np.ndarray] = []
         self._pending_reset = True
         self._total = 0     # absolute samples fed
@@ -217,12 +238,34 @@ class DeviceStreamingSession:
 
     @property
     def text(self) -> str:
+        """Live transcript: emitted greedy parts, or the incremental beam's current
+        best (beam sessions — replace semantics, later audio can re-rank it)."""
+        if self._partial_beam:
+            return self._codec.decode_graphemes(self._beam_tokens.tolist(),
+                                                merge_repeated=False)
+        return "".join(self._parts)
+
+    @property
+    def greedy_text(self) -> str:
+        """The append-only greedy transcript (equal to `.text` in greedy mode; in
+        beam mode the argmax partials still accumulate — they drive the word
+        timestamps)."""
         return "".join(self._parts)
 
     @property
     def final_up_to_s(self) -> float:
         """Absolute stream time (seconds) up to which the transcript is FINAL (same
-        contract as `StreamingTranscriber.final_up_to_s`; 16 kHz)."""
+        contract as `StreamingTranscriber.final_up_to_s`; 16 kHz). Beam sessions
+        report 0.0 while live (replace semantics) and the full stream duration after
+        `finish()`."""
+        if self._partial_beam:
+            return self._total / 16000.0 if self._finished else 0.0
+        return self._emit_sample / 16000.0
+
+    @property
+    def greedy_final_up_to_s(self) -> float:
+        """The greedy emission horizon (seconds) — bounds the word timestamps in
+        every mode."""
         return self._emit_sample / 16000.0
 
     def feed(self, chunk: np.ndarray) -> str:
@@ -264,8 +307,12 @@ class DeviceStreamingSession:
             piece = chunk[start:start + cap]
             if len(chunk) and not len(piece):
                 break
-            tokens, count = self._dispatch(piece)
-            emitted.append(self._emit(tokens, count, flush=False))
+            tokens, count, log_probs = self._dispatch(piece)
+            emitted.append(self._emit(tokens, count, flush=False,
+                                      log_probs=log_probs))
+        if self._partial_beam:
+            # Beam partials replace rather than append: the full current best.
+            return self.text
         return "".join(emitted)
 
     def finish(self) -> str:
@@ -299,11 +346,13 @@ class DeviceStreamingSession:
             return ""
         out = ""
         if self._total:
-            tokens, count = self._dispatch(np.zeros(0, np.float32))
-            out = self._emit(tokens, count, flush=True)
+            tokens, count, log_probs = self._dispatch(np.zeros(0, np.float32))
+            out = self._emit(tokens, count, flush=True, log_probs=log_probs)
         self._words.flush()
         self._finished = True
         self._pool._release(self._row)
+        if self._partial_beam:
+            return self.text  # the final re-ranked best (replace semantics)
         return out
 
     def finalize(self) -> str:
@@ -329,9 +378,9 @@ class DeviceStreamingSession:
         if self._finished:
             raise RuntimeError("session is finished")
 
-    def _dispatch(self, piece: np.ndarray) -> Tuple[np.ndarray, int]:
-        tokens, count, new_length = self._pool.batcher.submit(
-            (self._row, piece, self._pending_reset))
+    def _dispatch(self, piece: np.ndarray):
+        tokens, count, new_length, log_probs = self._pool.batcher.submit(
+            (self._row, piece, self._pending_reset, self._partial_beam))
         self._pending_reset = False
         mirrored, _ = mirror_append(self._length, len(piece), self._pool.window,
                                     self._spf)
@@ -341,14 +390,31 @@ class DeviceStreamingSession:
             raise AssertionError(
                 "device window length {} diverged from host mirror {}"
                 .format(self._length, mirrored))
-        return np.asarray(tokens), int(count)
+        return np.asarray(tokens), int(count), log_probs
 
-    def _emit(self, tokens: np.ndarray, count: int, flush: bool) -> str:
+    def _emit(self, tokens: np.ndarray, count: int, flush: bool,
+              log_probs: Optional[np.ndarray] = None) -> str:
         buffer_start = self._total - self._length  # spf-aligned by construction
         emit_limit = self._total + self._spf if flush else self._total - self._pool.margin
+        finalized_from = self._emit_sample
         emissions, self._emit_sample, self._carry = collapse_new_frames(
             tokens, count, buffer_start, self._spf, self._emit_sample,
             self._carry, emit_limit, self._blank)
+        if self._partial_beam and self._emit_sample > finalized_from:
+            # Advance the carried beam over exactly the rows the greedy rule just
+            # finalized — identical bookkeeping to the host-window beam path
+            # (`serving_streaming.StreamingTranscriber._drain`); the emitted audio
+            # stays inside the trailing device window (window > margin by
+            # construction), so these rows are always present in this dispatch's
+            # posterior output.
+            # max(0, .): if a degenerate window/margin/chunk combination ever shifts
+            # unemitted audio out (the same audio the greedy rule skips), the beam
+            # consumes the surviving rows rather than mis-sliced ones.
+            row_from = max(0, (finalized_from - buffer_start) // self._spf)
+            row_to = (self._emit_sample - buffer_start) // self._spf
+            self._beam_state, result = self._beam_decoder.feed(
+                self._beam_state, log_probs[row_from:row_to])
+            self._beam_tokens = result.tokens
         if not emissions:
             return ""
         for token, start in emissions:
@@ -372,7 +438,15 @@ class DeviceStreamingPool:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
                  max_batch: int = 16, max_wait_ms: float = 20.0,
                  chunk_cap_s: float = 1.0, idle_timeout_s: float = 300.0,
-                 max_sessions: int = 64):
+                 max_sessions: int = 64, beam_partials: Optional[bool] = None):
+        """``beam_partials``: let sessions opt into live BEAM partials
+        (``create(partial_decode="beam")``) — the fused feed program additionally
+        emits per-frame log posteriors, which beam sessions run through the shared
+        incremental prefix beam (`ops/decode_incremental.BeamStreamDecoder`; state
+        per session, one jitted step program for all). Default: on for live
+        backends (the posterior output costs one softmax the program computes
+        anyway; it only crosses the link for feeds of beam sessions), and whatever
+        the bundle baked in for AOT backends."""
         import jax
         import jax.numpy as jnp
 
@@ -391,12 +465,13 @@ class DeviceStreamingPool:
         self.spf = spf
         if hasattr(transcriber, "config"):
             # Live backend: jit the fused feed program from the model config.
+            self.beam_partials = True if beam_partials is None else beam_partials
             self.window, self.chunk_cap = quantize_pool_dims(spf, window_s,
                                                              chunk_cap_s)
             self.max_sessions = max_sessions
             self._feed = jax.jit(
                 _build_feed_fn(transcriber.config, self.window, self.chunk_cap,
-                               spf),
+                               spf, posteriors=self.beam_partials),
                 donate_argnums=(1, 2))
         else:
             # AOT bundle: replay the exported feed program. The pool dimensions are
@@ -414,6 +489,14 @@ class DeviceStreamingPool:
             self.max_sessions = spec["max_sessions"]
             max_batch = spec["max_batch"]
             self._feed = transcriber.device_feed_program.call
+            baked_posteriors = bool(spec.get("posteriors", False))
+            if beam_partials and not baked_posteriors:
+                raise ValueError(
+                    "beam partials need per-frame posteriors, but this bundle's "
+                    "feed program was exported without them; re-export with "
+                    "device_streaming={'posteriors': True}")
+            self.beam_partials = (baked_posteriors if beam_partials is None
+                                  else beam_partials)
         _check_window(self.window / 16000.0, margin_s)
         self.margin = int(margin_s * 16000) // spf * spf
         if self.window < self.margin + 4 * spf:
@@ -429,6 +512,8 @@ class DeviceStreamingPool:
         self._free = list(range(self.max_sessions))
         self._sessions: Dict[str, DeviceStreamingSession] = {}
         self._lock = threading.Lock()
+        self._beam_decoder = None
+        self._beam_decoder_lock = threading.Lock()
         self.batcher = _DeviceFeedBatcher(self, max_batch=max_batch,
                                           max_wait_ms=max_wait_ms)
 
@@ -452,7 +537,8 @@ class DeviceStreamingPool:
         if self.batcher.started:
             # Already serving: route through the batcher thread, the single owner of
             # the donated device state (a direct dispatch here would race it).
-            self.batcher.submit((self.max_sessions, np.zeros(0, np.float32), True))
+            self.batcher.submit((self.max_sessions, np.zeros(0, np.float32), True,
+                                 False))
         else:
             self._dispatch([])
 
@@ -464,16 +550,18 @@ class DeviceStreamingPool:
         complete accumulated audio through the offline path (LM beam when the
         transcriber has one) and returns that as the authoritative transcript.
 
-        ``partial_decode``: the device pool's fused append+decode program emits
-        greedy partials only — beam partials (`StreamingSessionPool`'s
-        partial_decode="beam") would serialize per-session beam state through the
-        shared program and are refused here; use the host-window pool or two-pass
-        ``final_decode`` for beam-quality finals."""
-        if partial_decode != "greedy":
-            raise ValueError("the device streaming pool serves greedy live partials "
-                             "only (got partial_decode={!r}); use the host-window "
-                             "pool for beam partials or final_decode=True for a "
-                             "beam-quality final transcript".format(partial_decode))
+        ``partial_decode``: ``"beam"`` serves LIVE partials from the incremental
+        prefix beam (`ops/decode_incremental.py`) fed by the pool program's
+        per-frame posteriors — each feed's text REPLACES the previous partial.
+        Requires ``beam_partials`` (on by default for live backends; bundles must
+        be exported with ``device_streaming={"posteriors": True}``)."""
+        if partial_decode not in ("greedy", "beam"):
+            raise ValueError("partial_decode must be 'greedy' or 'beam', got {!r}"
+                             .format(partial_decode))
+        if partial_decode == "beam" and not self.beam_partials:
+            raise ValueError("this pool's feed program has no posterior output; "
+                             "construct with beam_partials=True (live) or re-export "
+                             "the bundle with device_streaming={'posteriors': True}")
         with self._lock:
             self._reap_locked()
             if not self._free:
@@ -482,12 +570,39 @@ class DeviceStreamingPool:
             row = self._free.pop()
             session_id = uuid.uuid4().hex[:16]
             self._sessions[session_id] = DeviceStreamingSession(
-                self, row, final_decode=final_decode)
+                self, row, final_decode=final_decode,
+                partial_beam=partial_decode == "beam")
             return session_id
 
-    def create_stream(self, final_decode: bool = False) -> DeviceStreamingSession:
+    def create_stream(self, final_decode: bool = False,
+                      partial_decode: str = "greedy") -> DeviceStreamingSession:
         """Library-facing variant: returns the session object directly."""
-        return self._get(self.create(final_decode=final_decode))
+        return self._get(self.create(final_decode=final_decode,
+                                     partial_decode=partial_decode))
+
+    def _get_beam_decoder(self):
+        """The pool-wide incremental beam decoder (one jitted step program shared by
+        every beam session; per-session state lives on the session). Built lazily —
+        greedy-only deployments never construct it. Own lock: callers may already
+        hold the pool lock (session construction inside `create`)."""
+        with self._beam_decoder_lock:
+            if self._beam_decoder is None:
+                from .ops.decode_incremental import BeamStreamDecoder
+
+                transcriber = self._transcriber
+                decoder = getattr(transcriber, "_decoder", {})
+                self._beam_decoder = BeamStreamDecoder(
+                    blank=self.blank_index,
+                    beam_width=decoder.get("beam_width", 25),
+                    word_lm=getattr(transcriber, "word_lm", None),
+                    lm_weight=decoder.get("lm_weight", 0.8),
+                    word_count_weight=decoder.get("word_count_weight", 0.0),
+                    valid_word_count_weight=decoder.get("valid_word_count_weight",
+                                                        2.3),
+                    prune_classes=decoder.get("prune_classes", None),
+                    lexicon_constrained=getattr(transcriber, "lexicon_constrained",
+                                                False))
+            return self._beam_decoder
 
     def feed(self, session_id: str, chunk: np.ndarray) -> str:
         return self.feed_with_text(session_id, chunk)[0]
@@ -588,12 +703,14 @@ class DeviceStreamingPool:
         chunks = np.zeros((batch, self.chunk_cap), np.float32)
         chunk_lens = np.zeros((batch,), np.int32)
         resets = np.ones((batch,), bool)
+        any_beam = False
         for i, item in enumerate(group):
-            row, piece, reset = item.payload
+            row, piece, reset, want_posteriors = item.payload
             rows[i] = row
             chunks[i, :len(piece)] = piece
             chunk_lens[i] = len(piece)
             resets[i] = reset
+            any_beam = any_beam or want_posteriors
         try:
             outs = self._feed(
                 self._transcriber.params, self._buffers, self._lengths,
@@ -606,9 +723,19 @@ class DeviceStreamingPool:
             # permanent streaming outage.
             self._recover_after_failed_dispatch()
             raise
-        self._buffers, self._lengths, tokens, counts, new_lens = outs
+        if self.beam_partials:
+            self._buffers, self._lengths, tokens, counts, new_lens, log_probs = outs
+            # The posterior block only crosses the link when a beam session is in
+            # this batch (greedy-only traffic pays nothing beyond the device-side
+            # softmax); one bulk fetch for the whole batch, not one per row.
+            log_probs = np.asarray(log_probs) if any_beam else None
+        else:
+            self._buffers, self._lengths, tokens, counts, new_lens = outs
+            log_probs = None
         tokens = np.asarray(tokens)
         counts = np.asarray(counts)
         new_lens = np.asarray(new_lens)
         for i, item in enumerate(group):
-            item.result = (tokens[i], int(counts[i]), int(new_lens[i]))
+            item.result = (tokens[i], int(counts[i]), int(new_lens[i]),
+                           log_probs[i] if (log_probs is not None
+                                            and item.payload[3]) else None)

@@ -358,10 +358,75 @@ def test_device_word_timestamps_match_host(transcriber, pool):
         last_end = w["end_s"]
 
 
-def test_device_pool_refuses_beam_partials(pool):
-    """The device pool's fused program emits greedy partials only; beam-partial
-    sessions must be refused loudly at create (clients fall back to the host-window
-    pool or two-pass final_decode)."""
-    with pytest.raises(ValueError, match="greedy"):
-        pool.create(partial_decode="beam")
-    assert pool.session_count == 0  # no session row leaked by the refusal
+def test_device_pool_refuses_beam_partials_when_disabled(transcriber):
+    """A pool built without the posterior output must refuse beam sessions loudly at
+    create (and leak no session row)."""
+    pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                               max_batch=4, chunk_cap_s=0.5, max_sessions=4,
+                               beam_partials=False)
+    pool.start()
+    try:
+        with pytest.raises(ValueError, match="posterior"):
+            pool.create(partial_decode="beam")
+        assert pool.session_count == 0  # no session row leaked by the refusal
+    finally:
+        pool.stop()
+
+
+def test_device_pool_beam_partials_match_host_beam_stream(transcriber, pool):
+    """A sub-window beam-partial session decodes EXACTLY like the host-window beam
+    path fed the same chunks (identical buffers -> identical per-window z-norm ->
+    identical posteriors; the fused program's posteriors drive the same incremental
+    prefix beam). Offline equality is NOT expected here: frames finalize from
+    intermediate windows whose z-norm differs from the full utterance — the same
+    property the host path has."""
+    audio = _audio(12000, seed=6)  # < one window
+    host = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25,
+                                partial_decode="beam")
+    for start in range(0, len(audio), 4000):
+        host.feed(audio[start:start + 4000])
+    host.finish()
+    expected = host.text
+
+    session = pool.create_stream(partial_decode="beam")
+    partial = None
+    for start in range(0, len(audio), 4000):
+        partial = session.feed(audio[start:start + 4000])
+    assert session.final_up_to_s == 0.0  # replace semantics while live
+    final = session.finish()
+    assert final == session.text
+    assert session.final_up_to_s == pytest.approx(len(audio) / 16000.0)
+    assert isinstance(partial, str)
+    assert final == expected
+    # The greedy machinery kept running (words/timestamps + greedy_text).
+    assert session.greedy_text == host.greedy_text
+
+
+def test_device_pool_beam_matches_host_pool_beam_long_stream(transcriber, pool):
+    """Beam sessions carry exact beam state across window shifts: a long stream
+    through the device pool equals the host-window beam path fed the SAME per-window
+    posteriors semantics on sub-window streams, and on longer streams both stay
+    self-consistent (device z-norm sees the trailing window, so cross-path equality
+    is only guaranteed sub-window; here we pin determinism and coexistence)."""
+    audio = _audio(40000, seed=7)
+    texts = []
+    for _ in range(2):  # same stream twice -> identical transcript (determinism)
+        session = pool.create_stream(partial_decode="beam")
+        for start in range(0, len(audio), 5000):
+            session.feed(audio[start:start + 5000])
+        session.finish()
+        texts.append(session.text)
+    assert texts[0] == texts[1]
+
+    # A greedy session interleaved with a beam session decodes exactly as without it.
+    greedy_alone = pool.create_stream()
+    alone = greedy_alone.transcribe_stream(audio, chunk_samples=4000)
+    beam = pool.create_stream(partial_decode="beam")
+    greedy = pool.create_stream()
+    out = ""
+    for start in range(0, len(audio), 4000):
+        beam.feed(audio[start:start + 4000])
+        out += greedy.feed(audio[start:start + 4000])
+    out += greedy.finish()
+    beam.finish()
+    assert out == alone

@@ -169,6 +169,23 @@ def test_device_streams_over_http(transcriber):
         status, final = _request(srv, "/v1/stream/{}/finish".format(sid), b"{}")
         assert status == 200 and final["text"] == expected
         assert _request(srv, "/v1/metrics")[1]["streaming"]["feeds"] >= 3
+        # Beam-partial sessions work on the device pool too (its feed program
+        # emits posteriors): parity with the host-window beam path on the same
+        # sub-window stream.
+        host_beam = StreamingTranscriber(transcriber, window_s=1.024,
+                                         margin_s=0.25, partial_decode="beam")
+        host_beam.transcribe_stream(audio, chunk_samples=4000)
+        status, payload = _request(srv, "/v1/stream",
+                                   json.dumps({"partial_decode": "beam"}).encode())
+        assert status == 200
+        sid = payload["session"]
+        for start in range(0, len(audio), 4000):
+            status, reply = _request(srv, "/v1/stream/{}".format(sid),
+                                     _pcm_body(audio[start:start + 4000]))
+            assert status == 200
+            assert reply["partial"] == reply["text"]  # replace semantics
+        status, final = _request(srv, "/v1/stream/{}/finish".format(sid), b"{}")
+        assert status == 200 and final["text"] == host_beam.text
     finally:
         srv.stop()
 
@@ -304,7 +321,7 @@ def test_streaming_beam_partials_over_http(server, transcriber):
     """POST /v1/stream {"partial_decode": "beam"}: live partials come from the
     incremental prefix beam — each feed's "partial" is the FULL current best text
     (replace semantics) and equals "text" from the same reply; an invalid mode is a
-    400, and the device pool (greedy-only) maps its refusal to an HTTP error."""
+    400."""
     audio = (np.random.RandomState(21).randn(30000) * 0.3).astype(np.float32)
     status, payload = _request(server, "/v1/stream",
                                json.dumps({"partial_decode": "beam"}).encode())
