@@ -6,6 +6,7 @@ id-regex filtering, ``.txt`` transcript parsing (one ``<id> <words...>`` line ea
 lowercased), tag removal + whitespace normalization, empty/too-long/too-short filtering,
 deterministic splits, and the rich per-corpus statistics summary/CSV.
 """
+import os
 import re
 import string
 import subprocess
@@ -27,10 +28,16 @@ MATCH_ALL = re.compile(r"[\s\S]*")
 
 
 class LibriSpeechCorpus(Corpus):
+    #: Mirror override: ``SPEECHLESS_LIBRISPEECH_URL`` redirects every default-URL
+    #: LibriSpeech fetch (corporate mirrors / air-gapped fixture servers) without
+    #: touching the `Configuration.english()/minimal_english()` entry points —
+    #: exercised end-to-end by `examples/librispeech_dress_rehearsal.py`.
+    DEFAULT_URL = "http://www.openslr.org/resources/12/"
+
     def __init__(self,
                  base_directory: Path,
                  corpus_name: str,
-                 base_source_url_or_directory: str = "http://www.openslr.org/resources/12/",
+                 base_source_url_or_directory: Optional[str] = None,
                  tar_gz_extension: str = ".tar.gz",
                  mel_frequency_count: int = 128,
                  root_compressed_directory_name_to_skip: Optional[str] = "LibriSpeech/",
@@ -43,6 +50,9 @@ class LibriSpeechCorpus(Corpus):
                  minimum_duration_per_character: Optional[float] = None):
         self.base_directory = Path(base_directory)
         self.corpus_name = corpus_name
+        if base_source_url_or_directory is None:
+            base_source_url_or_directory = os.environ.get(
+                "SPEECHLESS_LIBRISPEECH_URL", self.DEFAULT_URL)
         self.base_url_or_directory = base_source_url_or_directory
         self.tar_gz_extension = tar_gz_extension
         self.mel_frequency_count = mel_frequency_count

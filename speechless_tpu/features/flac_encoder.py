@@ -1,7 +1,10 @@
-"""Minimal FLAC encoder used only to generate decoder test vectors.
+"""Minimal in-repo FLAC encoder (no ffmpeg/soundfile in the image).
 
 Supports 16-bit mono/stereo with CONSTANT, VERBATIM and FIXED(order 0-2, Rice-coded)
-subframes — enough to exercise every decoder path that speech corpora hit."""
+subframes — enough for speech corpora: generates the decoder test vectors
+(`tests/test_flac.py`, decoder: `native/flac.cpp`) and the LibriSpeech-layout FLAC
+fixture archives of the end-to-end dress rehearsal
+(`examples/librispeech_dress_rehearsal.py`)."""
 import struct
 
 

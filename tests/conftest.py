@@ -30,6 +30,30 @@ def pytest_configure(config):
         "markers", "slow: long-running test (multi-process bootstrap, large corpora)")
 
 
+def pytest_collection_modifyitems(config, items):
+    """``PYTEST_SHUFFLE=<seed>``: randomize test order (across and within modules) to
+    prove the suite is order-independent — the XLA:CPU compile-count segfault was
+    historically dodged by ordering (see `_bound_in_process_compiles`; the one
+    known-fragile compile now runs subprocess-isolated in
+    `test_serving_export.test_lm_fused_bundle_roundtrip`)."""
+    seed = os.environ.get("PYTEST_SHUFFLE")
+    if seed:
+        import random
+
+        rand = random.Random(int(seed))
+        # Shuffle module order AND order within each module, but keep each module's
+        # items contiguous — module-scoped fixtures (compiled transcribers etc.)
+        # still build once each, so the shuffled suite stays ~the same runtime.
+        by_module = {}
+        for item in items:
+            by_module.setdefault(item.module.__name__, []).append(item)
+        modules = list(by_module.values())
+        rand.shuffle(modules)
+        for group in modules:
+            rand.shuffle(group)
+        items[:] = [item for group in modules for item in group]
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_in_process_compiles():
     """XLA:CPU's JIT deterministically segfaults inside backend_compile_and_load after

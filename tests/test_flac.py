@@ -5,7 +5,7 @@ import pytest
 from speechless_tpu.features import audio_io
 from speechless_tpu.native import _native
 
-from flac_encoder import encode_flac
+from speechless_tpu.features.flac_encoder import encode_flac
 
 pytestmark = pytest.mark.skipif(_native is None, reason="native extension unavailable")
 
