@@ -2,9 +2,11 @@
 
 Loads the hard-tier checkpoint trained by examples/scaled_quality_eval.py, rebuilds the
 held-out test split deterministically, and transcribes the same utterances through the
-full-precision and the int8 weight-quantized `Transcriber` (models/quantize.py). Writes
-a JSON row with both error rates, the weight sizes, and the per-utterance disagreement
-count — the accuracy evidence for `quantize_weights=True`.
+full-precision, int8 weight-quantized (dequant-bf16 compute), and int8 MXU-compute
+(`int8_compute=True`: int8 x int8 -> int32 convs for the wide tail, v5e 394 int8 TOPS)
+`Transcriber`s. Writes a JSON row with error rates, steady-state batched throughput
+(utt/s with warm programs), and per-utterance disagreement counts — the accuracy +
+throughput evidence for the quantized serving modes.
 
     python examples/quantized_serving_eval.py --utterances 100          # TPU
     python examples/quantized_serving_eval.py --utterances 20 --platform cpu
@@ -21,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--data-dir", type=Path, default=Path("/tmp/speechless-quality"))
-    parser.add_argument("--run", default="quality-english-devres-hard-0f934087")
+    parser.add_argument("--run", default="quality-english-devres-hard-0f934087-sa")
     parser.add_argument("--epoch", type=int, default=40)
     parser.add_argument("--utterances", type=int, default=100)
     parser.add_argument("--batch-size", type=int, default=16)
@@ -29,7 +31,7 @@ def main() -> None:
     parser.add_argument("--platform", choices=("cpu", "tpu"), default="tpu")
     parser.add_argument("--out", type=Path,
                         default=Path(__file__).resolve().parent.parent
-                        / "evidence" / "QUANT_r03.json")
+                        / "evidence" / "QUANT_r04.json")
     args = parser.parse_args()
 
     import jax
@@ -68,12 +70,20 @@ def main() -> None:
     from speechless_tpu.models.wav2letter import Wav2LetterConfig
     config = Wav2LetterConfig(input_size_per_time_step=128,
                               grapheme_set_size=len(english_frequent_characters) + 1)
-    for label_key, quantize in (("float32", False), ("int8", True)):
+    for label_key, kwargs in (("float32", {}),
+                              ("int8", {"quantize_weights": True}),
+                              ("int8_mxu", {"int8_compute": True})):
         transcriber = Transcriber(config, params, english_frequent_characters,
-                                  quantize_weights=quantize)
+                                  **kwargs)
         start = time.time()
         results = transcriber.transcribe_batch(audios, batch_size=args.batch_size)
         wall = time.time() - start
+        # Steady-state offline throughput: a second pass over the same utterances
+        # with every bucket program already compiled (the first pass's wall mixes
+        # in remote compiles; on a tunneled chip those take minutes cold).
+        start = time.time()
+        transcriber.transcribe_batch(audios, batch_size=args.batch_size)
+        warm_wall = time.time() - start
         texts = [text for text, _ in results]
         predictions[label_key] = texts
         letter_errors = sum(levenshtein(label, text)
@@ -85,18 +95,24 @@ def main() -> None:
             "word_error_rate": word_errors / sum(len(l.split()) for l in labels),
             "mean_confidence": float(np.mean([c for _, c in results])),
             "decode_wall_s": round(wall, 2),
+            "warm_decode_wall_s": round(warm_wall, 2),
+            "warm_utterances_per_s": round(len(examples) / warm_wall, 1),
         }
-        log("[{}] LER {:.4f} WER {:.4f} ({:.1f}s)".format(
+        log("[{}] LER {:.4f} WER {:.4f} ({:.1f}s cold, {:.1f}s warm = {:.1f} utt/s)".format(
             label_key, rows[label_key]["letter_error_rate"],
-            rows[label_key]["word_error_rate"], wall))
+            rows[label_key]["word_error_rate"], wall, warm_wall,
+            rows[label_key]["warm_utterances_per_s"]))
 
     disagreements = sum(a != b for a, b in zip(predictions["float32"],
                                                predictions["int8"]))
+    mxu_disagreements = sum(a != b for a, b in zip(predictions["float32"],
+                                                   predictions["int8_mxu"]))
     result = {
         "run": args.run, "epoch": args.epoch, "utterances": len(examples),
         "platform": args.platform,
         "weight_quantization_max_abs_error": quantization_error(params),
         "transcript_disagreements": disagreements,
+        "int8_mxu_transcript_disagreements": mxu_disagreements,
         **rows,
     }
     args.out.write_text(json.dumps(result, indent=2))

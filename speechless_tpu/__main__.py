@@ -58,6 +58,7 @@ def _serving_backend(args, command: str):
         kenlm_directory=(configuration.directories.kenlm_base_directory /
                          configuration.name.lower()) if args.kenlm else None,
         quantize_weights=args.quantize,
+        int8_compute=getattr(args, "int8_compute", False),
         lexicon_constrained=getattr(args, "lexicon", False))
 
 
@@ -251,6 +252,10 @@ def main(argv=None) -> None:
                               "LM vocabulary (requires --kenlm)")
     p_serve.add_argument("--quantize", action="store_true",
                          help="serve from int8 per-channel weights")
+    p_serve.add_argument("--int8-compute", action="store_true",
+                         help="additionally run the wide convs as int8 MXU "
+                              "convolutions (implies --quantize; batched offline "
+                              "throughput lever)")
     p_serve.add_argument("--max-batch", type=int, default=16,
                          help="dynamic batcher: max requests per device dispatch")
     p_serve.add_argument("--max-wait-ms", type=float, default=10.0,

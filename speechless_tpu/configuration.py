@@ -114,12 +114,14 @@ class Configuration:
             directories=directories)
 
     @staticmethod
-    def mixed_german_english() -> "Configuration":
+    def mixed_german_english(directories: "DataDirectories" = None) -> "Configuration":
         return Configuration(
             name="mixed-English-German",
             allowed_characters=german_frequent_characters,
+            directories=directories,
             corpus_from_directory=lambda _: ComposedCorpus(
-                [Configuration.english().corpus, Configuration.german().corpus]))
+                [Configuration.english(directories).corpus,
+                 Configuration.german(directories=directories).corpus]))
 
     # -- workflows --------------------------------------------------------
 
@@ -243,7 +245,16 @@ class Configuration:
     def test_model_grouped_by_loaded_corpus_name(self, wav2letter: Wav2Letter
                                                  ) -> ExpectationsVsPredictionsInGroupedBatches:
         def corpus_name(example: LabeledExampleFromFile) -> str:
-            return example.audio_directory.relative_to(self.corpus_directory).parts[0]
+            # Composed cross-language corpora (`mixed_german_english`) hold examples
+            # OUTSIDE this configuration's own corpus directory (under
+            # corpus/<English|German>/...); group those by language directory. The
+            # reference's version raises ValueError there (`configuration.py:128-130`
+            # + `:92-94` — its mixed configuration could never run this workflow).
+            directory = example.audio_directory
+            if directory.is_relative_to(self.corpus_directory):
+                return directory.relative_to(self.corpus_directory).parts[0]
+            return directory.relative_to(
+                self.directories.corpus_base_directory).parts[0]
 
         corpus_by_name = self.corpus.grouped_by(corpus_name)
         log([(name, len(corpus.test_examples)) for name, corpus in corpus_by_name.items()])

@@ -64,6 +64,15 @@ class Wav2LetterConfig:
     # layout an invariant rather than an inference (audited by
     # examples/tp_collective_audit.py). Requires a (data, model) mesh in context.
     tp_activation_constraint: bool = False
+    # int8 MXU compute (inference only): with int8-quantized weights
+    # (`models/quantize.py` layout), run the WIDE convs as int8 x int8 ->
+    # int32-accumulated convolutions on the MXU (v5e: 394 int8 TOPS vs 197 bf16
+    # TFLOP/s) instead of dequantizing to the compute dtype. Activations are
+    # dynamically quantized per tensor (symmetric, scale = max|x|/127 — no
+    # calibration pass); the narrow trunk stays dequant-bf16 (its FLOPs are noise
+    # and per-tensor activation quant there would feed quantization error into
+    # every later layer for no speedup). Ignored for layers stored as float.
+    int8_compute: bool = False
     layers: Tuple[ConvSpec, ...] = field(default=None)
 
     def __post_init__(self):
@@ -148,6 +157,23 @@ def _layer_apply(config: Wav2LetterConfig, spec: ConvSpec, layer_params,
     # (backward) convs dtype-consistent.
     if "w" in layer_params:
         w = layer_params["w"].astype(config.compute_dtype)
+    elif (config.int8_compute and spec.name.startswith("big_conv")):
+        # int8 MXU path (see `Wav2LetterConfig.int8_compute`): dynamic per-tensor
+        # activation quant, int8 x int8 conv with int32 accumulation, one fused
+        # rescale by (activation_scale * per-channel weight_scale).
+        activation_scale = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
+                                       1e-12) / 127.0
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / activation_scale),
+                       -127.0, 127.0).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            x_q, layer_params["w_q"], window_strides=(spec.stride,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.int32)
+        x = (acc.astype(jnp.float32)
+             * (activation_scale * layer_params["w_scale"])
+             ).astype(config.compute_dtype)
+        x = x + layer_params["b"].astype(config.compute_dtype)
+        return _maybe_constrain_tp(config, spec, _activate(x, spec.activation))
     else:
         # int8 weight-only quantization (models/quantize.py): dequantize in-program
         # so XLA fuses the multiply into the conv's operand read (inference only).

@@ -164,6 +164,7 @@ class Transcriber:
                  valid_word_count_weight: float = 2.3,
                  prune_classes: Optional[int] = 8,
                  quantize_weights: bool = False,
+                 int8_compute: bool = False,
                  lexicon_constrained: bool = False):
         """``kenlm_directory``: serve LM-fused transcriptions — the word n-gram rides in
         HBM (`lm/device_lm.py`) and the beam runs inside the same device program as the
@@ -173,17 +174,28 @@ class Transcriber:
         — 4x less HBM weight traffic per request and 4x smaller exported bundles;
         dequantization fuses into the conv reads inside the program.
 
+        ``int8_compute``: additionally run the wide convs as int8 x int8 -> int32
+        convolutions on the MXU (v5e: 2x the bf16 peak) with dynamic per-tensor
+        activation quantization — the batched-offline-throughput lever; implies
+        ``quantize_weights``. See `Wav2LetterConfig.int8_compute`.
+
         ``lexicon_constrained``: restrict the LM beam to vocabulary words (character
         extensions must stay on the trie, spaces only terminate complete words) —
         wav2letter's lexicon decode mode; requires ``kenlm_directory``."""
+        import dataclasses
+
         import jax
         import jax.numpy as jnp
 
+        if int8_compute:
+            quantize_weights = True
+            config = dataclasses.replace(config, int8_compute=True)
         self.config = config
         if quantize_weights:
             from .models.quantize import quantize_params_int8
             params = quantize_params_int8(params)
         self.quantized = quantize_weights
+        self.int8_compute = int8_compute
         # Pin the weights in HBM once: passing host (numpy) leaves to a jitted call
         # re-uploads them EVERY request (the quantizer returns numpy; measured 605 ms
         # of pure transfer per int8 request over a 37 MB/s tunneled link vs 2 ms with
@@ -365,6 +377,7 @@ class Transcriber:
                         mel_frequency_count: int = 128,
                         kenlm_directory: Optional[Path] = None,
                         quantize_weights: bool = False,
+                        int8_compute: bool = False,
                         lexicon_constrained: bool = False,
                         **config_kwargs) -> "Transcriber":
         from .train.checkpoint import load_params
@@ -376,6 +389,7 @@ class Transcriber:
                            allowed_characters,
                            kenlm_directory=kenlm_directory,
                            quantize_weights=quantize_weights,
+                           int8_compute=int8_compute,
                            lexicon_constrained=lexicon_constrained)
 
     def _bucket(self, num_samples: int) -> int:

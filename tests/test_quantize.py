@@ -90,3 +90,51 @@ def test_transcriber_pins_weights_on_device(config_and_params):
                               quantize_weights=True)
     leaves = jax.tree.leaves(transcriber.params)
     assert leaves and all(isinstance(leaf, jax.Array) for leaf in leaves)
+
+
+def test_int8_mxu_compute_close_to_f32(config_and_params):
+    """`int8_compute=True`: the wide convs run as int8 x int8 -> int32 MXU
+    convolutions with dynamic per-tensor activation quant. Logit perturbation stays
+    small relative to the logit scale, transcription still works, and the flag
+    implies weight quantization."""
+    from speechless_tpu.serving import Transcriber
+
+    config, params = config_and_params
+    full = Transcriber(config, params, ALPHABET, sample_buckets=(16384,))
+    mxu = Transcriber(config, params, ALPHABET, sample_buckets=(16384,),
+                      int8_compute=True)
+    assert mxu.quantized and mxu.int8_compute and mxu.config.int8_compute
+    audio = (np.random.RandomState(5).randn(12000) * 0.3).astype(np.float32)
+    lp_full = full.frame_log_probs(audio)
+    lp_mxu = mxu.frame_log_probs(audio)
+    assert lp_full.shape == lp_mxu.shape
+    # Frame decisions barely move: the two paths' argmaxes agree on almost
+    # every frame (quantization noise can flip genuinely borderline frames).
+    agree = float(np.mean(lp_full.argmax(-1) == lp_mxu.argmax(-1)))
+    assert agree >= 0.95, agree
+    assert isinstance(mxu.transcribe_audio(audio), str)
+
+
+def test_int8_compute_leaves_trunk_dequantized(config_and_params):
+    """Only the big convs take the int8 conv path — the narrow trunk dequantizes
+    (its output must match the weight-only path bit-for-bit, which pins that the
+    int8_compute flag cannot silently change trunk numerics)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from speechless_tpu.models.quantize import quantize_params_int8
+
+    config, params = config_and_params
+    qparams = quantize_params_int8(params)
+    trunk_only = dataclasses.replace(
+        config, int8_compute=True,
+        layers=tuple(spec for spec in config.layers
+                     if not spec.name.startswith("big_conv"))[:3])
+    trunk_params = [qp for qp, spec in zip(qparams, config.layers)
+                    if not spec.name.startswith("big_conv")][:3]
+    baseline = dataclasses.replace(trunk_only, int8_compute=False)
+    x = np.random.RandomState(1).randn(1, 64, 128).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(w2l.apply(trunk_only, trunk_params, jnp.asarray(x))),
+        np.asarray(w2l.apply(baseline, trunk_params, jnp.asarray(x))))
