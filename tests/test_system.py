@@ -313,3 +313,56 @@ class TestLongAudio:
         # Short audio passes through the single-shot path unchanged.
         short = transcriber.transcribe_long_audio(loud, max_segment_s=30.0)
         assert short == transcriber.transcribe_audio(loud)
+
+
+class TestMixedCorpusWorkflow:
+    def test_mixed_grouped_eval_groups_by_language(self, tmp_path):
+        """`mixed_german_english` semantics: a ComposedCorpus over both language
+        directories evaluates grouped PER LANGUAGE — examples live outside the mixed
+        configuration's own corpus directory, which the reference's grouping cannot
+        handle (`configuration.py:128-130` raises ValueError there; ours falls back
+        to the language directory under the corpus base)."""
+        from speechless_tpu.data.corpus import ComposedCorpus
+
+        english_root = tmp_path / "data" / "corpus" / "English"
+        german_root = tmp_path / "data" / "corpus" / "German"
+        make_librispeech_tree(english_root / "mini", ["hey there", "what's up",
+                                                      "all good", "yes"])
+        make_librispeech_tree(german_root / "mini-de", ["gut so", "na dann",
+                                                        "alles klar", "ja"],
+                              depth_dirs=("de", "33", "44"))  # distinct example ids
+
+        def corpus_factory(_):
+            return ComposedCorpus([
+                LibriSpeechCorpus(
+                    base_directory=english_root, corpus_name="mini",
+                    allowed_characters=german_frequent_characters,
+                    training_test_split=TrainingTestSplit.overfit(3)),
+                LibriSpeechCorpus(
+                    base_directory=german_root, corpus_name="mini-de",
+                    allowed_characters=german_frequent_characters,
+                    training_test_split=TrainingTestSplit.overfit(3))])
+
+        mixed = Configuration(name="mixed-English-German",
+                              allowed_characters=german_frequent_characters,
+                              corpus_from_directory=corpus_factory,
+                              directories=DataDirectories(tmp_path / "data"),
+                              batch_size=2, training_batches_per_epoch=2)
+        wav2letter = Wav2Letter(mixed.mel_frequency_count,
+                                allowed_characters=mixed.allowed_characters)
+        mixed.train(wav2letter, run_name="mixedrun", epoch_limit=1)
+        result = mixed.test_model_grouped_by_loaded_corpus_name(wav2letter)
+        assert set(result.result_batches_by_group_name) == {"English", "German"}
+        for batches in result.result_batches_by_group_name.values():
+            assert len(batches.results) == 1  # one test example per overfit(3) split
+
+    def test_mixed_factory_accepts_directories(self, tmp_path):
+        """`Configuration.mixed_german_english(directories=...)` wires the custom
+        data root into both language sub-configurations (construction only — the
+        real corpora need network; the corpus itself stays lazy)."""
+        mixed = Configuration.mixed_german_english(
+            directories=DataDirectories(tmp_path / "data"))
+        assert mixed.name == "mixed-English-German"
+        assert mixed.allowed_characters == german_frequent_characters
+        assert mixed.corpus_directory == \
+            tmp_path / "data" / "corpus" / "mixed-English-German"
