@@ -170,6 +170,88 @@ class TestWordLmParity:
         np.testing.assert_array_equal(result.tokens, expected)
 
 
+class TestFeedBatch:
+    """`feed_batch` is EXACTLY sequential `feed` per stream, in fewer dispatches."""
+
+    def _sequential(self, decoder, states, rows):
+        return [decoder.feed(s, lp) for s, lp in zip(states, rows)]
+
+    def test_mixed_lengths_match_sequential(self):
+        decoder = BeamStreamDecoder(blank=5, beam_width=8, max_decoded_length=32,
+                                    chunk_frames=8)
+        rows = [random_log_probs(t, 6, seed=10 + i)
+                for i, t in enumerate([40, 7, 0, 23])]
+        seq = self._sequential(decoder, [decoder.init_state()] * len(rows), rows)
+        batch = decoder.feed_batch([decoder.init_state()] * len(rows), rows)
+        for (_, want), (_, got) in zip(seq, batch):
+            np.testing.assert_array_equal(got.tokens, want.tokens)
+            assert got.score == pytest.approx(want.score)
+
+    def test_multi_feed_states_stay_equal(self):
+        # Two rounds of feeds: the STATES carried out of feed_batch keep later
+        # results identical to sequential feeding.
+        decoder = BeamStreamDecoder(blank=5, beam_width=8, max_decoded_length=32,
+                                    chunk_frames=8)
+        first = [random_log_probs(t, 6, seed=20 + i)
+                 for i, t in enumerate([17, 9, 30])]
+        second = [random_log_probs(t, 6, seed=30 + i)
+                  for i, t in enumerate([5, 22, 11])]
+        seq_states = [decoder.init_state()] * 3
+        seq1 = self._sequential(decoder, seq_states, first)
+        seq2 = self._sequential(decoder, [s for s, _ in seq1], second)
+        batch1 = decoder.feed_batch([decoder.init_state()] * 3, first)
+        batch2 = decoder.feed_batch([s for s, _ in batch1], second)
+        for (_, want), (_, got) in zip(seq2, batch2):
+            np.testing.assert_array_equal(got.tokens, want.tokens)
+            assert got.score == pytest.approx(want.score)
+
+    def test_rollover_rows_match_sequential(self):
+        # One row outgrows max_decoded_length mid-batch (per-row rollover), the
+        # other stays small — both must equal their sequential feeds.
+        t, classes, cap = 30, 4, 8
+        dense = np.full((t, classes), -20.0, np.float32)
+        dense[np.arange(t), np.arange(t) % 2] = -0.01
+        small = random_log_probs(6, classes, seed=40)
+        decoder = BeamStreamDecoder(blank=3, beam_width=4, max_decoded_length=cap,
+                                    chunk_frames=4)
+        rows = [dense, small]
+        seq = self._sequential(decoder, [decoder.init_state()] * 2, rows)
+        batch = decoder.feed_batch([decoder.init_state()] * 2, rows)
+        for (_, want), (_, got) in zip(seq, batch):
+            np.testing.assert_array_equal(got.tokens, want.tokens)
+            assert got.score == pytest.approx(want.score)
+        assert len(batch[0][1].tokens) == t > cap  # the rollover actually fired
+
+    def test_word_lm_batch_matches_sequential(self, word_lm):
+        decoder = BeamStreamDecoder(blank=BLANK, beam_width=8, max_decoded_length=64,
+                                    word_lm=word_lm, lm_weight=0.8,
+                                    valid_word_count_weight=2.3, chunk_frames=16)
+        rows = [random_log_probs(t, len(ALPHABET) + 1, seed=50 + i, peaky=3.0)
+                for i, t in enumerate([48, 20])]
+        seq = self._sequential(decoder, [decoder.init_state()] * 2, rows)
+        batch = decoder.feed_batch([decoder.init_state()] * 2, rows)
+        for (_, want), (_, got) in zip(seq, batch):
+            np.testing.assert_array_equal(got.tokens, want.tokens)
+            assert got.score == pytest.approx(want.score)
+
+    def test_empty_and_singleton(self):
+        decoder = BeamStreamDecoder(blank=2, beam_width=4)
+        assert decoder.feed_batch([], []) == []
+        lp = random_log_probs(10, 3, seed=60)
+        (_, single), = decoder.feed_batch([decoder.init_state()], [lp])
+        _, want = decoder.feed(decoder.init_state(), lp)
+        np.testing.assert_array_equal(single.tokens, want.tokens)
+
+    def test_rejects_mismatched_inputs(self):
+        decoder = BeamStreamDecoder(blank=2, beam_width=4)
+        with pytest.raises(ValueError):
+            decoder.feed_batch([decoder.init_state()], [])
+        with pytest.raises(ValueError, match="class count"):
+            decoder.feed_batch([decoder.init_state()] * 2,
+                               [random_log_probs(4, 3, seed=0),
+                                random_log_probs(4, 4, seed=0)])
+
+
 class TestValidation:
     def test_rejects_both_lms(self, word_lm):
         with pytest.raises(ValueError):
