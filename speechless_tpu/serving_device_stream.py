@@ -44,8 +44,9 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .serving_streaming import (UnknownSessionError, WordAssembler, _check_window,
-                                collapse_new_frames, offline_final_pass)
+from .serving_streaming import (BeamAdvanceBatcher, UnknownSessionError,
+                                WordAssembler, _check_window, collapse_new_frames,
+                                offline_final_pass)
 from .utils.microbatch import MicroBatcher, PendingItem
 
 _POISONED_MESSAGE = ("stream lost: a device dispatch failed and the pool state was "
@@ -215,8 +216,13 @@ class DeviceStreamingSession:
         self._partial_beam = partial_beam
         if partial_beam:
             # Shared jitted step program (pool-level decoder), per-session state —
-            # exactly the host pool's arrangement (`serving_streaming`).
-            self._beam_decoder = pool._get_beam_decoder()
+            # exactly the host pool's arrangement (`serving_streaming`). Advances
+            # of concurrent sessions coalesce through the pool's BeamAdvanceBatcher
+            # (one vmapped dispatch for N sessions) when it is running.
+            batcher = pool._get_beam_batcher()
+            self._beam_decoder = batcher.decoder
+            self._beam_advance = (batcher.submit if batcher.started
+                                  else self._beam_decoder.feed)
             self._beam_state = self._beam_decoder.init_state()
             self._beam_tokens = np.zeros(0, np.int32)
         self._audio_parts: List[np.ndarray] = []
@@ -412,7 +418,7 @@ class DeviceStreamingSession:
             # consumes the surviving rows rather than mis-sliced ones.
             row_from = max(0, (finalized_from - buffer_start) // self._spf)
             row_to = (self._emit_sample - buffer_start) // self._spf
-            self._beam_state, result = self._beam_decoder.feed(
+            self._beam_state, result = self._beam_advance(
                 self._beam_state, log_probs[row_from:row_to])
             self._beam_tokens = result.tokens
         if not emissions:
@@ -513,6 +519,7 @@ class DeviceStreamingPool:
         self._sessions: Dict[str, DeviceStreamingSession] = {}
         self._lock = threading.Lock()
         self._beam_decoder = None
+        self._beam_batcher = None
         self._beam_decoder_lock = threading.Lock()
         self.batcher = _DeviceFeedBatcher(self, max_batch=max_batch,
                                           max_wait_ms=max_wait_ms)
@@ -521,9 +528,15 @@ class DeviceStreamingPool:
 
     def start(self) -> None:
         self.batcher.start()
+        with self._beam_decoder_lock:
+            if self._beam_batcher is not None and not self._beam_batcher.started:
+                self._beam_batcher.start()
 
     def stop(self) -> None:
         self.batcher.stop()
+        with self._beam_decoder_lock:
+            if self._beam_batcher is not None:
+                self._beam_batcher.stop()
         with self._lock:
             for session in self._sessions.values():
                 session._poisoned = session._finished = True
@@ -603,6 +616,20 @@ class DeviceStreamingPool:
                     lexicon_constrained=getattr(transcriber, "lexicon_constrained",
                                                 False))
             return self._beam_decoder
+
+    def _get_beam_batcher(self):
+        """The pool-wide `BeamAdvanceBatcher` over `_get_beam_decoder()` — advances
+        of concurrent beam sessions coalesce into vmapped `feed_batch` dispatches.
+        Built lazily with the decoder; started alongside the feed batcher."""
+        decoder = self._get_beam_decoder()
+        with self._beam_decoder_lock:
+            if self._beam_batcher is None:
+                self._beam_batcher = BeamAdvanceBatcher(
+                    decoder, max_batch=self.batcher.max_batch,
+                    max_wait_ms=self.batcher.max_wait_ms)
+                if self.batcher.started:
+                    self._beam_batcher.start()
+            return self._beam_batcher
 
     def feed(self, session_id: str, chunk: np.ndarray) -> str:
         return self.feed_with_text(session_id, chunk)[0]

@@ -37,7 +37,7 @@ the authoritative transcript alongside the live text.
 import threading
 import time
 import uuid
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -135,15 +135,45 @@ def _check_window(window_s: float, margin_s: float) -> None:
                          "(got window {}s, margin {}s)".format(window_s, margin_s))
 
 
+def beam_decoder_for(transcriber, chunk_frames: int = 64,
+                     max_decoded_length: int = 512):
+    """Build the incremental prefix-beam decoder matching ``transcriber``'s decode
+    configuration (fusion weights, word LM, lexicon constraint). The decoder is
+    stateless across streams — per-stream state lives in `BeamStreamState` — so one
+    instance (and its jitted step programs) serves any number of sessions."""
+    from .ops.decode_incremental import BeamStreamDecoder
+
+    decoder = getattr(transcriber, "_decoder", {})
+    return BeamStreamDecoder(
+        blank=transcriber.blank_index,
+        beam_width=decoder.get("beam_width", 25),
+        chunk_frames=chunk_frames,
+        max_decoded_length=max_decoded_length,
+        word_lm=getattr(transcriber, "word_lm", None),
+        lm_weight=decoder.get("lm_weight", 0.8),
+        word_count_weight=decoder.get("word_count_weight", 0.0),
+        valid_word_count_weight=decoder.get("valid_word_count_weight", 2.3),
+        prune_classes=decoder.get("prune_classes", None),
+        lexicon_constrained=getattr(transcriber, "lexicon_constrained", False))
+
+
 class StreamingTranscriber:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
                  sample_rate: int = 16000, frame_fn=None,
                  final_decode: bool = False, partial_decode: str = "greedy",
-                 beam_chunk_frames: int = 64, beam_max_decoded_length: int = 512):
+                 beam_chunk_frames: int = 64, beam_max_decoded_length: int = 512,
+                 beam_decoder=None, beam_advance_fn=None):
         """``frame_fn``: optional override for the per-frame window call (defaults to
         ``transcriber.frame_tokens``, or ``transcriber.frame_log_probs`` in beam
         mode). A `StreamingFrameBatcher.submit` here lets many concurrent streams
         share batched device dispatches.
+
+        ``beam_decoder`` / ``beam_advance_fn``: share ONE `BeamStreamDecoder` (and
+        optionally a batched advance, e.g. `BeamAdvanceBatcher.submit`) across many
+        beam-partial streams — the decoder holds no per-stream state (that rides in
+        each stream's `BeamStreamState`), so N sessions' advances can run as one
+        vmapped device dispatch instead of N. Defaults: build a private decoder and
+        advance it directly.
 
         ``final_decode``: two-pass mode — the stream additionally accumulates every
         fed chunk on the host (~3.7 MB per minute of 16 kHz float32) and `finalize()`
@@ -178,21 +208,12 @@ class StreamingTranscriber:
                     "partial_decode='beam' needs per-frame posteriors; this backend "
                     "has no frame_log_probs program (bundles: re-export with "
                     "streaming=True)")
-            from .ops.decode_incremental import BeamStreamDecoder
-
-            decoder = getattr(transcriber, "_decoder", {})
-            self._beam_decoder = BeamStreamDecoder(
-                blank=transcriber.blank_index,
-                beam_width=decoder.get("beam_width", 25),
-                chunk_frames=beam_chunk_frames,
-                max_decoded_length=beam_max_decoded_length,
-                word_lm=getattr(transcriber, "word_lm", None),
-                lm_weight=decoder.get("lm_weight", 0.8),
-                word_count_weight=decoder.get("word_count_weight", 0.0),
-                valid_word_count_weight=decoder.get("valid_word_count_weight", 2.3),
-                prune_classes=decoder.get("prune_classes", None),
-                lexicon_constrained=getattr(transcriber, "lexicon_constrained",
-                                            False))
+            self._beam_decoder = (beam_decoder if beam_decoder is not None
+                                  else beam_decoder_for(transcriber,
+                                                        beam_chunk_frames,
+                                                        beam_max_decoded_length))
+            self._beam_advance = (beam_advance_fn if beam_advance_fn is not None
+                                  else self._beam_decoder.feed)
             default_fn = transcriber.frame_log_probs
         else:
             self._beam_decoder = None
@@ -339,7 +360,7 @@ class StreamingTranscriber:
                     # sample axis — everything is frame-grid aligned by construction).
                     row_from = (finalized_from - self._buffer_start) // self._spf
                     row_to = (self._emit_sample - self._buffer_start) // self._spf
-                    self._beam_state, result = self._beam_decoder.feed(
+                    self._beam_state, result = self._beam_advance(
                         self._beam_state, log_probs[row_from:row_to])
                     self._beam_tokens = result.tokens
                 if emissions:
@@ -411,6 +432,39 @@ class StreamingFrameBatcher(MicroBatcher):
                 pending.result = frames
 
 
+class BeamAdvanceBatcher(MicroBatcher):
+    """Batch the incremental-beam advances of many concurrent beam-partial streams
+    into vmapped device dispatches (`BeamStreamDecoder.feed_batch`).
+
+    Without it, N concurrent beam sessions cost N beam dispatches per chunk round —
+    each paying the full per-dispatch round-trip (~24 ms on tunneled backends) — on
+    top of the (already batched) window program. With it, advances that arrive
+    within ``max_wait_ms`` run as ONE vmapped program with one stacked-scalars
+    fetch; exactness per stream is `feed_batch`'s pinned contract. Payloads are
+    ``(BeamStreamState, log_probs_rows)``, results ``(new_state, BeamStreamResult)``.
+    """
+
+    item_noun = "advances"
+
+    def __init__(self, decoder, max_batch: int = 16, max_wait_ms: float = 20.0):
+        super().__init__(max_batch=max_batch, max_wait_ms=max_wait_ms,
+                         name="streaming-beam-batcher")
+        self.decoder = decoder
+
+    def submit(self, state, log_probs):
+        return super().submit((state, log_probs))
+
+    def _serve(self, batch):
+        if len(batch) == 1:
+            state, rows = batch[0].payload
+            batch[0].result = self.decoder.feed(state, rows)
+            return
+        results = self.decoder.feed_batch([p.payload[0] for p in batch],
+                                          [p.payload[1] for p in batch])
+        for pending, result in zip(batch, results):
+            pending.result = result
+
+
 class _Session:
     __slots__ = ("stream", "lock", "last_used")
 
@@ -457,17 +511,31 @@ class StreamingSessionPool:
                                   max_wait_ms=max_wait_ms, log_probs=True)
             if (hasattr(transcriber, "frame_log_probs")
                 and getattr(transcriber, "_posterior_programs", True)) else None)
+        # Beam-partial sessions also share ONE BeamStreamDecoder and batch their
+        # advances (`BeamAdvanceBatcher`); built lazily on the first beam create()
+        # so greedy-only pools never pay for the decoder's device tables.
+        self.beam_batcher: Optional[BeamAdvanceBatcher] = None
+        self._max_batch = max_batch
+        self._max_wait_ms = max_wait_ms
+        self._started = False
 
     def start(self) -> None:
         self.batcher.start()
         if self.posterior_batcher is not None:
             self.posterior_batcher.start()
+        with self._lock:
+            self._started = True
+            if self.beam_batcher is not None and not self.beam_batcher.started:
+                self.beam_batcher.start()
 
     def stop(self) -> None:
         self.batcher.stop()
         if self.posterior_batcher is not None:
             self.posterior_batcher.stop()
+        if self.beam_batcher is not None:
+            self.beam_batcher.stop()
         with self._lock:
+            self._started = False
             self._sessions.clear()
 
     def create(self, final_decode: bool = False,
@@ -488,13 +556,24 @@ class StreamingSessionPool:
                 raise RuntimeError("session limit reached ({})".format(
                     self._max_sessions))
             session_id = uuid.uuid4().hex[:16]
+            beam_kwargs = {}
+            if partial_decode == "beam":
+                if self.beam_batcher is None:
+                    self.beam_batcher = BeamAdvanceBatcher(
+                        beam_decoder_for(self._transcriber),
+                        max_batch=self._max_batch, max_wait_ms=self._max_wait_ms)
+                    if self._started:
+                        self.beam_batcher.start()
+                beam_kwargs = dict(beam_decoder=self.beam_batcher.decoder,
+                                   beam_advance_fn=self.beam_batcher.submit)
             frame_fn = (self.posterior_batcher.submit if partial_decode == "beam"
                         else self.batcher.submit)
             stream = StreamingTranscriber(self._transcriber, window_s=self._window_s,
                                           margin_s=self._margin_s,
                                           frame_fn=frame_fn,
                                           final_decode=final_decode,
-                                          partial_decode=partial_decode)
+                                          partial_decode=partial_decode,
+                                          **beam_kwargs)
             self._sessions[session_id] = _Session(stream)
             return session_id
 

@@ -155,6 +155,36 @@ def test_concurrent_sessions_match_sequential(transcriber, pool):
     assert pool.batcher.batches < pool.batcher.items  # some feeds actually batched
 
 
+def test_concurrent_beam_sessions_batch_advances_and_match_sequential(transcriber,
+                                                                      pool):
+    """N threads' BEAM sessions coalesce their incremental-beam advances through the
+    pool's shared `BeamAdvanceBatcher` (vmapped `feed_batch`) and still produce
+    exactly the sequential per-session transcripts."""
+    audios = [_audio(int(n), seed=30 + i)
+              for i, n in enumerate((30000, 45000, 52000, 38000))]
+
+    def transcribe(audio):
+        session = pool.create_stream(partial_decode="beam")
+        session.transcribe_stream(audio, 4000)
+        return session.text
+
+    expected = [transcribe(a) for a in audios]
+    results = [None] * len(audios)
+
+    def run(i):
+        results[i] = transcribe(audios[i])
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(audios))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == expected
+    metrics = pool._beam_batcher.metrics()
+    assert metrics["advances"] > 0
+    assert metrics["batches"] < metrics["advances"]  # advances actually coalesced
+
+
 def test_row_reuse_resets_device_state(transcriber, pool):
     """finish() frees the HBM row; a new session on the reused row must not see stale
     audio."""

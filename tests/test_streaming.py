@@ -355,6 +355,62 @@ def test_session_pool_beam_partials():
     assert final == direct.finish()
 
 
+def test_session_pool_beam_advances_batch_across_sessions():
+    """Concurrent beam-partial sessions share ONE BeamStreamDecoder and their beam
+    advances coalesce through `BeamAdvanceBatcher` (vmapped `feed_batch`) — each
+    session's transcript stays EXACTLY its direct, unshared stream's, and the
+    batcher's metrics prove advances actually ran batched (fewer batches than
+    advances)."""
+    import threading as th
+
+    import jax
+    from speechless_tpu.serving_streaming import StreamingSessionPool
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(7))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    rng = np.random.RandomState(21)
+    n = 4
+    audios = [(rng.randn(30000) * 0.3).astype(np.float32) for _ in range(n)]
+    pool = StreamingSessionPool(transcriber, window_s=1.024, margin_s=0.25,
+                                max_batch=n, max_wait_ms=150.0)
+    pool.start()
+    finals = [None] * n
+    errors = []
+    try:
+        sids = [pool.create(partial_decode="beam") for _ in range(n)]
+        assert pool.beam_batcher is not None and pool.beam_batcher.started
+        barrier = th.Barrier(n)
+
+        def run(i):
+            try:
+                for start in range(0, len(audios[i]), 4000):
+                    barrier.wait(timeout=30)  # co-arrive so advances coalesce
+                    pool.feed(sids[i], audios[i][start:start + 4000])
+                finals[i] = pool.finish(sids[i])
+            except BaseException as e:  # noqa: BLE001 — surface to the main thread
+                errors.append(e)
+                barrier.abort()
+
+        threads = [th.Thread(target=run, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        metrics = pool.beam_batcher.metrics()
+    finally:
+        pool.stop()
+    for i in range(n):
+        direct = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25,
+                                      partial_decode="beam")
+        for start in range(0, len(audios[i]), 4000):
+            direct.feed(audios[i][start:start + 4000])
+        assert finals[i] == direct.finish()
+    assert metrics["advances"] > 0
+    assert metrics["batches"] < metrics["advances"]  # real cross-session batching
+
+
 def test_long_stream_divergence_is_only_feature_normalization():
     """Documents the ONE irreducible stream-vs-offline approximation (the r03 1/50
     'mismatch', diagnosed r04: a trailing space flipped by the final window's z-norm
