@@ -53,6 +53,10 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
     pool.start()
     try:
         pool.warm_up()  # one compile, outside the timed region
+        if partial_decode == "beam":
+            # Compile the vmapped cross-session advance programs (power-of-two
+            # buckets) outside the timed region too.
+            pool._get_beam_batcher().warm_up(transcriber.blank_index + 1)
 
         def run(i):
             sid = pool.create(partial_decode=partial_decode)
@@ -84,6 +88,11 @@ def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,
                                     max_batch=max_batch, max_wait_ms=20.0)
         pool.start()
         try:
+            if partial_decode == "beam":
+                warm_sid = pool.create(partial_decode="beam")  # builds the batcher
+                pool.beam_batcher.warm_up(transcriber.blank_index + 1)
+                pool.close(warm_sid)
+
             def run(i):
                 sid = pool.create(partial_decode=partial_decode)
                 audio = audio_clips[i]

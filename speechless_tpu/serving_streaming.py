@@ -450,17 +450,45 @@ class BeamAdvanceBatcher(MicroBatcher):
         super().__init__(max_batch=max_batch, max_wait_ms=max_wait_ms,
                          name="streaming-beam-batcher")
         self.decoder = decoder
+        self._pad_state = None  # reused no-op row (never mutated: updates are pure)
 
     def submit(self, state, log_probs):
         return super().submit((state, log_probs))
+
+    def warm_up(self, classes: int) -> None:
+        """Compile the vmapped advance program for every power-of-two bucket up to
+        ``max_batch`` (zero-length no-op rows — state is untouched). A cold compile
+        inside a live feed would stall every coalesced session for its duration
+        (minutes on remote-compiled backends). ``classes`` is the posterior class
+        count (``blank_index + 1``)."""
+        bucket = 2
+        while bucket <= self.max_batch:
+            self.decoder.feed_batch(
+                [self.decoder.init_state()] * bucket,
+                [np.zeros((0, classes), np.float32)] * bucket)
+            bucket *= 2
 
     def _serve(self, batch):
         if len(batch) == 1:
             state, rows = batch[0].payload
             batch[0].result = self.decoder.feed(state, rows)
             return
-        results = self.decoder.feed_batch([p.payload[0] for p in batch],
-                                          [p.payload[1] for p in batch])
+        states = [p.payload[0] for p in batch]
+        rows = [np.asarray(p.payload[1], np.float32) for p in batch]
+        # Pad to power-of-two sizes: the vmapped program's shape depends on the
+        # batch count, so free-running sizes would compile one program per distinct
+        # N (minutes each on remote-compiled backends). A zero-length row on a
+        # fresh state is an exact no-op, so padding rows ride for free.
+        bucket = 2
+        while bucket < len(batch):
+            bucket *= 2
+        if bucket > len(batch):
+            if self._pad_state is None:
+                self._pad_state = self.decoder.init_state()
+            states += [self._pad_state] * (bucket - len(batch))
+            rows += [np.zeros((0, rows[0].shape[1]), np.float32)] * (
+                bucket - len(batch))
+        results = self.decoder.feed_batch(states, rows)
         for pending, result in zip(batch, results):
             pending.result = result
 
