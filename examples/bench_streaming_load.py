@@ -168,6 +168,10 @@ def main() -> None:
                              "with an LM-fused checkpoint to load the word LM")
     parser.add_argument("--kenlm", action="store_true",
                         help="LM-fuse the beam (kenlm/english under --data-dir)")
+    parser.add_argument("--only", nargs="*", default=None,
+                        help="measure only these modes (device, batched, unbatched, "
+                             "device-beam, batched-beam); merges into an existing "
+                             "--out file so partial reruns keep the other rows")
     parser.add_argument("--out", type=Path,
                         default=Path(__file__).resolve().parent.parent
                         / "evidence" / "STREAMING_LOAD_r04.json")
@@ -218,12 +222,16 @@ def main() -> None:
     results = {"platform": jax.devices()[0].platform,
                "window_s": args.window_s, "margin_s": args.margin_s,
                "chunk_ms": args.chunk_ms}
+    if args.only and args.out.exists():
+        results = {**json.loads(args.out.read_text()), **results}
     modes = [("device", None, "greedy"), ("batched", True, "greedy"),
              ("unbatched", False, "greedy")]
     if args.beam:
         # The round-3 flagship under load: live beam partials via the incremental
         # prefix beam, on both the host-window pool and the HBM-resident pool.
         modes += [("device-beam", None, "beam"), ("batched-beam", True, "beam")]
+    if args.only:
+        modes = [m for m in modes if m[0] in args.only]
     for label, batched, partial in modes:
         if batched is None:
             row = run_device_load(transcriber, args.streams, clips, chunk,

@@ -275,6 +275,7 @@ class BeamStreamDecoder:
         beam, committed, committed_score = state
         pieces = max(1, -(-log_probs.shape[0] // self.chunk_frames))
         tokens = np.zeros(0, np.int32)
+        tokens_np = None
         count, score = 0, 0.0
         for p in range(pieces):
             piece = log_probs[p * self.chunk_frames:(p + 1) * self.chunk_frames]
@@ -287,7 +288,14 @@ class BeamStreamDecoder:
                 self.lm_table, self.lm_weight, self._word_arrays, self._word_static,
                 self.word_count_weight, self.valid_word_count_weight,
                 self.prune_classes, self.lexicon_constrained)
-            count_f, score_f, max_live = np.asarray(scalars)
+            if p == pieces - 1:
+                # The live token row is always consumed after the loop — fetch it
+                # WITH the scalars as one blocking transfer instead of syncing
+                # twice (each sync pays the full round-trip on tunneled backends).
+                scal, tokens_np = jax.device_get((scalars, tokens))
+                count_f, score_f, max_live = scal
+            else:
+                count_f, score_f, max_live = np.asarray(scalars)
             count, score = int(count_f), float(score_f)
             if int(max_live) + self.chunk_frames > self.max_decoded_length:
                 # Rollover (see class docstring): ANY live prefix — not just the
@@ -295,12 +303,16 @@ class BeamStreamDecoder:
                 # prefix, and a longer competitor could saturate mid-chunk, lose
                 # characters, and later win — could hit the buffer capacity
                 # within the next chunk. Commit the best and restart.
+                rolled = (tokens_np if tokens_np is not None
+                          else np.asarray(tokens))
                 committed = np.concatenate(
-                    [committed, np.asarray(tokens)[:count].astype(np.int32)])
+                    [committed, rolled[:count].astype(np.int32)])
                 committed_score += score
                 beam = self._fresh_beam()
-                tokens, count, score = np.zeros(0, np.int32), 0, 0.0
-        live = np.asarray(tokens)[:count].astype(np.int32)
+                tokens, tokens_np = np.zeros(0, np.int32), None
+                count, score = 0, 0.0
+        live = (tokens_np if tokens_np is not None
+                else np.asarray(tokens))[:count].astype(np.int32)
         full = np.concatenate([committed, live]) if committed.size else live
         return (BeamStreamState(beam, committed, committed_score),
                 BeamStreamResult(full, committed_score + score))
@@ -362,14 +374,22 @@ class BeamStreamDecoder:
                 self.valid_word_count_weight, self.prune_classes,
                 self.lexicon_constrained)
             beams = list(new_beams)
-            scal = np.asarray(scalars)              # ONE fetch per piece round
+            if p == pieces - 1:
+                # The live token rows are always consumed after the loop — one
+                # blocking transfer for scalars AND rows instead of two syncs
+                # (each costing a full round-trip on tunneled backends).
+                scal, rows_np = jax.device_get((scalars, rows))
+            else:
+                scal = np.asarray(scalars)          # ONE fetch per piece round
+                rows_np = None
             counts = scal[:, 0].astype(np.int64)
             scores = scal[:, 1].astype(np.float64)
             max_live = scal[:, 2].astype(np.int64)
             rollover = {i for i in range(n) if max_live[i] + cf
                         > self.max_decoded_length}
             if rollover:
-                rows_np = np.asarray(rows)          # fetch only when a roll fires
+                if rows_np is None:
+                    rows_np = np.asarray(rows)      # fetch only when a roll fires
                 for i in rollover:
                     committed[i] = np.concatenate(
                         [committed[i], rows_np[i, : counts[i]].astype(np.int32)])
@@ -379,7 +399,6 @@ class BeamStreamDecoder:
             for i in range(n):
                 if i not in rollover:
                     rolled_in_final_piece[i] = False
-        rows_np = np.asarray(rows)                  # final live tokens, one fetch
         out = []
         for i in range(n):
             if rolled_in_final_piece[i]:

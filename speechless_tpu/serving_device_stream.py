@@ -607,6 +607,10 @@ class DeviceStreamingPool:
                 self._beam_decoder = BeamStreamDecoder(
                     blank=self.blank_index,
                     beam_width=decoder.get("beam_width", 25),
+                    # ~0.5 s of frames: hug the live-feed cadence — the advance
+                    # program's wall tracks the scan length, not the valid rows
+                    # (see serving_streaming.beam_decoder_for).
+                    chunk_frames=32,
                     word_lm=getattr(transcriber, "word_lm", None),
                     lm_weight=decoder.get("lm_weight", 0.8),
                     word_count_weight=decoder.get("word_count_weight", 0.0),

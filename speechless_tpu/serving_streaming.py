@@ -135,12 +135,19 @@ def _check_window(window_s: float, margin_s: float) -> None:
                          "(got window {}s, margin {}s)".format(window_s, margin_s))
 
 
-def beam_decoder_for(transcriber, chunk_frames: int = 64,
+def beam_decoder_for(transcriber, chunk_frames: int = 32,
                      max_decoded_length: int = 512):
     """Build the incremental prefix-beam decoder matching ``transcriber``'s decode
     configuration (fusion weights, word LM, lexicon constraint). The decoder is
     stateless across streams — per-stream state lives in `BeamStreamState` — so one
-    instance (and its jitted step programs) serves any number of sessions."""
+    instance (and its jitted step programs) serves any number of sessions.
+
+    ``chunk_frames=32`` (~0.5 s at the model's 62.5 fps) matches the live-feed
+    cadence: the advance program's wall is dominated by the scan LENGTH, not the
+    valid rows (87 vs 135 ms per 16-wide advance at 32 vs 64 on the tunneled v5e),
+    so the piece capacity should hug the typical finalized-rows-per-feed. Larger
+    feeds (finish flushes over the margin) just run multiple pieces — exactness is
+    piece-count-invariant (pinned in tests)."""
     from .ops.decode_incremental import BeamStreamDecoder
 
     decoder = getattr(transcriber, "_decoder", {})
@@ -161,7 +168,7 @@ class StreamingTranscriber:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
                  sample_rate: int = 16000, frame_fn=None,
                  final_decode: bool = False, partial_decode: str = "greedy",
-                 beam_chunk_frames: int = 64, beam_max_decoded_length: int = 512,
+                 beam_chunk_frames: int = 32, beam_max_decoded_length: int = 512,
                  beam_decoder=None, beam_advance_fn=None):
         """``frame_fn``: optional override for the per-frame window call (defaults to
         ``transcriber.frame_tokens``, or ``transcriber.frame_log_probs`` in beam
@@ -451,22 +458,33 @@ class BeamAdvanceBatcher(MicroBatcher):
                          name="streaming-beam-batcher")
         self.decoder = decoder
         self._pad_state = None  # reused no-op row (never mutated: updates are pure)
+        # Batch-size buckets: the vmapped program's shape depends on the batch
+        # count, so free-running sizes would compile one program per distinct N
+        # (minutes each on remote-compiled backends). Powers of two alone pad up to
+        # 2x extra rows (a size-9 batch riding a 16-row program doubles the advance
+        # compute); interleaving the 1.5x points (2,3,4,6,8,12,16,24,...) caps the
+        # padding overhead at 33% for ~log2(max_batch) extra programs.
+        buckets, b = [], 2
+        while b < max_batch:
+            buckets.append(b)
+            if b + b // 2 < max_batch:
+                buckets.append(b + b // 2)
+            b *= 2
+        self.buckets = tuple(buckets) + (max_batch,)
 
     def submit(self, state, log_probs):
         return super().submit((state, log_probs))
 
     def warm_up(self, classes: int) -> None:
-        """Compile the vmapped advance program for every power-of-two bucket up to
+        """Compile the vmapped advance program for every batch-size bucket up to
         ``max_batch`` (zero-length no-op rows — state is untouched). A cold compile
         inside a live feed would stall every coalesced session for its duration
         (minutes on remote-compiled backends). ``classes`` is the posterior class
         count (``blank_index + 1``)."""
-        bucket = 2
-        while bucket <= self.max_batch:
+        for bucket in self.buckets:
             self.decoder.feed_batch(
                 [self.decoder.init_state()] * bucket,
                 [np.zeros((0, classes), np.float32)] * bucket)
-            bucket *= 2
 
     def _serve(self, batch):
         if len(batch) == 1:
@@ -475,13 +493,9 @@ class BeamAdvanceBatcher(MicroBatcher):
             return
         states = [p.payload[0] for p in batch]
         rows = [np.asarray(p.payload[1], np.float32) for p in batch]
-        # Pad to power-of-two sizes: the vmapped program's shape depends on the
-        # batch count, so free-running sizes would compile one program per distinct
-        # N (minutes each on remote-compiled backends). A zero-length row on a
-        # fresh state is an exact no-op, so padding rows ride for free.
-        bucket = 2
-        while bucket < len(batch):
-            bucket *= 2
+        # Pad to the next bucket: a zero-length row on a fresh state is an exact
+        # no-op by feed_batch's contract, so padding rows change nothing but shape.
+        bucket = next(b for b in self.buckets if b >= len(batch))
         if bucket > len(batch):
             if self._pad_state is None:
                 self._pad_state = self.decoder.init_state()
