@@ -49,13 +49,13 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
     pool = DeviceStreamingPool(transcriber, window_s=window_s, margin_s=margin_s,
                                max_batch=max_batch, max_wait_ms=20.0,
                                max_sessions=max(streams, max_batch),
-                               beam_partials=partial_decode == "beam")
+                               beam_partials=partial_decode != "greedy")
     pool.start()
     try:
         pool.warm_up()  # one compile, outside the timed region
-        if partial_decode == "beam":
-            # Compile the vmapped cross-session advance programs (power-of-two
-            # buckets) outside the timed region too.
+        if partial_decode != "greedy":
+            # Compile the vmapped cross-session advance programs (bucketed batch
+            # sizes) outside the timed region too.
             pool._get_beam_batcher().warm_up(transcriber.blank_index + 1)
 
         def run(i):
@@ -88,7 +88,7 @@ def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,
                                     max_batch=max_batch, max_wait_ms=20.0)
         pool.start()
         try:
-            if partial_decode == "beam":
+            if partial_decode != "greedy":
                 warm_sid = pool.create(partial_decode="beam")  # builds the batcher
                 pool.beam_batcher.warm_up(transcriber.blank_index + 1)
                 pool.close(warm_sid)
@@ -101,7 +101,7 @@ def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,
                 texts[i] = pool.finish(sid)
 
             wall = _run_threads(run, streams)
-            batcher = (pool.posterior_batcher if partial_decode == "beam"
+            batcher = (pool.posterior_batcher if partial_decode != "greedy"
                        else pool.batcher)
             metrics = batcher.metrics()
         finally:
@@ -229,7 +229,12 @@ def main() -> None:
     if args.beam:
         # The round-3 flagship under load: live beam partials via the incremental
         # prefix beam, on both the host-window pool and the HBM-resident pool.
-        modes += [("device-beam", None, "beam"), ("batched-beam", True, "beam")]
+        # The -pipe rows overlap each session's advance with its next chunk
+        # (partial lags one feed, final transcript byte-identical — see
+        # serving_streaming.StreamingTranscriber partial_decode='beam_pipelined').
+        modes += [("device-beam", None, "beam"), ("batched-beam", True, "beam"),
+                  ("device-beam-pipe", None, "beam_pipelined"),
+                  ("batched-beam-pipe", True, "beam_pipelined")]
     if args.only:
         modes = [m for m in modes if m[0] in args.only]
     for label, batched, partial in modes:

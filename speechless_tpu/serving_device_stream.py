@@ -206,7 +206,8 @@ class DeviceStreamingSession:
     ``finish() -> remaining text``, ``.text``."""
 
     def __init__(self, pool: "DeviceStreamingPool", row: int,
-                 final_decode: bool = False, partial_beam: bool = False):
+                 final_decode: bool = False, partial_beam: bool = False,
+                 beam_pipelined: bool = False):
         self._pool = pool
         self._row = row
         self._spf = pool.spf
@@ -214,6 +215,7 @@ class DeviceStreamingSession:
         self._codec = pool.codec
         self._final_decode = final_decode
         self._partial_beam = partial_beam
+        self._beam_pipelined = beam_pipelined
         if partial_beam:
             # Shared jitted step program (pool-level decoder), per-session state —
             # exactly the host pool's arrangement (`serving_streaming`). Advances
@@ -223,6 +225,15 @@ class DeviceStreamingSession:
             self._beam_decoder = batcher.decoder
             self._beam_advance = (batcher.submit if batcher.started
                                   else self._beam_decoder.feed)
+            if beam_pipelined:
+                # Pipelined partials: `_emit` SUBMITS the advance and adopts the
+                # PREVIOUS one's best (see `serving_streaming.StreamingTranscriber`
+                # — same contract: partials lag one feed, finish is byte-identical).
+                from .serving_streaming import _DeferredAdvance
+                self._beam_submit = (
+                    batcher.submit_nowait if batcher.started
+                    else (lambda s, r: _DeferredAdvance(self._beam_advance, s, r)))
+                self._beam_inflight = None
             self._beam_state = self._beam_decoder.init_state()
             self._beam_tokens = np.zeros(0, np.int32)
         self._audio_parts: List[np.ndarray] = []
@@ -418,9 +429,17 @@ class DeviceStreamingSession:
             # consumes the surviving rows rather than mis-sliced ones.
             row_from = max(0, (finalized_from - buffer_start) // self._spf)
             row_to = (self._emit_sample - buffer_start) // self._spf
-            self._beam_state, result = self._beam_advance(
-                self._beam_state, log_probs[row_from:row_to])
-            self._beam_tokens = result.tokens
+            rows = log_probs[row_from:row_to]
+            if self._beam_pipelined:
+                self._collect_beam()  # previous advance's state seeds this one
+                self._beam_inflight = self._beam_submit(self._beam_state, rows)
+            else:
+                self._beam_state, result = self._beam_advance(
+                    self._beam_state, rows)
+                self._beam_tokens = result.tokens
+        if flush and self._partial_beam and self._beam_pipelined:
+            # The flush's return must be the COMPLETE transcript.
+            self._collect_beam()
         if not emissions:
             return ""
         for token, start in emissions:
@@ -429,6 +448,14 @@ class DeviceStreamingSession:
                                             merge_repeated=False)
         self._parts.append(part)
         return part
+
+    def _collect_beam(self) -> None:
+        """Pipelined partials: adopt the in-flight advance's state and best (a
+        dispatch error surfaces here — on the NEXT feed or at finish)."""
+        if getattr(self, "_beam_inflight", None) is not None:
+            inflight, self._beam_inflight = self._beam_inflight, None
+            self._beam_state, result = inflight.wait()
+            self._beam_tokens = result.tokens
 
 
 class DeviceStreamingPool:
@@ -568,10 +595,11 @@ class DeviceStreamingPool:
         per-frame posteriors — each feed's text REPLACES the previous partial.
         Requires ``beam_partials`` (on by default for live backends; bundles must
         be exported with ``device_streaming={"posteriors": True}``)."""
-        if partial_decode not in ("greedy", "beam"):
-            raise ValueError("partial_decode must be 'greedy' or 'beam', got {!r}"
-                             .format(partial_decode))
-        if partial_decode == "beam" and not self.beam_partials:
+        if partial_decode not in ("greedy", "beam", "beam_pipelined"):
+            raise ValueError("partial_decode must be 'greedy', 'beam', or "
+                             "'beam_pipelined', got {!r}".format(partial_decode))
+        beam = partial_decode in ("beam", "beam_pipelined")
+        if beam and not self.beam_partials:
             raise ValueError("this pool's feed program has no posterior output; "
                              "construct with beam_partials=True (live) or re-export "
                              "the bundle with device_streaming={'posteriors': True}")
@@ -583,8 +611,8 @@ class DeviceStreamingPool:
             row = self._free.pop()
             session_id = uuid.uuid4().hex[:16]
             self._sessions[session_id] = DeviceStreamingSession(
-                self, row, final_decode=final_decode,
-                partial_beam=partial_decode == "beam")
+                self, row, final_decode=final_decode, partial_beam=beam,
+                beam_pipelined=partial_decode == "beam_pipelined")
             return session_id
 
     def create_stream(self, final_decode: bool = False,

@@ -383,9 +383,11 @@ class TranscriptionServer:
                             except (ValueError, AttributeError):
                                 raise RequestError(400, "body must be empty or a "
                                                         "JSON object")
-                        if partial_decode not in ("greedy", "beam"):
+                        if partial_decode not in ("greedy", "beam",
+                                                  "beam_pipelined"):
                             raise RequestError(400, "partial_decode must be "
-                                                    "'greedy' or 'beam'")
+                                                    "'greedy', 'beam', or "
+                                                    "'beam_pipelined'")
                         try:
                             self._reply(200, {"session": server.streams.create(
                                 final_decode=final_decode,

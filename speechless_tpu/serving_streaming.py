@@ -164,12 +164,27 @@ def beam_decoder_for(transcriber, chunk_frames: int = 32,
         lexicon_constrained=getattr(transcriber, "lexicon_constrained", False))
 
 
+class _DeferredAdvance:
+    """Handle-compatible fallback when no batcher serves pipelined advances: the
+    advance runs lazily at `.wait()` (collection time) — identical lag semantics to
+    the batcher path, without the overlap."""
+
+    __slots__ = ("_fn", "_state", "_rows")
+
+    def __init__(self, fn, state, rows):
+        self._fn, self._state, self._rows = fn, state, rows
+
+    def wait(self):
+        return self._fn(self._state, self._rows)
+
+
 class StreamingTranscriber:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
                  sample_rate: int = 16000, frame_fn=None,
                  final_decode: bool = False, partial_decode: str = "greedy",
                  beam_chunk_frames: int = 32, beam_max_decoded_length: int = 512,
-                 beam_decoder=None, beam_advance_fn=None):
+                 beam_decoder=None, beam_advance_fn=None,
+                 beam_advance_nowait_fn=None):
         """``frame_fn``: optional override for the per-frame window call (defaults to
         ``transcriber.frame_tokens``, or ``transcriber.frame_log_probs`` in beam
         mode). A `StreamingFrameBatcher.submit` here lets many concurrent streams
@@ -201,12 +216,18 @@ class StreamingTranscriber:
         `pop_new_words`. Requires a transcriber with per-frame posteriors
         (`frame_log_probs` — JIT backends; AOT bundles must be exported with it)."""
         _check_window(window_s, margin_s)
-        if partial_decode not in ("greedy", "beam"):
-            raise ValueError("partial_decode must be 'greedy' or 'beam', got {!r}"
-                             .format(partial_decode))
+        if partial_decode not in ("greedy", "beam", "beam_pipelined"):
+            raise ValueError("partial_decode must be 'greedy', 'beam', or "
+                             "'beam_pipelined', got {!r}".format(partial_decode))
         self._transcriber = transcriber
         self._final_decode = final_decode
-        self._partial_beam = partial_decode == "beam"
+        self._partial_beam = partial_decode in ("beam", "beam_pipelined")
+        # Pipelined partials: feed() SUBMITS the beam advance and returns the
+        # PREVIOUS advance's best — the advance runs while the client gathers its
+        # next chunk, so the feed critical path is the window dispatch alone. Live
+        # partials lag one feed; finish() collects everything, so the final
+        # transcript is byte-identical to partial_decode="beam" (pinned in tests).
+        self._beam_pipelined = partial_decode == "beam_pipelined"
         if self._partial_beam:
             if frame_fn is None and not (
                     hasattr(transcriber, "frame_log_probs")
@@ -221,6 +242,14 @@ class StreamingTranscriber:
                                                         beam_max_decoded_length))
             self._beam_advance = (beam_advance_fn if beam_advance_fn is not None
                                   else self._beam_decoder.feed)
+            if self._beam_pipelined:
+                # `beam_advance_nowait_fn(state, rows)` must return a handle whose
+                # `.wait()` yields `(new_state, BeamStreamResult)` — the pools pass
+                # `BeamAdvanceBatcher.submit_nowait` so the advance overlaps the
+                # client's next chunk; standalone streams defer to collection time.
+                self._beam_submit = (
+                    beam_advance_nowait_fn if beam_advance_nowait_fn is not None
+                    else lambda s, r: _DeferredAdvance(self._beam_advance, s, r))
             default_fn = transcriber.frame_log_probs
         else:
             self._beam_decoder = None
@@ -248,6 +277,7 @@ class StreamingTranscriber:
         if self._partial_beam:
             self._beam_state = self._beam_decoder.init_state()
             self._beam_tokens = np.zeros(0, np.int32)
+            self._beam_inflight = None  # pipelined mode's un-collected advance
 
     @property
     def text(self) -> str:
@@ -367,9 +397,18 @@ class StreamingTranscriber:
                     # sample axis — everything is frame-grid aligned by construction).
                     row_from = (finalized_from - self._buffer_start) // self._spf
                     row_to = (self._emit_sample - self._buffer_start) // self._spf
-                    self._beam_state, result = self._beam_advance(
-                        self._beam_state, log_probs[row_from:row_to])
-                    self._beam_tokens = result.tokens
+                    rows = log_probs[row_from:row_to]
+                    if self._beam_pipelined:
+                        # Collect the PREVIOUS advance (its output state seeds this
+                        # one — usually already done: it ran while the client
+                        # gathered this chunk), then submit without waiting.
+                        self._collect_beam()
+                        self._beam_inflight = self._beam_submit(
+                            self._beam_state, rows)
+                    else:
+                        self._beam_state, result = self._beam_advance(
+                            self._beam_state, rows)
+                        self._beam_tokens = result.tokens
                 if emissions:
                     self._parts.append(codec.decode_graphemes(
                         [t for t, _ in emissions], merge_repeated=False))
@@ -387,10 +426,23 @@ class StreamingTranscriber:
             self._buffer = self._buffer[new_start - self._buffer_start:]
             self._buffer_start = new_start
         if self._partial_beam:
+            if flush:
+                # The flush must hand back the COMPLETE transcript: collect the
+                # trailing pipelined advance (no-op in synchronous beam mode).
+                self._collect_beam()
             # Beam partials replace rather than append (re-ranking): hand back the
             # full current best transcript.
             return self.text
         return "".join(self._parts[emitted_before:])
+
+    def _collect_beam(self) -> None:
+        """Pipelined partials: wait for the in-flight advance (if any) and adopt its
+        state and best hypothesis. A dispatch error surfaces here — on the feed
+        AFTER the one that submitted it, or at finish."""
+        if getattr(self, "_beam_inflight", None) is not None:
+            inflight, self._beam_inflight = self._beam_inflight, None
+            self._beam_state, result = inflight.wait()
+            self._beam_tokens = result.tokens
 
 
 class StreamingFrameBatcher(MicroBatcher):
@@ -474,6 +526,11 @@ class BeamAdvanceBatcher(MicroBatcher):
 
     def submit(self, state, log_probs):
         return super().submit((state, log_probs))
+
+    def submit_nowait(self, state, log_probs):
+        """Enqueue an advance and return its `PendingItem` (``.wait()`` →
+        ``(new_state, BeamStreamResult)``) — the pipelined-partials path."""
+        return self._enqueue((state, log_probs))
 
     def warm_up(self, classes: int) -> None:
         """Compile the vmapped advance program for every batch-size bucket up to
@@ -588,10 +645,15 @@ class StreamingSessionPool:
 
         ``partial_decode``: ``"beam"`` serves live partials from the incremental
         prefix beam (see `StreamingTranscriber`); each feed's text REPLACES the
-        previous partial instead of appending."""
-        if partial_decode == "beam" and self.posterior_batcher is None:
-            raise ValueError("partial_decode='beam' needs per-frame posteriors; "
-                             "this backend has no frame_log_probs program")
+        previous partial instead of appending. ``"beam_pipelined"`` is the same
+        beam at higher load capacity: the advance overlaps the client's next chunk
+        (feed returns the PREVIOUS advance's best — live partials lag one feed;
+        the finish transcript is byte-identical to ``"beam"``)."""
+        beam = partial_decode in ("beam", "beam_pipelined")
+        if beam and self.posterior_batcher is None:
+            raise ValueError("partial_decode='{}' needs per-frame posteriors; "
+                             "this backend has no frame_log_probs program"
+                             .format(partial_decode))
         with self._lock:
             self._reap_locked()
             if len(self._sessions) >= self._max_sessions:
@@ -599,16 +661,18 @@ class StreamingSessionPool:
                     self._max_sessions))
             session_id = uuid.uuid4().hex[:16]
             beam_kwargs = {}
-            if partial_decode == "beam":
+            if beam:
                 if self.beam_batcher is None:
                     self.beam_batcher = BeamAdvanceBatcher(
                         beam_decoder_for(self._transcriber),
                         max_batch=self._max_batch, max_wait_ms=self._max_wait_ms)
                     if self._started:
                         self.beam_batcher.start()
-                beam_kwargs = dict(beam_decoder=self.beam_batcher.decoder,
-                                   beam_advance_fn=self.beam_batcher.submit)
-            frame_fn = (self.posterior_batcher.submit if partial_decode == "beam"
+                beam_kwargs = dict(
+                    beam_decoder=self.beam_batcher.decoder,
+                    beam_advance_fn=self.beam_batcher.submit,
+                    beam_advance_nowait_fn=self.beam_batcher.submit_nowait)
+            frame_fn = (self.posterior_batcher.submit if beam
                         else self.batcher.submit)
             stream = StreamingTranscriber(self._transcriber, window_s=self._window_s,
                                           margin_s=self._margin_s,

@@ -65,6 +65,16 @@ class PendingItem:
                 "service_s": served - dispatched,
                 "total_s": served - self.enqueued_at}
 
+    def wait(self) -> Any:
+        """Block until served; raises the serving error, returns the result.
+        (`MicroBatcher.submit` == `submit_nowait(payload).wait()` — the split lets
+        callers overlap their own work with the batch, e.g. pipelined beam
+        partials.)"""
+        self.done.wait()
+        if self.error is not None:
+            raise self.error
+        return self.result
+
 
 class MicroBatcher:
     """Base class: subclasses implement ``_serve(batch)``, setting ``item.result`` for
@@ -119,6 +129,20 @@ class MicroBatcher:
         """Like `submit` but returns the served `PendingItem` (callers can read the
         per-request `timing()` decomposition). Raises the item's error if serving
         failed, `BatcherSaturated` if the bounded queue is full."""
+        item = self._enqueue(payload)
+        item.wait()
+        return item
+
+    def submit_nowait(self, payload: Any) -> PendingItem:
+        """Enqueue one item and return WITHOUT waiting — call `.wait()` on the
+        returned `PendingItem` for the result. Raises `BatcherSaturated` if the
+        bounded queue is full. Lets callers overlap work with the batch (pipelined
+        beam partials submit an advance here and collect it on the NEXT feed).
+        Subclasses may re-signature this (payload packing); the blocking paths go
+        through `_enqueue` directly."""
+        return self._enqueue(payload)
+
+    def _enqueue(self, payload: Any) -> PendingItem:
         if self._stop.is_set():
             raise BatcherStopped("batcher is stopped")
         item = PendingItem(payload)
@@ -139,9 +163,6 @@ class MicroBatcher:
             # stop() may have drained the queue before this put landed; drain again so
             # this item cannot wait on a loop that already exited.
             self._fail_pending()
-        item.done.wait()
-        if item.error is not None:
-            raise item.error
         return item
 
     def metrics(self) -> dict:

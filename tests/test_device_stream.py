@@ -460,3 +460,19 @@ def test_device_pool_beam_matches_host_pool_beam_long_stream(transcriber, pool):
     out += greedy.finish()
     beam.finish()
     assert out == alone
+
+
+def test_pipelined_beam_sessions_match_sync_beam(transcriber, pool):
+    """partial_decode='beam_pipelined' on the device pool: advances overlap the
+    next feed via BeamAdvanceBatcher.submit_nowait, and the finished transcript is
+    byte-identical to synchronous 'beam' sessions on the same audio."""
+    audios = [_audio(int(n), seed=60 + i) for i, n in enumerate((30000, 45000))]
+
+    def transcribe(audio, mode):
+        session = pool.create_stream(partial_decode=mode)
+        session.transcribe_stream(audio, 4000)
+        return session.text
+
+    for audio in audios:
+        assert (transcribe(audio, "beam_pipelined")
+                == transcribe(audio, "beam"))

@@ -449,3 +449,75 @@ def test_long_stream_divergence_is_only_feature_normalization():
     real = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25)
     real2 = StreamingTranscriber(transcriber, window_s=1.024, margin_s=0.25)
     assert real.transcribe_stream(audio, 4000) == real2.transcribe_stream(audio, 4000)
+
+
+def test_pipelined_beam_final_matches_sync_and_partials_lag_one_advance():
+    """partial_decode='beam_pipelined': feed returns the PREVIOUS advance's best
+    (the advance overlaps the client's next chunk), so live partials lag exactly
+    one advance — and finish() collects the trailing advance, making the final
+    transcript byte-identical to synchronous 'beam' mode."""
+    import jax
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(6))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(21).randn(48000) * 0.3).astype(np.float32)
+    chunks = [audio[i:i + 8000] for i in range(0, len(audio), 8000)]
+
+    def run(mode):
+        stream = StreamingTranscriber(transcriber, window_s=2.0, margin_s=0.5,
+                                      partial_decode=mode)
+        texts = []
+        for chunk in chunks:
+            stream.feed(chunk)
+            texts.append(stream.text)
+        final = stream.finish()
+        return texts, final, stream.text
+
+    sync_texts, sync_final, sync_text = run("beam")
+    pipe_texts, pipe_final, pipe_text = run("beam_pipelined")
+    assert pipe_final == sync_final == pipe_text == sync_text
+    # Each feed's pipelined text is the sync text of the previous feed whenever an
+    # advance ran (the standalone fallback defers the advance to collection time,
+    # which is the next feed) — i.e., the whole live trajectory shifted by one.
+    assert pipe_texts[1:] == sync_texts[:-1]
+    assert pipe_texts[0] == ""
+
+
+def test_session_pool_pipelined_beam_through_batcher():
+    """Pool sessions with partial_decode='beam_pipelined' ride the shared
+    BeamAdvanceBatcher via submit_nowait: concurrent sessions' finals must equal
+    their synchronous-beam twins fed the same audio."""
+    import jax
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(6))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    clips = [(np.random.RandomState(30 + i).randn(32000) * 0.3).astype(np.float32)
+             for i in range(3)]
+    from speechless_tpu.serving_streaming import StreamingSessionPool
+
+    pool = StreamingSessionPool(transcriber, window_s=2.0, margin_s=0.5,
+                                max_batch=4, max_wait_ms=10.0)
+    pool.start()
+    try:
+        finals = {}
+        for mode in ("beam", "beam_pipelined"):
+            import threading
+            sids = [pool.create(partial_decode=mode) for _ in clips]
+            outs = {}
+
+            def run(sid, clip):
+                for i in range(0, len(clip), 8000):
+                    pool.feed(sid, clip[i:i + 8000])
+                outs[sid] = pool.finish(sid)
+
+            threads = [threading.Thread(target=run, args=(sid, clip))
+                       for sid, clip in zip(sids, clips)]
+            [t.start() for t in threads]
+            [t.join() for t in threads]
+            finals[mode] = [outs[sid] for sid in sids]
+        assert finals["beam_pipelined"] == finals["beam"]
+        assert any(finals["beam"])  # non-degenerate: something decoded
+    finally:
+        pool.stop()
