@@ -54,9 +54,9 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
     try:
         pool.warm_up()  # one compile, outside the timed region
         if partial_decode != "greedy":
-            # Compile the vmapped cross-session advance programs (bucketed batch
-            # sizes) outside the timed region too.
-            pool._get_beam_batcher().warm_up(transcriber.blank_index + 1)
+            # Compile the advance programs (single + bucketed batch sizes) outside
+            # the timed region too.
+            pool.warm_up_beam()
 
         def run(i):
             sid = pool.create(partial_decode=partial_decode)
@@ -89,9 +89,7 @@ def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,
         pool.start()
         try:
             if partial_decode != "greedy":
-                warm_sid = pool.create(partial_decode="beam")  # builds the batcher
-                pool.beam_batcher.warm_up(transcriber.blank_index + 1)
-                pool.close(warm_sid)
+                pool.warm_up_beam()
 
             def run(i):
                 sid = pool.create(partial_decode=partial_decode)
@@ -236,6 +234,14 @@ def main() -> None:
                   ("device-beam-pipe", None, "beam_pipelined"),
                   ("batched-beam-pipe", True, "beam_pipelined")]
     if args.only:
+        known = {m[0] for m in modes}
+        unknown = [name for name in args.only if name not in known]
+        if unknown:
+            # Catch both typos and beam rows requested without --beam — otherwise
+            # the script rewrites the evidence file unchanged and exits silently,
+            # looking like a successful rerun.
+            parser.error("unknown --only mode(s) {} (available with these flags: {})"
+                         .format(unknown, sorted(known)))
         modes = [m for m in modes if m[0] in args.only]
     for label, batched, partial in modes:
         if batched is None:

@@ -266,6 +266,12 @@ def main(argv=None) -> None:
                               "8 x max-batch; 0 = unbounded)")
     p_serve.add_argument("--no-warm-up", action="store_true",
                          help="skip compiling all bucket programs before binding")
+    p_serve.add_argument("--warm-beam", action="store_true",
+                         help="additionally compile the streaming beam-advance "
+                              "programs (single + every batch bucket) before "
+                              "binding — deployments expecting beam/beam_pipelined "
+                              "sessions avoid a minutes-long cold compile stalling "
+                              "the first coalesced beam feeds")
     p_serve.add_argument("--device-streams", action="store_true",
                          help="keep streaming-session windows in device HBM (each "
                               "feed uploads only the new chunk; needs a live --run "
@@ -450,6 +456,11 @@ def main(argv=None) -> None:
                                      max_queue=args.max_queue)
         if args.device_streams and not args.no_warm_up:
             server.streams.warm_up()  # the fused feed program compiles before binding
+        if args.warm_beam:
+            try:
+                server.streams.warm_up_beam()
+            except ValueError as error:  # backend without posterior programs
+                raise SystemExit("--warm-beam: {}".format(error))
         server.serve_forever()
     elif args.command == "transcribe":
         import json as json_module

@@ -387,7 +387,12 @@ class DeviceStreamingSession:
         """Convenience mirror of `StreamingTranscriber.transcribe_stream`."""
         for start in range(0, len(audio), chunk_samples):
             self.feed(audio[start:start + chunk_samples])
-        return self.text + self.finish()
+        # `.text` after the flush IS the complete transcript in every mode; in beam
+        # modes finish() returns the FULL re-ranked best (replace semantics), so
+        # concatenating it after the pre-flush text would double the transcript —
+        # the same pitfall `StreamingTranscriber.transcribe_stream` documents.
+        self.finish()
+        return self.text
 
     def _check_usable(self) -> None:
         if self._poisoned:
@@ -451,10 +456,17 @@ class DeviceStreamingSession:
 
     def _collect_beam(self) -> None:
         """Pipelined partials: adopt the in-flight advance's state and best (a
-        dispatch error surfaces here — on the NEXT feed or at finish)."""
+        dispatch error surfaces here — on the NEXT feed or at finish). A failed
+        advance POISONS the session: the greedy emission horizon has already moved
+        past the failed rows, so resuming from the stale beam state would serve a
+        transcript silently missing that audio."""
         if getattr(self, "_beam_inflight", None) is not None:
             inflight, self._beam_inflight = self._beam_inflight, None
-            self._beam_state, result = inflight.wait()
+            try:
+                self._beam_state, result = inflight.wait()
+            except BaseException:
+                self._poisoned = True
+                raise
             self._beam_tokens = result.tokens
 
 
@@ -628,26 +640,23 @@ class DeviceStreamingPool:
         hold the pool lock (session construction inside `create`)."""
         with self._beam_decoder_lock:
             if self._beam_decoder is None:
-                from .ops.decode_incremental import BeamStreamDecoder
+                # One construction path for both pools: the host pool's factory
+                # already extracts the fusion weights / word LM / lexicon flag and
+                # carries the cadence-sized chunk_frames default.
+                from .serving_streaming import beam_decoder_for
 
-                transcriber = self._transcriber
-                decoder = getattr(transcriber, "_decoder", {})
-                self._beam_decoder = BeamStreamDecoder(
-                    blank=self.blank_index,
-                    beam_width=decoder.get("beam_width", 25),
-                    # ~0.5 s of frames: hug the live-feed cadence — the advance
-                    # program's wall tracks the scan length, not the valid rows
-                    # (see serving_streaming.beam_decoder_for).
-                    chunk_frames=32,
-                    word_lm=getattr(transcriber, "word_lm", None),
-                    lm_weight=decoder.get("lm_weight", 0.8),
-                    word_count_weight=decoder.get("word_count_weight", 0.0),
-                    valid_word_count_weight=decoder.get("valid_word_count_weight",
-                                                        2.3),
-                    prune_classes=decoder.get("prune_classes", None),
-                    lexicon_constrained=getattr(transcriber, "lexicon_constrained",
-                                                False))
+                self._beam_decoder = beam_decoder_for(self._transcriber)
             return self._beam_decoder
+
+    def warm_up_beam(self) -> None:
+        """Compile the shared beam-advance programs (single-stream path + every
+        batch-size bucket) before beam traffic — same contract as
+        `StreamingSessionPool.warm_up_beam`."""
+        if not self.beam_partials:
+            raise ValueError("this pool's feed program has no posterior output; "
+                             "construct with beam_partials=True (live) or re-export "
+                             "the bundle with device_streaming={'posteriors': True}")
+        self._get_beam_batcher().warm_up(self.blank_index + 1)
 
     def _get_beam_batcher(self):
         """The pool-wide `BeamAdvanceBatcher` over `_get_beam_decoder()` — advances

@@ -278,6 +278,7 @@ class StreamingTranscriber:
             self._beam_state = self._beam_decoder.init_state()
             self._beam_tokens = np.zeros(0, np.int32)
             self._beam_inflight = None  # pipelined mode's un-collected advance
+            self._beam_broken = False   # a failed pipelined advance breaks the stream
 
     @property
     def text(self) -> str:
@@ -325,6 +326,8 @@ class StreamingTranscriber:
         the return is the FULL current best transcript (replaces earlier partials —
         later audio can re-rank the winning hypothesis)."""
         chunk = np.asarray(chunk, np.float32)
+        if self._partial_beam and getattr(self, "_beam_broken", False):
+            self._collect_beam()  # raises the broken-stream error
         if self._final_decode:
             self._audio_parts.append(chunk)
         self._buffer = np.concatenate([self._buffer, chunk])
@@ -438,10 +441,20 @@ class StreamingTranscriber:
     def _collect_beam(self) -> None:
         """Pipelined partials: wait for the in-flight advance (if any) and adopt its
         state and best hypothesis. A dispatch error surfaces here — on the feed
-        AFTER the one that submitted it, or at finish."""
+        AFTER the one that submitted it, or at finish — and BREAKS the stream: the
+        greedy emission horizon has already moved past the failed rows, so resuming
+        from the stale beam state would serve a transcript silently missing that
+        audio. `reset()` (or a new session) recovers."""
+        if getattr(self, "_beam_broken", False):
+            raise RuntimeError("beam stream lost: a previous pipelined advance "
+                               "failed mid-stream; reset() or open a new session")
         if getattr(self, "_beam_inflight", None) is not None:
             inflight, self._beam_inflight = self._beam_inflight, None
-            self._beam_state, result = inflight.wait()
+            try:
+                self._beam_state, result = inflight.wait()
+            except BaseException:
+                self._beam_broken = True
+                raise
             self._beam_tokens = result.tokens
 
 
@@ -533,11 +546,14 @@ class BeamAdvanceBatcher(MicroBatcher):
         return self._enqueue((state, log_probs))
 
     def warm_up(self, classes: int) -> None:
-        """Compile the vmapped advance program for every batch-size bucket up to
-        ``max_batch`` (zero-length no-op rows — state is untouched). A cold compile
-        inside a live feed would stall every coalesced session for its duration
-        (minutes on remote-compiled backends). ``classes`` is the posterior class
-        count (``blank_index + 1``)."""
+        """Compile the advance programs for every batch size `_serve` can dispatch:
+        the single-stream program (lone advances short-circuit to `decoder.feed`)
+        plus the vmapped program for every bucket up to ``max_batch`` (zero-length
+        no-op rows — state is untouched). A cold compile inside a live feed would
+        stall every coalesced session for its duration (minutes on remote-compiled
+        backends). ``classes`` is the posterior class count (``blank_index + 1``)."""
+        self.decoder.feed(self.decoder.init_state(),
+                          np.zeros((0, classes), np.float32))
         for bucket in self.buckets:
             self.decoder.feed_batch(
                 [self.decoder.init_state()] * bucket,
@@ -662,16 +678,11 @@ class StreamingSessionPool:
             session_id = uuid.uuid4().hex[:16]
             beam_kwargs = {}
             if beam:
-                if self.beam_batcher is None:
-                    self.beam_batcher = BeamAdvanceBatcher(
-                        beam_decoder_for(self._transcriber),
-                        max_batch=self._max_batch, max_wait_ms=self._max_wait_ms)
-                    if self._started:
-                        self.beam_batcher.start()
+                batcher = self._ensure_beam_batcher_locked()
                 beam_kwargs = dict(
-                    beam_decoder=self.beam_batcher.decoder,
-                    beam_advance_fn=self.beam_batcher.submit,
-                    beam_advance_nowait_fn=self.beam_batcher.submit_nowait)
+                    beam_decoder=batcher.decoder,
+                    beam_advance_fn=batcher.submit,
+                    beam_advance_nowait_fn=batcher.submit_nowait)
             frame_fn = (self.posterior_batcher.submit if beam
                         else self.batcher.submit)
             stream = StreamingTranscriber(self._transcriber, window_s=self._window_s,
@@ -682,6 +693,31 @@ class StreamingSessionPool:
                                           **beam_kwargs)
             self._sessions[session_id] = _Session(stream)
             return session_id
+
+    def _ensure_beam_batcher_locked(self) -> BeamAdvanceBatcher:
+        """Build (and start, if the pool runs) the shared beam-advance batcher.
+        Caller holds `self._lock`."""
+        if self.beam_batcher is None:
+            self.beam_batcher = BeamAdvanceBatcher(
+                beam_decoder_for(self._transcriber),
+                max_batch=self._max_batch, max_wait_ms=self._max_wait_ms)
+            if self._started:
+                self.beam_batcher.start()
+        return self.beam_batcher
+
+    def warm_up_beam(self) -> None:
+        """Compile the shared beam-advance programs (the single-stream path plus
+        every batch-size bucket) BEFORE beam traffic arrives: a cold compile inside
+        a live feed stalls every coalesced beam session for its duration (minutes
+        on remote-compiled backends). Deployments that never serve beam sessions
+        skip this (and pay nothing). Raises like `create(partial_decode='beam')`
+        when the backend has no posterior programs."""
+        if self.posterior_batcher is None:
+            raise ValueError("beam partials need per-frame posteriors; this "
+                             "backend has no frame_log_probs program")
+        with self._lock:
+            batcher = self._ensure_beam_batcher_locked()
+        batcher.warm_up(self._transcriber.blank_index + 1)
 
     def feed(self, session_id: str, chunk: np.ndarray) -> str:
         return self.feed_with_text(session_id, chunk)[0]

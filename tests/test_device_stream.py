@@ -465,14 +465,28 @@ def test_device_pool_beam_matches_host_pool_beam_long_stream(transcriber, pool):
 def test_pipelined_beam_sessions_match_sync_beam(transcriber, pool):
     """partial_decode='beam_pipelined' on the device pool: advances overlap the
     next feed via BeamAdvanceBatcher.submit_nowait, and the finished transcript is
-    byte-identical to synchronous 'beam' sessions on the same audio."""
+    byte-identical to synchronous 'beam' sessions on the same audio. Also pins
+    `transcribe_stream`'s RETURN value in beam modes: finish() returns the FULL
+    re-ranked best (replace semantics), so the convenience wrapper must not
+    concatenate it after the pre-flush text (which would double the transcript)."""
     audios = [_audio(int(n), seed=60 + i) for i, n in enumerate((30000, 45000))]
 
     def transcribe(audio, mode):
         session = pool.create_stream(partial_decode=mode)
-        session.transcribe_stream(audio, 4000)
-        return session.text
+        returned = session.transcribe_stream(audio, 4000)
+        assert returned == session.text  # no duplication in the wrapper's return
+        return returned
 
     for audio in audios:
         assert (transcribe(audio, "beam_pipelined")
                 == transcribe(audio, "beam"))
+
+
+def test_warm_up_beam_compiles_every_advance_batch_size(transcriber, pool):
+    """`warm_up_beam` pre-compiles the single-stream advance AND every bucketed
+    vmapped size, so no live feed ever hits a cold advance compile; beam sessions
+    work unchanged afterwards."""
+    pool.warm_up_beam()
+    audio = _audio(24000, seed=70)
+    session = pool.create_stream(partial_decode="beam")
+    assert session.transcribe_stream(audio, 4000) == session.text

@@ -521,3 +521,66 @@ def test_session_pool_pipelined_beam_through_batcher():
         assert any(finals["beam"])  # non-degenerate: something decoded
     finally:
         pool.stop()
+
+
+def test_pipelined_advance_failure_breaks_the_stream():
+    """A failed pipelined advance must NOT let the stream keep serving: the greedy
+    emission horizon has already moved past the failed rows, so resuming from the
+    stale beam state would silently drop ~a chunk of audio. The error surfaces on
+    the collecting feed and every later feed raises until reset()."""
+    import jax
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(6))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+
+    class FailingOnce:
+        def __init__(self):
+            self.fired = False
+
+        def __call__(self, state, rows):
+            outer = self
+
+            class Handle:
+                def wait(self):
+                    if not outer.fired:
+                        outer.fired = True
+                        raise RuntimeError("injected dispatch failure")
+                    raise AssertionError("advance after failure")
+
+            return Handle()
+
+    stream = StreamingTranscriber(transcriber, window_s=2.0, margin_s=0.5,
+                                  partial_decode="beam_pipelined",
+                                  beam_advance_nowait_fn=FailingOnce())
+    audio = (np.random.RandomState(40).randn(16000) * 0.3).astype(np.float32)
+    stream.feed(audio)  # submits the first advance (collection is deferred)
+    with pytest.raises(RuntimeError, match="injected dispatch failure"):
+        stream.feed(audio)  # collecting feed surfaces the injected error
+    with pytest.raises(RuntimeError, match="beam stream lost"):
+        stream.feed(audio)  # broken thereafter — no silent stale transcripts
+    stream.reset()  # recovery path exists
+
+
+def test_pool_warm_up_beam_precompiles_shared_advance_programs():
+    """`StreamingSessionPool.warm_up_beam` builds the shared BeamAdvanceBatcher and
+    compiles its programs before any session exists; beam sessions then work."""
+    import jax
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(6))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    from speechless_tpu.serving_streaming import StreamingSessionPool
+
+    pool = StreamingSessionPool(transcriber, window_s=2.0, margin_s=0.5,
+                                max_batch=4)
+    pool.start()
+    try:
+        pool.warm_up_beam()
+        assert pool.beam_batcher is not None and pool.beam_batcher.started
+        sid = pool.create(partial_decode="beam_pipelined")
+        audio = (np.random.RandomState(41).randn(24000) * 0.3).astype(np.float32)
+        pool.feed(sid, audio)
+        assert isinstance(pool.finish(sid), str)
+    finally:
+        pool.stop()
