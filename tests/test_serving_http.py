@@ -186,6 +186,22 @@ def test_device_streams_over_http(transcriber):
             assert reply["partial"] == reply["text"]  # replace semantics
         status, final = _request(srv, "/v1/stream/{}/finish".format(sid), b"{}")
         assert status == 200 and final["text"] == host_beam.text
+        # Pipelined beam over the wire: partials lag one feed, but finish() is
+        # byte-identical to the synchronous beam session above.
+        status, payload = _request(
+            srv, "/v1/stream",
+            json.dumps({"partial_decode": "beam_pipelined"}).encode())
+        assert status == 200
+        sid = payload["session"]
+        for start in range(0, len(audio), 4000):
+            status, reply = _request(srv, "/v1/stream/{}".format(sid),
+                                     _pcm_body(audio[start:start + 4000]))
+            assert status == 200
+        status, final = _request(srv, "/v1/stream/{}/finish".format(sid), b"{}")
+        assert status == 200 and final["text"] == host_beam.text
+        assert _request(srv, "/v1/stream",
+                        json.dumps({"partial_decode": "beam_sideways"}).encode()
+                        )[0] == 400  # unknown modes still rejected
     finally:
         srv.stop()
 
