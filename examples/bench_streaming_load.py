@@ -11,7 +11,8 @@ and RTT x batches.
     python examples/bench_streaming_load.py --run <run> --epoch 40 \
         [--streams 16] [--stream-seconds 30]
 
-Writes evidence JSON to --out (default evidence/STREAMING_LOAD_r03.json).
+Writes evidence JSON to --out (default evidence/STREAMING_LOAD_r04.json);
+--only <modes...> re-measures a subset and merges into the existing file.
 """
 import argparse
 import json
