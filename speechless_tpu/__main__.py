@@ -550,7 +550,8 @@ def main(argv=None) -> None:
         backend = _serving_backend(args, "align")
         # Bundles exported without streaming posteriors cannot align (the live
         # Transcriber always can — its posterior program jit-compiles on demand).
-        if not getattr(backend, "_posterior_programs", True):
+        from .serving_streaming import _serves_posteriors
+        if not _serves_posteriors(backend):
             raise SystemExit("this bundle has no frame-posterior programs; "
                              "re-export with --streaming")
         words = align_audio(backend, load_audio(Path(args.file)), transcript)

@@ -40,10 +40,6 @@ class BitWriter:
         return bytes(self.bytes)
 
 
-def zigzag(value):
-    return (value << 1) ^ (value >> 63) if value >= 0 else ((-value) << 1) - 1
-
-
 def _zigzag(value):
     return (abs(value) << 1) - (1 if value < 0 else 0) if value != 0 else 0
 
@@ -101,7 +97,10 @@ def encode_flac(path, channels_data, sample_rate=16000, bps=16, block_size=4096,
     # STREAMINFO metadata block (last=1, type=0, length=34)
     out += struct.pack(">BBH", 0x80, 0, 34)[0:1] + struct.pack(">I", 34)[1:4]
     info = BitWriter()
-    info.write(block_size, 16)
+    # STREAMINFO min/max block size: the final frame may be shorter, and strict
+    # external decoders reject a minimum larger than any frame actually written.
+    last_frame = total % block_size if total % block_size else block_size
+    info.write(min(block_size, last_frame), 16)
     info.write(block_size, 16)
     info.write(0, 24)
     info.write(0, 24)

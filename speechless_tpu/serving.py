@@ -479,6 +479,13 @@ class Transcriber:
         return results
 
     @property
+    def supports_posteriors(self) -> bool:
+        """Live backends always serve per-frame posteriors (`frame_log_probs`
+        jit-compiles on demand) — the public predicate shared with
+        `ExportedTranscriber.supports_posteriors`."""
+        return True
+
+    @property
     def samples_per_frame(self) -> int:
         """Input samples per output frame: the 128-sample feature hop times the conv
         stack's stride ratio."""

@@ -54,7 +54,7 @@ _POISONED_MESSAGE = ("stream lost: a device dispatch failed and the pool state w
 
 
 def _build_feed_fn(config, window: int, chunk_cap: int, spf: int,
-                   posteriors: bool = False):
+                   posteriors: bool = False, post_rows: Optional[int] = None):
     """The fused append+decode program over the pooled session windows.
 
     ``(params, buffers (S+1, W), lengths (S+1,), rows (B,), chunks (B, cap),
@@ -64,11 +64,19 @@ def _build_feed_fn(config, window: int, chunk_cap: int, spf: int,
     so every row's window start stays on the absolute frame grid — the host-side
     emission bookkeeping mirrors the same integer arithmetic.
 
-    ``posteriors``: additionally return per-frame log posteriors ``(B, F, classes)``
-    for the updated windows — what beam-partial sessions feed the incremental prefix
-    beam (`ops/decode_incremental.py`). The softmax is one extra elementwise pass over
+    ``posteriors``: additionally return per-frame log posteriors for the updated
+    windows — what beam-partial sessions feed the incremental prefix beam
+    (`ops/decode_incremental.py`). The softmax is one extra elementwise pass over
     logits the program already computed; greedy-only pools skip it.
-    """
+
+    ``post_rows``: slice the posterior output to a static ``(B, post_rows, classes)``
+    block starting at a per-row ``post_starts`` input (extra trailing argument)
+    instead of the full ``(B, F, classes)`` window. The beam advance only ever
+    consumes the ~chunk-sized run of NEWLY finalized frames per feed, and
+    `mirror_append` is deterministic, so the host knows the row offset BEFORE
+    dispatch — the slice cuts the per-feed posterior fetch by the F/post_rows ratio
+    (~12x at the 8 s window / 40-row default) and the log_softmax runs on the slice
+    only. ``None`` keeps the full-window output (pre-round-5 bundles)."""
     import jax
     import jax.numpy as jnp
 
@@ -92,7 +100,7 @@ def _build_feed_fn(config, window: int, chunk_cap: int, spf: int,
         new_buffer = jnp.where(jnp.arange(window) < new_length, new_buffer, 0.0)
         return new_buffer, new_length
 
-    def feed_fn(params, buffers, lengths, rows, chunks, chunk_lens, resets):
+    def feed_core(params, buffers, lengths, rows, chunks, chunk_lens, resets):
         new_bufs, new_lens = jax.vmap(update_row)(
             buffers[rows], lengths[rows], chunks, chunk_lens, resets)
         buffers = buffers.at[rows].set(new_bufs)
@@ -100,13 +108,50 @@ def _build_feed_fn(config, window: int, chunk_cap: int, spf: int,
         feats, frame_counts = features_batch(new_bufs, jnp.maximum(new_lens, 1))
         logits = w2l.apply(config, params, feats)
         tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        out = (buffers, lengths, tokens,
-               w2l.prediction_lengths(config, frame_counts), new_lens)
-        if posteriors:
-            out = out + (jax.nn.log_softmax(logits, axis=-1),)
-        return out
+        return (buffers, lengths, tokens,
+                w2l.prediction_lengths(config, frame_counts), new_lens), logits
+
+    if posteriors and post_rows is not None:
+        def feed_fn(params, buffers, lengths, rows, chunks, chunk_lens, resets,
+                    post_starts):
+            out, logits = feed_core(params, buffers, lengths, rows, chunks,
+                                    chunk_lens, resets)
+            # Slice BEFORE the softmax: the normalization is per-frame, so the
+            # sliced rows' posteriors are bit-identical to the full-window path's.
+            sliced = jax.vmap(
+                lambda row_logits, start: jax.lax.dynamic_slice(
+                    row_logits, (start, 0),
+                    (post_rows, row_logits.shape[-1])))(logits, post_starts)
+            return out + (jax.nn.log_softmax(sliced, axis=-1),)
+    elif posteriors:
+        def feed_fn(params, buffers, lengths, rows, chunks, chunk_lens, resets):
+            out, logits = feed_core(params, buffers, lengths, rows, chunks,
+                                    chunk_lens, resets)
+            return out + (jax.nn.log_softmax(logits, axis=-1),)
+    else:
+        def feed_fn(params, buffers, lengths, rows, chunks, chunk_lens, resets):
+            return feed_core(params, buffers, lengths, rows, chunks, chunk_lens,
+                             resets)[0]
 
     return feed_fn
+
+
+def _window_frames(config, params, window: int) -> int:
+    """The feed program's logits frame count for a full ``window``-sample row —
+    abstractly traced (`jax.eval_shape`), so no device work and always exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from .features.spectrogram import features_batch
+    from .models import wav2letter as w2l
+
+    def f(p, wavs):
+        feats, _ = features_batch(wavs, jnp.ones((1,), jnp.int32))
+        return w2l.apply(config, p, feats)
+
+    shape = jax.eval_shape(f, params,
+                           jax.ShapeDtypeStruct((1, window), jnp.float32))
+    return int(shape.shape[1])
 
 
 def quantize_pool_dims(samples_per_frame: int, window_s: float,
@@ -119,9 +164,13 @@ def quantize_pool_dims(samples_per_frame: int, window_s: float,
     return window, chunk_cap
 
 
+DEFAULT_POST_ROWS = 40
+
+
 def export_feed_program(transcriber, window_s: float = 8.0,
                         chunk_cap_s: float = 1.0, max_sessions: int = 64,
                         max_batch: int = 16, posteriors: bool = False,
+                        post_rows: Optional[int] = DEFAULT_POST_ROWS,
                         platforms: Optional[List[str]] = None):
     """Export the fused append+decode program for AOT bundles.
 
@@ -130,32 +179,53 @@ def export_feed_program(transcriber, window_s: float = 8.0,
     and ``spec`` is the manifest entry `DeviceStreamingPool` reads back: the pool
     dimensions are baked into the program's static shapes, so a pool serving this
     bundle adopts them verbatim. ``posteriors`` bakes the per-frame-posterior output
-    in, enabling beam-partial sessions on the bundle-backed pool.
+    in, enabling beam-partial sessions on the bundle-backed pool; ``post_rows``
+    (posterior bundles only) bakes the static sliced-posterior block size — see
+    `_build_feed_fn` — and ``None`` exports the full-window posterior output.
     """
     import jax
     from jax import export as jax_export
 
     spf = transcriber.samples_per_frame
     window, chunk_cap = quantize_pool_dims(spf, window_s, chunk_cap_s)
+    frames = _window_frames(transcriber.config, transcriber.params, window)
+    if not posteriors:
+        post_rows = None
+    if post_rows is not None:
+        post_rows = _check_post_rows(post_rows, frames, chunk_cap, spf)
     feed = jax.jit(_build_feed_fn(transcriber.config, window, chunk_cap, spf,
-                                  posteriors=posteriors),
+                                  posteriors=posteriors, post_rows=post_rows),
                    donate_argnums=(1, 2))
     params_shapes = jax.tree.map(
         lambda leaf: jax.ShapeDtypeStruct(np.shape(leaf), np.asarray(leaf).dtype),
         transcriber.params)
     kwargs = {} if platforms is None else {"platforms": list(platforms)}
-    exported = jax_export.export(feed, **kwargs)(
+    arg_shapes = [
         params_shapes,
         jax.ShapeDtypeStruct((max_sessions + 1, window), np.float32),
         jax.ShapeDtypeStruct((max_sessions + 1,), np.int32),
         jax.ShapeDtypeStruct((max_batch,), np.int32),
         jax.ShapeDtypeStruct((max_batch, chunk_cap), np.float32),
         jax.ShapeDtypeStruct((max_batch,), np.int32),
-        jax.ShapeDtypeStruct((max_batch,), np.bool_))
+        jax.ShapeDtypeStruct((max_batch,), np.bool_)]
+    if post_rows is not None:
+        arg_shapes.append(jax.ShapeDtypeStruct((max_batch,), np.int32))
+    exported = jax_export.export(feed, **kwargs)(*arg_shapes)
     spec = {"window": window, "chunk_cap": chunk_cap,
             "max_sessions": max_sessions, "max_batch": max_batch,
-            "samples_per_frame": spf, "posteriors": posteriors}
+            "samples_per_frame": spf, "posteriors": posteriors,
+            "post_rows": post_rows, "window_frames": frames}
     return exported, spec
+
+
+def _check_post_rows(post_rows: int, frames: int, chunk_cap: int, spf: int) -> int:
+    """Validate/clamp the sliced-posterior block size. The block must fit in the
+    window (the slice offset is clamped to ``frames - post_rows``) and leave a few
+    frames of slack over the beam piece cap so a typical feed never splits."""
+    post_rows = int(post_rows)
+    if post_rows < 12:
+        raise ValueError("post_rows must be >= 12 (got {})".format(post_rows))
+    return min(post_rows, frames)
 
 
 def mirror_append(length: int, chunk_len: int, window: int, spf: int,
@@ -220,19 +290,13 @@ class DeviceStreamingSession:
             # Shared jitted step program (pool-level decoder), per-session state —
             # exactly the host pool's arrangement (`serving_streaming`). Advances
             # of concurrent sessions coalesce through the pool's BeamAdvanceBatcher
-            # (one vmapped dispatch for N sessions) when it is running.
-            batcher = pool._get_beam_batcher()
-            self._beam_decoder = batcher.decoder
-            self._beam_advance = (batcher.submit if batcher.started
-                                  else self._beam_decoder.feed)
+            # (one vmapped dispatch for N sessions) when it is running. The
+            # batcher's `started` flag is re-read per advance (`_beam_advance` /
+            # `_beam_submit`), so a session created before `pool.start()` adopts
+            # the coalesced/pipelined path the moment the pool starts.
+            self._beam_batcher = pool._get_beam_batcher()
+            self._beam_decoder = self._beam_batcher.decoder
             if beam_pipelined:
-                # Pipelined partials: `_emit` SUBMITS the advance and adopts the
-                # PREVIOUS one's best (see `serving_streaming.StreamingTranscriber`
-                # — same contract: partials lag one feed, finish is byte-identical).
-                from .serving_streaming import _DeferredAdvance
-                self._beam_submit = (
-                    batcher.submit_nowait if batcher.started
-                    else (lambda s, r: _DeferredAdvance(self._beam_advance, s, r)))
                 self._beam_inflight = None
             self._beam_state = self._beam_decoder.init_state()
             self._beam_tokens = np.zeros(0, np.int32)
@@ -320,13 +384,18 @@ class DeviceStreamingSession:
             self._audio_parts.append(chunk)
         emitted: List[str] = []
         cap = self._pool.chunk_cap
+        if self._partial_beam and self._pool.post_rows is not None:
+            # Sliced posteriors: pieces hug the static slice so a dispatch's newly
+            # finalized rows always fit it (the emission cap in `_emit` is then a
+            # never-hit safety net at steady state).
+            cap = min(cap, self._pool.beam_piece_cap)
         for start in range(0, max(len(chunk), 1), cap):
             piece = chunk[start:start + cap]
             if len(chunk) and not len(piece):
                 break
-            tokens, count, log_probs = self._dispatch(piece)
+            tokens, count, log_probs, post_start = self._dispatch(piece)
             emitted.append(self._emit(tokens, count, flush=False,
-                                      log_probs=log_probs))
+                                      log_probs=log_probs, post_start=post_start))
         if self._partial_beam:
             # Beam partials replace rather than append: the full current best.
             return self.text
@@ -363,8 +432,22 @@ class DeviceStreamingSession:
             return ""
         out = ""
         if self._total:
-            tokens, count, log_probs = self._dispatch(np.zeros(0, np.float32))
-            out = self._emit(tokens, count, flush=True, log_probs=log_probs)
+            while True:
+                before = self._emit_sample
+                tokens, count, log_probs, post_start = self._dispatch(
+                    np.zeros(0, np.float32))
+                out += self._emit(tokens, count, flush=True, log_probs=log_probs,
+                                  post_start=post_start)
+                if not (self._partial_beam and self._pool.post_rows is not None):
+                    break
+                # Sliced posteriors: one flush dispatch drains at most `post_rows`
+                # frames of the withheld margin, so loop zero-length dispatches
+                # until the emission horizon catches the model's frame horizon
+                # (`buffer_start + count*spf`) — typically ceil(margin/post_rows)
+                # ~= 4 extra round-trips, once per stream.
+                horizon = (self._total - self._length) + count * self._spf
+                if self._emit_sample <= before or self._emit_sample >= horizon:
+                    break
         self._words.flush()
         self._finished = True
         self._pool._release(self._row)
@@ -401,23 +484,43 @@ class DeviceStreamingSession:
             raise RuntimeError("session is finished")
 
     def _dispatch(self, piece: np.ndarray):
-        tokens, count, new_length, log_probs = self._pool.batcher.submit(
-            (self._row, piece, self._pending_reset, self._partial_beam))
-        self._pending_reset = False
         mirrored, _ = mirror_append(self._length, len(piece), self._pool.window,
                                     self._spf)
+        post_start = 0
+        if self._partial_beam and self._pool.post_rows is not None:
+            # The slice offset is computable BEFORE dispatch: the post-append
+            # buffer start is deterministic (`mirror_append`), and newly finalized
+            # rows always begin at the current emission horizon. Clamped so the
+            # static block stays inside the window (`dynamic_slice` would clamp
+            # silently on device and misalign the host's row indexing).
+            buffer_start = (self._total + len(piece)) - mirrored
+            row_from = max(0, (self._emit_sample - buffer_start) // self._spf)
+            post_start = max(0, min(row_from,
+                                    self._pool.window_frames
+                                    - self._pool.post_rows))
+        tokens, count, new_length, log_probs = self._pool.batcher.submit(
+            (self._row, piece, self._pending_reset, self._partial_beam,
+             post_start))
+        self._pending_reset = False
         self._total += len(piece)
         self._length = int(new_length)
         if self._length != mirrored:
             raise AssertionError(
                 "device window length {} diverged from host mirror {}"
                 .format(self._length, mirrored))
-        return np.asarray(tokens), int(count), log_probs
+        return np.asarray(tokens), int(count), log_probs, post_start
 
     def _emit(self, tokens: np.ndarray, count: int, flush: bool,
-              log_probs: Optional[np.ndarray] = None) -> str:
+              log_probs: Optional[np.ndarray] = None, post_start: int = 0) -> str:
         buffer_start = self._total - self._length  # spf-aligned by construction
         emit_limit = self._total + self._spf if flush else self._total - self._pool.margin
+        if self._partial_beam and self._pool.post_rows is not None:
+            # Never finalize past the fetched posterior slice — the beam can only
+            # consume rows it has. At steady state the piece cap keeps this
+            # inactive; flushes drain the margin via `_finish_locked`'s loop.
+            emit_limit = min(emit_limit,
+                             buffer_start
+                             + (post_start + self._pool.post_rows) * self._spf)
         finalized_from = self._emit_sample
         emissions, self._emit_sample, self._carry = collapse_new_frames(
             tokens, count, buffer_start, self._spf, self._emit_sample,
@@ -434,7 +537,13 @@ class DeviceStreamingSession:
             # consumes the surviving rows rather than mis-sliced ones.
             row_from = max(0, (finalized_from - buffer_start) // self._spf)
             row_to = (self._emit_sample - buffer_start) // self._spf
-            rows = log_probs[row_from:row_to]
+            if self._pool.post_rows is not None:
+                # log_probs is the static slice starting at post_start; by
+                # construction post_start <= row_from and the emission cap keeps
+                # row_to <= post_start + post_rows.
+                rows = log_probs[row_from - post_start:row_to - post_start]
+            else:
+                rows = log_probs[row_from:row_to]
             if self._beam_pipelined:
                 self._collect_beam()  # previous advance's state seeds this one
                 self._beam_inflight = self._beam_submit(self._beam_state, rows)
@@ -454,18 +563,40 @@ class DeviceStreamingSession:
         self._parts.append(part)
         return part
 
+    def _beam_advance(self, state, rows):
+        """Coalesced advance when the pool's beam batcher runs, direct otherwise —
+        resolved per call (sessions created before `pool.start()` pick up the
+        batcher once it starts)."""
+        if self._beam_batcher.started:
+            return self._beam_batcher.submit(state, rows)
+        return self._beam_decoder.feed(state, rows)
+
+    def _beam_submit(self, state, rows):
+        """Pipelined submit (handle with ``.wait()``), deferring to collection time
+        when no batcher thread serves advances yet."""
+        from .serving_streaming import _DeferredAdvance
+
+        if self._beam_batcher.started:
+            return self._beam_batcher.submit_nowait(state, rows)
+        return _DeferredAdvance(self._beam_decoder.feed, state, rows)
+
     def _collect_beam(self) -> None:
         """Pipelined partials: adopt the in-flight advance's state and best (a
         dispatch error surfaces here — on the NEXT feed or at finish). A failed
         advance POISONS the session: the greedy emission horizon has already moved
         past the failed rows, so resuming from the stale beam state would serve a
-        transcript silently missing that audio."""
+        transcript silently missing that audio. The pooled HBM row is released
+        immediately — a poisoned session can never feed again, and keeping the row
+        until the idle reaper could transiently exhaust ``max_sessions``."""
         if getattr(self, "_beam_inflight", None) is not None:
             inflight, self._beam_inflight = self._beam_inflight, None
             try:
                 self._beam_state, result = inflight.wait()
             except BaseException:
                 self._poisoned = True
+                if not self._finished:
+                    self._finished = True
+                    self._pool._release(self._row)
                 raise
             self._beam_tokens = result.tokens
 
@@ -483,7 +614,8 @@ class DeviceStreamingPool:
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
                  max_batch: int = 16, max_wait_ms: float = 20.0,
                  chunk_cap_s: float = 1.0, idle_timeout_s: float = 300.0,
-                 max_sessions: int = 64, beam_partials: Optional[bool] = None):
+                 max_sessions: int = 64, beam_partials: Optional[bool] = None,
+                 post_rows: Optional[int] = DEFAULT_POST_ROWS):
         """``beam_partials``: let sessions opt into live BEAM partials
         (``create(partial_decode="beam")``) — the fused feed program additionally
         emits per-frame log posteriors, which beam sessions run through the shared
@@ -491,7 +623,13 @@ class DeviceStreamingPool:
         per session, one jitted step program for all). Default: on for live
         backends (the posterior output costs one softmax the program computes
         anyway; it only crosses the link for feeds of beam sessions), and whatever
-        the bundle baked in for AOT backends."""
+        the bundle baked in for AOT backends.
+
+        ``post_rows``: static size of the sliced per-feed posterior block (see
+        `_build_feed_fn`) — the feed fetches only the ~chunk of newly finalized
+        rows the beam advance consumes instead of the full window's, cutting beam
+        feeds' link traffic ~12x at the defaults. ``None`` restores the full
+        -window posterior output. AOT backends use whatever the bundle baked in."""
         import jax
         import jax.numpy as jnp
 
@@ -514,9 +652,16 @@ class DeviceStreamingPool:
             self.window, self.chunk_cap = quantize_pool_dims(spf, window_s,
                                                              chunk_cap_s)
             self.max_sessions = max_sessions
+            self.window_frames = _window_frames(transcriber.config,
+                                                transcriber.params, self.window)
+            self.post_rows = (_check_post_rows(post_rows, self.window_frames,
+                                               self.chunk_cap, spf)
+                              if self.beam_partials and post_rows is not None
+                              else None)
             self._feed = jax.jit(
                 _build_feed_fn(transcriber.config, self.window, self.chunk_cap,
-                               spf, posteriors=self.beam_partials),
+                               spf, posteriors=self.beam_partials,
+                               post_rows=self.post_rows),
                 donate_argnums=(1, 2))
         else:
             # AOT bundle: replay the exported feed program. The pool dimensions are
@@ -533,6 +678,9 @@ class DeviceStreamingPool:
             self.window, self.chunk_cap = baked
             self.max_sessions = spec["max_sessions"]
             max_batch = spec["max_batch"]
+            # Pre-round-5 bundles have neither key: full-window posteriors.
+            self.post_rows = spec.get("post_rows")
+            self.window_frames = spec.get("window_frames")
             self._feed = transcriber.device_feed_program.call
             baked_posteriors = bool(spec.get("posteriors", False))
             if beam_partials and not baked_posteriors:
@@ -590,7 +738,7 @@ class DeviceStreamingPool:
             # Already serving: route through the batcher thread, the single owner of
             # the donated device state (a direct dispatch here would race it).
             self.batcher.submit((self.max_sessions, np.zeros(0, np.float32), True,
-                                 False))
+                                 False, 0))
         else:
             self._dispatch([])
 
@@ -719,6 +867,15 @@ class DeviceStreamingPool:
         with self._lock:
             return len(self._sessions)
 
+    @property
+    def beam_piece_cap(self) -> int:
+        """Per-dispatch piece cap (samples) for beam sessions on sliced-posterior
+        pools: a few frames under ``post_rows`` so one dispatch's newly finalized
+        rows (piece frames + one carry/quantization frame) always fit the static
+        slice. 40 rows at the defaults → 32-frame pieces — exactly the beam
+        advance's ``chunk_frames`` bucket, so a typical piece is one scan chunk."""
+        return min(self.chunk_cap, max(4, self.post_rows - 8) * self.spf)
+
     # -- internals -----------------------------------------------------------------
 
     def _get(self, session_id: str) -> DeviceStreamingSession:
@@ -771,19 +928,23 @@ class DeviceStreamingPool:
         chunks = np.zeros((batch, self.chunk_cap), np.float32)
         chunk_lens = np.zeros((batch,), np.int32)
         resets = np.ones((batch,), bool)
+        post_starts = np.zeros((batch,), np.int32)
         any_beam = False
         for i, item in enumerate(group):
-            row, piece, reset, want_posteriors = item.payload
+            row, piece, reset, want_posteriors, post_start = item.payload
             rows[i] = row
             chunks[i, :len(piece)] = piece
             chunk_lens[i] = len(piece)
             resets[i] = reset
+            post_starts[i] = post_start
             any_beam = any_beam or want_posteriors
-        try:
-            outs = self._feed(
-                self._transcriber.params, self._buffers, self._lengths,
+        args = (self._transcriber.params, self._buffers, self._lengths,
                 jnp.asarray(rows), jnp.asarray(chunks), jnp.asarray(chunk_lens),
                 jnp.asarray(resets))
+        if self.beam_partials and self.post_rows is not None:
+            args += (jnp.asarray(post_starts),)
+        try:
+            outs = self._feed(*args)
         except Exception:
             # The donated buffers/lengths may already be consumed — without
             # recovery every later feed for every session would hit deleted arrays,

@@ -201,6 +201,14 @@ class ExportedTranscriber:
             jax_export.deserialize((directory / "feed.shlo").read_bytes())
             if self.device_feed_spec else None)
 
+    @property
+    def supports_posteriors(self) -> bool:
+        """Whether `frame_log_probs` is actually servable — bundles exported without
+        ``streaming=True`` ship no posterior programs. The PUBLIC predicate for
+        beam-partial streaming and `align` (callers must not probe the private
+        program dict)."""
+        return bool(self._posterior_programs)
+
     def transcribe_audio(self, audio: np.ndarray) -> str:
         """Transcribe a mono 16 kHz float32 waveform."""
         return self.transcribe_audio_with_confidence(audio)[0]

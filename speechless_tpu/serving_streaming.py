@@ -129,6 +129,17 @@ def offline_final_pass(transcriber, audio_parts: List[np.ndarray]) -> str:
     return transcriber.transcribe_long_audio(np.concatenate(audio_parts))
 
 
+def _serves_posteriors(backend) -> bool:
+    """Whether ``backend`` can serve per-frame posteriors (beam partials, align):
+    it exposes `frame_log_probs` AND — via the public `supports_posteriors`
+    predicate both `serving.Transcriber` and `serving_export.ExportedTranscriber`
+    implement — the underlying programs actually exist (a bundle exported without
+    ``streaming=True`` has the method but no programs). Backends without the
+    predicate are trusted if they have the method."""
+    return (hasattr(backend, "frame_log_probs")
+            and getattr(backend, "supports_posteriors", True))
+
+
 def _check_window(window_s: float, margin_s: float) -> None:
     if window_s <= 2 * margin_s:
         raise ValueError("window_s must exceed 2*margin_s to make progress "
@@ -229,9 +240,7 @@ class StreamingTranscriber:
         # transcript is byte-identical to partial_decode="beam" (pinned in tests).
         self._beam_pipelined = partial_decode == "beam_pipelined"
         if self._partial_beam:
-            if frame_fn is None and not (
-                    hasattr(transcriber, "frame_log_probs")
-                    and getattr(transcriber, "_posterior_programs", True)):
+            if frame_fn is None and not _serves_posteriors(transcriber):
                 raise ValueError(
                     "partial_decode='beam' needs per-frame posteriors; this backend "
                     "has no frame_log_probs program (bundles: re-export with "
@@ -624,8 +633,7 @@ class StreamingSessionPool:
         self.posterior_batcher = (
             StreamingFrameBatcher(transcriber, max_batch=max_batch,
                                   max_wait_ms=max_wait_ms, log_probs=True)
-            if (hasattr(transcriber, "frame_log_probs")
-                and getattr(transcriber, "_posterior_programs", True)) else None)
+            if _serves_posteriors(transcriber) else None)
         # Beam-partial sessions also share ONE BeamStreamDecoder and batch their
         # advances (`BeamAdvanceBatcher`); built lazily on the first beam create()
         # so greedy-only pools never pay for the decoder's device tables.

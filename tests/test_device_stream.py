@@ -490,3 +490,92 @@ def test_warm_up_beam_compiles_every_advance_batch_size(transcriber, pool):
     audio = _audio(24000, seed=70)
     session = pool.create_stream(partial_decode="beam")
     assert session.transcribe_stream(audio, 4000) == session.text
+
+
+def test_sliced_posteriors_match_full_window(transcriber):
+    """Round-5 perf lever: the feed program fetches only a static ``post_rows``
+    posterior slice per beam feed (offset computed host-side BEFORE dispatch via the
+    deterministic mirror arithmetic) instead of the full window block. Transcripts
+    must be byte-identical to a full-window-posterior pool (post_rows=None) on the
+    same audio at matched feed cadence (streamed transcripts depend on dispatch
+    boundaries through the per-window z-norm, so the comparison feeds chunks at the
+    sliced pool's beam piece cap) — including multi-window streams whose finish()
+    drains the withheld margin through the slice-sized flush loop (zero-length
+    dispatches never change the window content, so the drain loop is cadence
+    -neutral)."""
+    audio = _audio(40000, seed=90)
+    texts = {}
+    chunk = None
+    for post_rows in (16, None):
+        pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                                   max_batch=4, chunk_cap_s=0.5, max_sessions=4,
+                                   post_rows=post_rows)
+        if post_rows is not None:
+            assert pool.post_rows == post_rows < pool.window_frames
+            assert pool.beam_piece_cap == (post_rows - 8) * pool.spf
+            chunk = pool.beam_piece_cap
+        else:
+            assert pool.post_rows is None
+        pool.start()
+        try:
+            for mode in ("beam", "beam_pipelined"):
+                session = pool.create_stream(partial_decode=mode)
+                text = session.transcribe_stream(audio, chunk)
+                texts.setdefault(mode, []).append((text, session.greedy_text))
+        finally:
+            pool.stop()
+    for mode, runs in texts.items():
+        assert runs[0] == runs[1], "sliced != full-window for {}".format(mode)
+        assert runs[0][0], "empty transcript makes the parity check vacuous"
+
+
+def test_failed_pipelined_advance_releases_row(transcriber):
+    """A failed pipelined beam advance poisons the session AND releases its pooled
+    HBM row immediately — repeated advance failures must not exhaust max_sessions
+    until the idle reaper runs (advisor round-4 finding)."""
+    pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                               max_batch=2, max_wait_ms=5.0, chunk_cap_s=0.5,
+                               max_sessions=2)
+    pool.start()
+    try:
+        session = pool.create_stream(partial_decode="beam_pipelined")
+        row = session._row
+        batcher = pool._get_beam_batcher()
+
+        def exploding_advance(*args, **kwargs):
+            raise RuntimeError("advance lost")
+
+        batcher.decoder.feed = exploding_advance
+        batcher.decoder.feed_batch = exploding_advance
+        with pytest.raises(RuntimeError, match="advance lost|beam stream lost"):
+            for i in range(8):  # submit, then collect on a later feed
+                session.feed(_audio(4000, seed=91 + i))
+            session.finish()
+        assert session._poisoned
+        assert row in pool._free
+        # The pool still serves its FULL session budget right away.
+        a, b = pool.create(), pool.create()
+        pool.close(a), pool.close(b)
+    finally:
+        pool.stop()
+
+
+def test_beam_session_created_before_start_adopts_batcher(transcriber):
+    """A beam session created BEFORE pool.start() must adopt the coalescing
+    batcher once the pool starts (the advance path is resolved per call, not
+    captured at construction — advisor round-4 finding)."""
+    pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                               max_batch=4, chunk_cap_s=0.5, max_sessions=4)
+    session = pool.create_stream(partial_decode="beam_pipelined")
+    pool.start()
+    try:
+        batcher = pool._get_beam_batcher()
+        assert batcher.started
+        before = batcher.items
+        text = session.transcribe_stream(_audio(30000, seed=95), 4000)
+        assert batcher.items > before  # advances rode the batcher
+        # And the transcript matches a post-start session's.
+        check = pool.create_stream(partial_decode="beam_pipelined")
+        assert check.transcribe_stream(_audio(30000, seed=95), 4000) == text
+    finally:
+        pool.stop()
