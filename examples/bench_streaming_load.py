@@ -36,7 +36,8 @@ from speechless_tpu.text.charsets import english_frequent_characters
 
 def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
                     max_batch: int, window_s: float, margin_s: float,
-                    partial_decode: str = "greedy") -> dict:
+                    partial_decode: str = "greedy",
+                    post_rows: str = "default") -> dict:
     """Device-resident windows (`serving_device_stream.DeviceStreamingPool`): each
     feed uploads only the chunk — the window never re-crosses the link. This is the
     mode that should escape the link-bandwidth wall the other two hit (both the
@@ -44,13 +45,16 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
     measured within 2% of each other on the 37 MB/s tunnel). ``partial_decode="beam"``
     measures beam-partial sessions: the posterior block additionally crosses the link
     per feed, and the host advances each session's incremental prefix beam."""
-    from speechless_tpu.serving_device_stream import DeviceStreamingPool
+    from speechless_tpu.serving_device_stream import (DEFAULT_POST_ROWS,
+                                                      DeviceStreamingPool)
 
     texts = [None] * streams
     pool = DeviceStreamingPool(transcriber, window_s=window_s, margin_s=margin_s,
                                max_batch=max_batch, max_wait_ms=20.0,
                                max_sessions=max(streams, max_batch),
-                               beam_partials=partial_decode != "greedy")
+                               beam_partials=partial_decode != "greedy",
+                               post_rows=(None if post_rows == "full"
+                                          else DEFAULT_POST_ROWS))
     pool.start()
     try:
         pool.warm_up()  # one compile, outside the timed region
@@ -74,6 +78,7 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
     return {"streams": streams, "audio_seconds": round(audio_seconds, 1),
             "wall_s": round(wall, 2),
             "aggregate_xrt": round(audio_seconds / wall, 2),
+            "post_rows": pool.post_rows,
             "windows": metrics["feeds"], "batches": metrics["batches"],
             "mean_batch_size": round(metrics["feeds"] / metrics["batches"], 2)
             if metrics["batches"] else 0.0,
@@ -171,6 +176,15 @@ def main() -> None:
                         help="measure only these modes (device, batched, unbatched, "
                              "device-beam, batched-beam); merges into an existing "
                              "--out file so partial reruns keep the other rows")
+    parser.add_argument("--reps", type=int, default=1,
+                        help="timed repetitions per mode; the reported row is the "
+                             "MEDIAN-aggregate_xrt run, with every sample and the "
+                             "spread recorded alongside (flagship numbers need n>=5 "
+                             "on an idle host — round-4 verdict)")
+    parser.add_argument("--full-posteriors", action="store_true",
+                        help="ablation: device beam modes fetch the FULL window "
+                             "posterior block per feed (post_rows=None) instead of "
+                             "the static sliced block (the round-5 default)")
     parser.add_argument("--out", type=Path,
                         default=Path(__file__).resolve().parent.parent
                         / "evidence" / "STREAMING_LOAD_r04.json")
@@ -245,19 +259,36 @@ def main() -> None:
                          .format(unknown, sorted(known)))
         modes = [m for m in modes if m[0] in args.only]
     for label, batched, partial in modes:
-        if batched is None:
-            row = run_device_load(transcriber, args.streams, clips, chunk,
-                                  args.max_batch, args.window_s, args.margin_s,
-                                  partial_decode=partial)
-        else:
-            row = run_load(transcriber, args.streams, clips, chunk, batched,
-                           args.max_batch, args.window_s, args.margin_s,
-                           partial_decode=partial)
+        runs = []
+        for rep in range(max(1, args.reps)):
+            if batched is None:
+                row = run_device_load(transcriber, args.streams, clips, chunk,
+                                      args.max_batch, args.window_s, args.margin_s,
+                                      partial_decode=partial,
+                                      post_rows=("full" if args.full_posteriors
+                                                 else "default"))
+            else:
+                row = run_load(transcriber, args.streams, clips, chunk, batched,
+                               args.max_batch, args.window_s, args.margin_s,
+                               partial_decode=partial)
+            runs.append(row)
+            print("{:16s} rep {}/{}: {:6.1f}x realtime over {} streams, "
+                  "{} windows in {} batches (mean {:.1f})".format(
+                      label, rep + 1, max(1, args.reps), row["aggregate_xrt"],
+                      row["streams"], row["windows"], row["batches"],
+                      row["mean_batch_size"]), flush=True)
+        samples = sorted(r["aggregate_xrt"] for r in runs)
+        median = samples[len(samples) // 2] if len(samples) % 2 else round(
+            (samples[len(samples) // 2 - 1] + samples[len(samples) // 2]) / 2, 2)
+        row = next(r for r in runs
+                   if abs(r["aggregate_xrt"] - median) ==
+                   min(abs(r["aggregate_xrt"] - median) for r in runs))
+        row = {**row, "samples_xrt": [r["aggregate_xrt"] for r in runs],
+               "median_xrt": median,
+               "spread_xrt": [samples[0], samples[-1]]}
         results[label] = row
-        print("{:12s}: {:6.1f}x realtime aggregate over {} streams, "
-              "{} windows in {} batches (mean {:.1f})".format(
-                  label, row["aggregate_xrt"], row["streams"],
-                  row["windows"], row["batches"], row["mean_batch_size"]), flush=True)
+        print("{:16s} MEDIAN {:6.1f}x of {} (spread {}-{})".format(
+            label, median, len(samples), samples[0], samples[-1]), flush=True)
 
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(results, indent=2))

@@ -7,6 +7,7 @@ decoding variants, tag stripping, the ALC empty-label repair, text normalization
 Voxforge XML parser with per-microphone wav fan-out, and the corpus registry.
 """
 import json
+import os
 import re
 from collections import OrderedDict
 from pathlib import Path
@@ -56,10 +57,15 @@ class UmlautDecoder:
 class GermanClarinCorpus(LibriSpeechCorpus):
     """Clarin BAS corpora (https://clarin.phonetik.uni-muenchen.de/BASRepository/)."""
 
+    #: Mirror override (like ``SPEECHLESS_LIBRISPEECH_URL`` for English): redirects
+    #: the default BAS-server fetch to any http(s) URL or local directory — the
+    #: dress rehearsals serve real-layout ``.tgz`` archives from localhost.
+    DEFAULT_URL = "ketos:/projects/korpora/speech/"
+
     def __init__(self,
                  corpus_name: str,
                  base_directory: Path,
-                 base_source_url_or_directory: str = "ketos:/projects/korpora/speech/",
+                 base_source_url_or_directory: Optional[str] = None,
                  umlaut_decoder: Callable[[str], str] = UmlautDecoder.quote_before_umlaut,
                  tar_gz_extension: str = ".tgz",
                  mel_frequency_count: int = 128,
@@ -69,6 +75,9 @@ class GermanClarinCorpus(LibriSpeechCorpus):
                  id_filter_regex=re.compile(r"[\s\S]*"),
                  training_test_split=None):
         self.umlaut_decoder = umlaut_decoder
+        if base_source_url_or_directory is None:
+            base_source_url_or_directory = os.environ.get(
+                "SPEECHLESS_CLARIN_URL", self.DEFAULT_URL)
         log("Parsing corpus {}...".format(corpus_name))
         super().__init__(
             base_directory=base_directory,
@@ -301,7 +310,9 @@ class GermanVoxforgeCorpus(GermanClarinCorpus):
         super().__init__(
             corpus_name="german-speechdata-package-v2",
             base_directory=base_directory,
-            base_source_url_or_directory="http://www.repository.voxforge1.org/downloads/de/",
+            base_source_url_or_directory=os.environ.get(
+                "SPEECHLESS_VOXFORGE_URL",
+                "http://www.repository.voxforge1.org/downloads/de/"),
             tar_gz_extension=".tar.gz",
             subdirectory_depth=1,
             umlaut_decoder=UmlautDecoder.none,

@@ -304,6 +304,8 @@ class Transcriber:
                              prune_classes=prune_classes)
         self._nbest_programs = {}
         self._nbest_lock = threading.Lock()  # direct multi-threaded callers: build once
+        self._sp_programs = {}  # (mesh id, bucket) -> fused long-form SPMD program
+        self._default_sp_mesh = None
         self._jax = jax
 
     @property
@@ -571,17 +573,103 @@ class Transcriber:
 
     def transcribe_long_audio(self, audio: np.ndarray, max_segment_s: float = 30.0,
                               silence_threshold: float = 0.02,
-                              min_silence_s: float = 0.25) -> str:
-        """Transcribe arbitrarily long audio by segmenting at silences.
+                              min_silence_s: float = 0.25,
+                              sequence_parallel: bool = False,
+                              mesh=None) -> str:
+        """Transcribe arbitrarily long audio.
 
-        The reference caps utterances at 35 s (`german_corpus.py:80`); here long-form audio
-        is split at low-energy regions into <= ``max_segment_s`` chunks (bounding device
-        memory and per-segment latency), each transcribed independently and joined.
+        Default: segment at silences. The reference caps utterances at 35 s
+        (`german_corpus.py:80`); here long-form audio is split at low-energy regions
+        into <= ``max_segment_s`` chunks (bounding device memory and per-segment
+        latency), each transcribed independently and joined.
+
+        ``sequence_parallel=True`` (or an explicit ``mesh``): the TPU-native
+        alternative the reference cannot express — the TIME axis of the WHOLE
+        recording is sharded over the device mesh (`parallel/sequence.py`: conv
+        halos ppermute'd over ICI, outputs bit-identical to the unsharded forward),
+        features + acoustic model + decode fused into ONE SPMD dispatch. No
+        segmentation, no silence heuristics, no per-segment RTTs; per-chip HBM
+        scales as T/n. Decodes with the transcriber's configured decoder (greedy,
+        or the LM-fused device beam when serving with ``kenlm_directory``).
+        ``mesh`` defaults to all local devices on one ``'data'`` axis; audio is
+        padded to 30 s multiples so programs compile once per length bucket.
         """
+        if sequence_parallel or mesh is not None:
+            return self._transcribe_long_sequence_parallel(audio, mesh)
         del silence_threshold  # segmentation cuts at the quietest window instead
         texts = [self.transcribe_audio(segment) for segment in
                  split_long_audio(audio, max_segment_s, min_silence_s)]
         return " ".join(text for text in texts if text)
+
+    _SP_BUCKET_SAMPLES = 30 * 16000  # long-form programs compile per 30 s increment
+
+    def _sp_program(self, mesh, bucket: int):
+        """One fused SPMD program per (mesh, padded-length bucket): wav (replicated)
+        -> mel features -> time-sharded constraint -> halo-exchange conv forward
+        (`parallel/sequence.py`) -> decode -> collapsed tokens. Cached like the
+        n-best programs."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .features.spectrogram import features_batch
+        from .parallel.mesh import DATA_AXIS
+        from .parallel.sequence import sequence_parallel_log_probs
+
+        key = (id(mesh), bucket)
+        with self._nbest_lock:
+            if key in self._sp_programs:
+                return self._sp_programs[key]
+            config, word_lm, decoder = self.config, self.word_lm, self._decoder
+
+            def sp_fn(params, wav, length):
+                features, frame_counts = features_batch(wav[None], length[None])
+                features = jax.lax.with_sharding_constraint(
+                    features, NamedSharding(mesh, P(None, DATA_AXIS, None)))
+                log_probs = sequence_parallel_log_probs(config, params, features,
+                                                        mesh)
+                logit_lengths = w2l.prediction_lengths(config, frame_counts)
+                if word_lm is not None:
+                    from .ops.device_beam import beam_search_decode_device
+
+                    # The beam scans frames sequentially: gather the time-sharded
+                    # posteriors first (tiny vs the audio — classes * T floats).
+                    log_probs = jax.lax.with_sharding_constraint(
+                        log_probs, NamedSharding(mesh, P()))
+                    tokens, counts = beam_search_decode_device(
+                        log_probs, logit_lengths,
+                        blank=config.grapheme_set_size - 1,
+                        beam_width=decoder["beam_width"], word_lm=word_lm,
+                        lm_weight=decoder["lm_weight"],
+                        word_count_weight=decoder["word_count_weight"],
+                        valid_word_count_weight=decoder["valid_word_count_weight"],
+                        prune_classes=decoder["prune_classes"],
+                        lexicon_constrained=self.lexicon_constrained)
+                else:
+                    tokens, counts = greedy_decode(log_probs, logit_lengths,
+                                                   config.grapheme_set_size - 1)
+                return tokens[0], counts[0]
+
+            program = jax.jit(sp_fn)
+            self._sp_programs[key] = program
+            return program
+
+    def _transcribe_long_sequence_parallel(self, audio: np.ndarray, mesh=None) -> str:
+        jnp = self._jnp
+        if mesh is None:
+            mesh = self._default_sp_mesh
+            if mesh is None:
+                from .parallel.mesh import make_mesh
+                mesh = self._default_sp_mesh = make_mesh(self._jax.devices())
+        length = len(audio)
+        bucket = max(self._SP_BUCKET_SAMPLES,
+                     -(-length // self._SP_BUCKET_SAMPLES) * self._SP_BUCKET_SAMPLES)
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[:length] = audio
+        tokens, count = self._sp_program(mesh, bucket)(
+            self.params, jnp.asarray(padded), jnp.asarray(length, jnp.int32))
+        tokens = np.asarray(tokens)[: int(count)]
+        return self.codec.decode_graphemes(tokens.tolist(), merge_repeated=False)
 
     def measure_latency(self, duration_s: float = 4.0, iterations: int = 20
                         ) -> Tuple[float, float]:

@@ -298,6 +298,7 @@ class DeviceStreamingSession:
             self._beam_decoder = self._beam_batcher.decoder
             if beam_pipelined:
                 self._beam_inflight = None
+                self._beam_pending = []
             self._beam_state = self._beam_decoder.init_state()
             self._beam_tokens = np.zeros(0, np.int32)
         self._audio_parts: List[np.ndarray] = []
@@ -545,15 +546,22 @@ class DeviceStreamingSession:
             else:
                 rows = log_probs[row_from:row_to]
             if self._beam_pipelined:
-                self._collect_beam()  # previous advance's state seeds this one
-                self._beam_inflight = self._beam_submit(self._beam_state, rows)
+                # Queue the rows and pump without blocking: a finished previous
+                # advance seeds ONE coalesced advance over everything queued since
+                # (`feed` slices arbitrary-length rows into chunk_frames pieces);
+                # an advance still in flight lets this feed return immediately —
+                # sessions never stall on the advance wall, they catch up in
+                # bigger scans on the next pump.
+                if len(rows):
+                    self._beam_pending.append(rows)
+                self._pump_beam(block=False)
             else:
                 self._beam_state, result = self._beam_advance(
                     self._beam_state, rows)
                 self._beam_tokens = result.tokens
         if flush and self._partial_beam and self._beam_pipelined:
             # The flush's return must be the COMPLETE transcript.
-            self._collect_beam()
+            self._drain_beam()
         if not emissions:
             return ""
         for token, start in emissions:
@@ -579,6 +587,25 @@ class DeviceStreamingSession:
         if self._beam_batcher.started:
             return self._beam_batcher.submit_nowait(state, rows)
         return _DeferredAdvance(self._beam_decoder.feed, state, rows)
+
+    def _pump_beam(self, block: bool) -> None:
+        """Pipelined-advance pump — same contract as
+        `serving_streaming.StreamingTranscriber._pump_beam`: collect the in-flight
+        advance when done (or unconditionally with ``block``), then submit ONE
+        coalesced advance over every queued finalized-row block."""
+        if self._beam_inflight is not None:
+            if not block and not getattr(self._beam_inflight, "ready", True):
+                return
+            self._collect_beam()
+        if self._beam_pending:
+            rows = (self._beam_pending[0] if len(self._beam_pending) == 1
+                    else np.concatenate(self._beam_pending))
+            self._beam_pending = []
+            self._beam_inflight = self._beam_submit(self._beam_state, rows)
+
+    def _drain_beam(self) -> None:
+        while self._beam_inflight is not None or self._beam_pending:
+            self._pump_beam(block=True)
 
     def _collect_beam(self) -> None:
         """Pipelined partials: adopt the in-flight advance's state and best (a

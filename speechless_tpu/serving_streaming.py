@@ -182,6 +182,10 @@ class _DeferredAdvance:
 
     __slots__ = ("_fn", "_state", "_rows")
 
+    #: Nothing progresses in the background, so the pump must never defer to a
+    #: "later" that never comes: collection is always allowed.
+    ready = True
+
     def __init__(self, fn, state, rows):
         self._fn, self._state, self._rows = fn, state, rows
 
@@ -233,10 +237,12 @@ class StreamingTranscriber:
         self._transcriber = transcriber
         self._final_decode = final_decode
         self._partial_beam = partial_decode in ("beam", "beam_pipelined")
-        # Pipelined partials: feed() SUBMITS the beam advance and returns the
-        # PREVIOUS advance's best — the advance runs while the client gathers its
-        # next chunk, so the feed critical path is the window dispatch alone. Live
-        # partials lag one feed; finish() collects everything, so the final
+        # Pipelined partials: feed() QUEUES the finalized rows and returns the
+        # latest collected advance's best — advances run while the client gathers
+        # its next chunks, so the feed critical path is the window dispatch alone.
+        # Live partials lag at least one feed (more under advance backlog: a
+        # session that falls behind catches up in ONE coalesced scan over the
+        # queued rows, see `_pump_beam`); finish() drains everything, so the final
         # transcript is byte-identical to partial_decode="beam" (pinned in tests).
         self._beam_pipelined = partial_decode == "beam_pipelined"
         if self._partial_beam:
@@ -287,6 +293,7 @@ class StreamingTranscriber:
             self._beam_state = self._beam_decoder.init_state()
             self._beam_tokens = np.zeros(0, np.int32)
             self._beam_inflight = None  # pipelined mode's un-collected advance
+            self._beam_pending = []     # finalized rows queued behind it
             self._beam_broken = False   # a failed pipelined advance breaks the stream
 
     @property
@@ -411,12 +418,16 @@ class StreamingTranscriber:
                     row_to = (self._emit_sample - self._buffer_start) // self._spf
                     rows = log_probs[row_from:row_to]
                     if self._beam_pipelined:
-                        # Collect the PREVIOUS advance (its output state seeds this
-                        # one — usually already done: it ran while the client
-                        # gathered this chunk), then submit without waiting.
-                        self._collect_beam()
-                        self._beam_inflight = self._beam_submit(
-                            self._beam_state, rows)
+                        # Queue the finalized rows and pump without blocking: when
+                        # the previous advance has finished, its state seeds one
+                        # coalesced advance over EVERYTHING queued since (feed
+                        # slices arbitrary-length rows into chunk_frames pieces);
+                        # when it is still in flight, the feed returns immediately
+                        # and the rows ride the next pump — sessions never stall
+                        # on the advance wall, they catch up in bigger scans.
+                        if len(rows):
+                            self._beam_pending.append(rows)
+                        self._pump_beam(block=False)
                     else:
                         self._beam_state, result = self._beam_advance(
                             self._beam_state, rows)
@@ -439,13 +450,39 @@ class StreamingTranscriber:
             self._buffer_start = new_start
         if self._partial_beam:
             if flush:
-                # The flush must hand back the COMPLETE transcript: collect the
-                # trailing pipelined advance (no-op in synchronous beam mode).
-                self._collect_beam()
+                # The flush must hand back the COMPLETE transcript: drain the
+                # pipelined advance backlog (no-op in synchronous beam mode).
+                self._drain_beam()
             # Beam partials replace rather than append (re-ranking): hand back the
             # full current best transcript.
             return self.text
         return "".join(self._parts[emitted_before:])
+
+    def _pump_beam(self, block: bool) -> None:
+        """Pipelined-advance pump: collect the in-flight advance when it is done
+        (or unconditionally with ``block``), then submit ONE advance over every
+        queued finalized-row block. `BeamStreamDecoder.feed` slices arbitrary-length
+        rows into ``chunk_frames`` pieces, so a session that fell behind the
+        advance wall catches up in one coalesced scan instead of serializing one
+        advance per feed — partials may lag more than one feed under backlog; the
+        finish drain makes the final transcript complete either way."""
+        if self._beam_inflight is not None:
+            # Handles without a `ready` poll (custom beam_advance_nowait_fn) are
+            # collected eagerly — the pre-coalescing semantics.
+            if not block and not getattr(self._beam_inflight, "ready", True):
+                return
+            self._collect_beam()
+        if self._beam_pending:
+            rows = (self._beam_pending[0] if len(self._beam_pending) == 1
+                    else np.concatenate(self._beam_pending))
+            self._beam_pending = []
+            self._beam_inflight = self._beam_submit(self._beam_state, rows)
+
+    def _drain_beam(self) -> None:
+        """Collect and submit until no advance is in flight and no rows are queued
+        — after this, `_beam_tokens`/`_beam_state` reflect every finalized frame."""
+        while self._beam_inflight is not None or self._beam_pending:
+            self._pump_beam(block=True)
 
     def _collect_beam(self) -> None:
         """Pipelined partials: wait for the in-flight advance (if any) and adopt its
@@ -670,9 +707,10 @@ class StreamingSessionPool:
         ``partial_decode``: ``"beam"`` serves live partials from the incremental
         prefix beam (see `StreamingTranscriber`); each feed's text REPLACES the
         previous partial instead of appending. ``"beam_pipelined"`` is the same
-        beam at higher load capacity: the advance overlaps the client's next chunk
-        (feed returns the PREVIOUS advance's best — live partials lag one feed;
-        the finish transcript is byte-identical to ``"beam"``)."""
+        beam at higher load capacity: advances overlap the client's next chunks
+        (feed returns the latest collected advance's best — live partials lag one
+        feed or more under backlog; the finish transcript is byte-identical to
+        ``"beam"``)."""
         beam = partial_decode in ("beam", "beam_pipelined")
         if beam and self.posterior_batcher is None:
             raise ValueError("partial_decode='{}' needs per-frame posteriors; "

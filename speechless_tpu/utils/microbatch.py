@@ -65,6 +65,13 @@ class PendingItem:
                 "service_s": served - dispatched,
                 "total_s": served - self.enqueued_at}
 
+    @property
+    def ready(self) -> bool:
+        """Whether `wait` would return (or raise) immediately — the non-blocking
+        poll pipelined callers use to decide between collecting now and
+        accumulating more work for the next submission."""
+        return self.done.is_set()
+
     def wait(self) -> Any:
         """Block until served; raises the serving error, returns the result.
         (`MicroBatcher.submit` == `submit_nowait(payload).wait()` — the split lets

@@ -579,3 +579,41 @@ def test_beam_session_created_before_start_adopts_batcher(transcriber):
         assert check.transcribe_stream(_audio(30000, seed=95), 4000) == text
     finally:
         pool.stop()
+
+
+def test_device_pipelined_backlog_coalesces_advances(transcriber):
+    """Device-pool mirror of the host coalescing contract: a session whose advance
+    wall lags the feed cadence queues rows instead of stalling, catches up in one
+    coalesced advance, and finishes with the exact synchronous-beam transcript."""
+    audio = _audio(40000, seed=97)
+    finals = {}
+    for mode in ("beam", "beam_pipelined"):
+        pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                                   max_batch=4, chunk_cap_s=0.5, max_sessions=4)
+        pool.start()
+        try:
+            session = pool.create_stream(partial_decode=mode)
+            if mode == "beam_pipelined":
+                decoder = session._beam_decoder
+                submitted = []
+
+                def slow_advance(state, rows, _decoder=decoder,
+                                 _submitted=submitted):
+                    _submitted.append(np.asarray(rows))
+
+                    class Handle:
+                        ready = False  # models an advance slower than the feeds
+
+                        def wait(self):
+                            return _decoder.feed(state, rows)
+
+                    return Handle()
+
+                session._beam_submit = slow_advance
+            finals[mode] = session.transcribe_stream(audio, 4000)
+        finally:
+            pool.stop()
+    assert finals["beam_pipelined"] == finals["beam"]
+    assert finals["beam"]  # non-degenerate
+    assert len(submitted) <= 3  # queued rows drained in coalesced advances
+    assert submitted[-1].shape[0] > max(r.shape[0] for r in submitted[:-1])

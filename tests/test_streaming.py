@@ -584,3 +584,60 @@ def test_pool_warm_up_beam_precompiles_shared_advance_programs():
         assert isinstance(pool.finish(sid), str)
     finally:
         pool.stop()
+
+
+def test_pipelined_backlog_coalesces_advances():
+    """Advance catch-up coalescing (`StreamingTranscriber._pump_beam`): when the
+    in-flight advance is not done by the next feed, the feed QUEUES its finalized
+    rows instead of stalling; the next collection submits ONE advance over every
+    queued block (`BeamStreamDecoder.feed` slices arbitrary-length rows into
+    chunk_frames pieces), and the finish drain still yields the exact synchronous
+    'beam' transcript."""
+    import jax
+
+    config = _tiny_config()
+    params = w2l.init_params(config, jax.random.PRNGKey(6))
+    transcriber = Transcriber(config, params, ALPHABET, sample_buckets=(65536,))
+    audio = (np.random.RandomState(50).randn(48000) * 0.3).astype(np.float32)
+    chunks = [audio[i:i + 8000] for i in range(0, len(audio), 8000)]
+
+    sync = StreamingTranscriber(transcriber, window_s=2.0, margin_s=0.5,
+                                partial_decode="beam")
+    sync_final = sync.transcribe_stream(audio, 8000)
+
+    class NeverReadyAdvance:
+        """Handles that report not-ready until explicitly waited on — models an
+        advance wall slower than the feed cadence (every feed's rows must queue)."""
+
+        def __init__(self, decoder):
+            self.decoder = decoder
+            self.submitted_rows = []
+
+        def __call__(self, state, rows):
+            outer = self
+            outer.submitted_rows.append(np.asarray(rows))
+
+            class Handle:
+                ready = False
+
+                def wait(self):
+                    return outer.decoder.feed(state, rows)
+
+            return Handle()
+
+    stream = StreamingTranscriber(transcriber, window_s=2.0, margin_s=0.5,
+                                  partial_decode="beam_pipelined")
+    advance = NeverReadyAdvance(stream._beam_decoder)
+    stream._beam_submit = advance
+    for chunk in chunks:
+        stream.feed(chunk)
+    assert stream.finish() == sync_final
+    # First emitting feed submits immediately; every later block queued behind the
+    # never-ready handle and drained in coalesced advances at finish — far fewer
+    # submissions than emitting feeds, covering the same total rows.
+    total_rows = sum(r.shape[0] for r in advance.submitted_rows)
+    assert len(advance.submitted_rows) <= 3
+    # Every finalized frame reaches the beam exactly once, coalescing or not.
+    assert total_rows == stream._emit_sample // transcriber.samples_per_frame
+    assert advance.submitted_rows[-1].shape[0] > max(
+        r.shape[0] for r in advance.submitted_rows[:-1])
