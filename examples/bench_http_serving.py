@@ -49,7 +49,15 @@ def wav_body(duration_s: float, seed: int) -> bytes:
     return buffer.getvalue()
 
 
-def run_load(port: int, bodies, clients: int) -> dict:
+def pcm_body(duration_s: float, seed: int) -> bytes:
+    """Raw little-endian float32 PCM — the server's zero-parse fast path
+    (`Content-Type: application/octet-stream`)."""
+    audio = (0.1 * np.random.RandomState(seed).randn(int(duration_s * 16000)))
+    return audio.astype("<f4").tobytes()
+
+
+def run_load(port: int, bodies, clients: int,
+             content_type: str = "audio/wav") -> dict:
     url = "http://127.0.0.1:{}/v1/transcribe".format(port)
     latencies = []
     shed = []
@@ -63,7 +71,7 @@ def run_load(port: int, bodies, clients: int) -> dict:
                     return
                 _, body = queue.pop()
             request = urllib.request.Request(url, body,
-                                             {"Content-Type": "audio/wav"})
+                                             {"Content-Type": content_type})
             start = time.time()
             try:
                 with urllib.request.urlopen(request, timeout=600) as response:
@@ -126,7 +134,7 @@ def main() -> None:
     parser.add_argument("--max-batch", type=int, default=16)
     parser.add_argument("--out", type=Path,
                         default=Path(__file__).resolve().parent.parent
-                        / "evidence" / "HTTP_r04.json")
+                        / "evidence" / "HTTP_r05.json")
     args = parser.parse_args()
 
     import jax
@@ -140,23 +148,33 @@ def main() -> None:
     transcriber.transcribe_batch(
         [np.zeros(n, np.float32)] * args.max_batch, batch_size=args.max_batch)
 
-    bodies = [wav_body(args.duration_s, seed) for seed in range(args.requests)]
+    wav_bodies = [wav_body(args.duration_s, seed) for seed in range(args.requests)]
+    pcm_bodies = [pcm_body(args.duration_s, seed) for seed in range(args.requests)]
     results = {"duration_s": args.duration_s, "platform": jax.devices()[0].platform}
 
-    # (label, max_batch, clients, max_queue): 0 disables shedding (unbounded).
-    for label, max_batch, clients, max_queue in (
-            ("batched", args.max_batch, args.clients, 0),
-            ("unbatched", 1, args.clients, 0),
-            ("sequential", args.max_batch, 1, 0),
+    # (label, max_batch, clients, max_queue, body kind): 0 disables shedding
+    # (unbounded queue). The -pcm row measures the raw-float32 fast path
+    # (`application/octet-stream`): no wav container walk on the GIL-contended
+    # handler threads — the pre-batcher tail lever the round-4 decomposition
+    # identified.
+    for label, max_batch, clients, max_queue, kind in (
+            ("batched", args.max_batch, args.clients, 0, "wav"),
+            ("batched-pcm", args.max_batch, args.clients, 0, "pcm"),
+            ("unbatched", 1, args.clients, 0, "wav"),
+            ("sequential", args.max_batch, 1, 0, "wav"),
             # Saturation with a bounded backlog: clients overrun the queue, the
             # server sheds with 503 and the successful tail stays bounded.
-            ("bounded", args.max_batch, 2 * args.clients, args.max_batch)):
+            ("bounded", args.max_batch, 2 * args.clients, args.max_batch, "wav")):
         server = TranscriptionServer(transcriber, port=0, max_batch=max_batch,
                                      max_wait_ms=10.0, max_queue=max_queue)
         server.start()
         try:
-            row = run_load(server.port, bodies, clients)
+            row = run_load(server.port,
+                           pcm_bodies if kind == "pcm" else wav_bodies, clients,
+                           content_type=("application/octet-stream"
+                                         if kind == "pcm" else "audio/wav"))
             row["max_queue"] = max_queue or None
+            row["body"] = kind
             row["server_metrics"] = server.batcher.metrics()
             decompose(row)
         finally:

@@ -165,10 +165,20 @@ class Transcriber:
                  prune_classes: Optional[int] = 8,
                  quantize_weights: bool = False,
                  int8_compute: bool = False,
-                 lexicon_constrained: bool = False):
+                 lexicon_constrained: bool = False,
+                 mesh=None):
         """``kenlm_directory``: serve LM-fused transcriptions — the word n-gram rides in
         HBM (`lm/device_lm.py`) and the beam runs inside the same device program as the
         features and the acoustic model, so fusion costs no extra host round-trip.
+
+        ``mesh``: DP-sharded batched serving — every batched program
+        (`transcribe_batch`, `frame_tokens_batch`, `frame_log_probs_batch`) shards
+        its batch axis ``P('data')`` over the mesh, so offline eval and the
+        streaming pools' window dispatches scale with the slice instead of leaving
+        n-1 chips idle (the training side already shards corpora this way,
+        `data/device_dataset.py`). Params are replicated over the mesh; batch
+        sizes must divide the data-axis size. Single-utterance programs are
+        unchanged.
 
         ``quantize_weights``: serve from int8 per-channel weights (`models/quantize.py`)
         — 4x less HBM weight traffic per request and 4x smaller exported bundles;
@@ -199,8 +209,23 @@ class Transcriber:
         # Pin the weights in HBM once: passing host (numpy) leaves to a jitted call
         # re-uploads them EVERY request (the quantizer returns numpy; measured 605 ms
         # of pure transfer per int8 request over a 37 MB/s tunneled link vs 2 ms with
-        # device-resident weights).
-        self.params = jax.device_put(params)
+        # device-resident weights). With a mesh: replicated over it, and batched
+        # inputs are placed batch-sharded (`_put_batch`) so GSPMD partitions every
+        # batched program over the data axis.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from .parallel.mesh import DATA_AXIS
+
+            self._data_parallelism = mesh.shape[DATA_AXIS]
+            self.params = jax.device_put(params, NamedSharding(mesh,
+                                                               PartitionSpec()))
+            self._batch_sharding = NamedSharding(mesh,
+                                                 PartitionSpec(DATA_AXIS, None))
+            self._row_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        else:
+            self.params = jax.device_put(params)
         self.codec = CtcGraphemeCodec(allowed_characters)
         self.sample_buckets = tuple(sorted(sample_buckets))
         self._jnp = jnp
@@ -397,6 +422,21 @@ class Transcriber:
     def _bucket(self, num_samples: int) -> int:
         return bucket_length(num_samples, self.sample_buckets, fallback_multiple=65536)
 
+    def _put_batch(self, wavs: np.ndarray, lengths: np.ndarray):
+        """Place one padded batch for dispatch: plain uploads without a mesh;
+        batch-sharded ``P('data')`` placements with one (GSPMD partitions the
+        batched program to match — the DP-serving path)."""
+        jnp = self._jnp
+        if self.mesh is None:
+            return jnp.asarray(wavs), jnp.asarray(lengths)
+        if wavs.shape[0] % self._data_parallelism:
+            raise ValueError(
+                "batch size {} does not divide the mesh's data parallelism {}; "
+                "pick a divisible batch_size for DP-sharded serving".format(
+                    wavs.shape[0], self._data_parallelism))
+        return (self._jax.device_put(wavs, self._batch_sharding),
+                self._jax.device_put(lengths, self._row_sharding))
+
     def transcribe_audio(self, audio: np.ndarray) -> str:
         """Transcribe a mono 16 kHz float32 waveform."""
         return self.transcribe_audio_with_confidence(audio)[0]
@@ -442,8 +482,8 @@ class Transcriber:
         results: List[Optional[np.ndarray]] = [None] * len(audios)
         for group, wavs, lengths in grouped_padded_batches(audios, self._bucket,
                                                            batch_size):
-            frames, counts = self._frame_tokens_batch(
-                self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+            wavs, lengths = self._put_batch(wavs, lengths)
+            frames, counts = self._frame_tokens_batch(self.params, wavs, lengths)
             frames = np.asarray(frames)
             counts = np.asarray(counts)
             for row, index in enumerate(group):
@@ -472,8 +512,9 @@ class Transcriber:
         results: List[Optional[np.ndarray]] = [None] * len(audios)
         for group, wavs, lengths in grouped_padded_batches(audios, self._bucket,
                                                            batch_size):
-            log_probs, counts = self._frame_log_probs_batch(
-                self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+            wavs, lengths = self._put_batch(wavs, lengths)
+            log_probs, counts = self._frame_log_probs_batch(self.params, wavs,
+                                                            lengths)
             log_probs = np.asarray(log_probs)
             counts = np.asarray(counts)
             for row, index in enumerate(group):
@@ -546,8 +587,9 @@ class Transcriber:
         results: List[Optional[Tuple[str, float]]] = [None] * len(audios)
         for group, wavs, lengths in grouped_padded_batches(audios, self._bucket,
                                                            batch_size):
+            wavs, lengths = self._put_batch(wavs, lengths)
             tokens, counts, confidences = self._transcribe_batch(
-                self.params, jnp.asarray(wavs), jnp.asarray(lengths))
+                self.params, wavs, lengths)
             tokens = np.asarray(tokens)
             counts = np.asarray(counts)
             confidences = np.asarray(confidences)

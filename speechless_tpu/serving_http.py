@@ -137,11 +137,35 @@ def _parse_audio(content_type: str, body: bytes) -> np.ndarray:
     """Decode a request body to a mono 16 kHz float32 waveform.
 
     ``audio/wav`` bodies are decoded + downmixed + polyphase-resampled; JSON bodies
-    carry raw PCM floats (``{"pcm": [...], "sample_rate": 16000}``).
+    carry raw PCM floats (``{"pcm": [...], "sample_rate": 16000}``);
+    ``application/octet-stream`` bodies are raw little-endian float32 mono PCM
+    (``; rate=<hz>`` content-type parameter, default 16000) — the zero-parse fast
+    path for latency-critical clients: `np.frombuffer` + (only if needed) one
+    resample, no container walk, no JSON number parsing.
     """
     from .features.audio_io import decode_wav_bytes, resample
 
     kind = (content_type or "").split(";")[0].strip().lower()
+    if kind == "application/octet-stream":
+        if not body or len(body) % 4:
+            raise RequestError(400, "octet-stream body must be non-empty raw "
+                                    "little-endian float32 PCM")
+        rate = 16000
+        for param in (content_type or "").split(";")[1:]:
+            name, _, value = param.strip().partition("=")
+            if name.lower() == "rate":
+                try:
+                    rate = int(value)
+                except ValueError:
+                    raise RequestError(400, "rate parameter must be an integer")
+        if rate <= 0:
+            raise RequestError(400, "rate parameter must be positive")
+        audio = np.frombuffer(body, dtype="<f4")
+        if not np.isfinite(audio[:: max(1, audio.size // 64)]).all():
+            # Spot-check (not a full pass): NaN floats would poison the shared
+            # batch's features; full validation would defeat the fast path.
+            raise RequestError(400, "PCM contains non-finite samples")
+        return resample(audio, rate, 16000)
     if kind in ("audio/wav", "audio/x-wav", "audio/wave"):
         try:
             audio, rate = decode_wav_bytes(body)
@@ -166,8 +190,9 @@ def _parse_audio(content_type: str, body: bytes) -> np.ndarray:
         if rate <= 0:
             raise RequestError(400, "sample_rate must be positive")
         return resample(audio, rate, 16000)
-    raise RequestError(415, "unsupported Content-Type {!r}; send audio/wav or "
-                            "application/json".format(content_type))
+    raise RequestError(415, "unsupported Content-Type {!r}; send audio/wav, "
+                            "application/json, or application/octet-stream "
+                            "(raw float32 PCM)".format(content_type))
 
 
 class TranscriptionServer:

@@ -42,3 +42,31 @@ def test_partial_final_group_pads_to_batch_size(transcriber):
 
 def test_empty_batch(transcriber):
     assert transcriber.transcribe_batch([]) == []
+
+
+def test_dp_sharded_batch_matches_unsharded():
+    """DP-sharded serving (`Transcriber(mesh=...)`): batched programs shard their
+    batch axis P('data') over the mesh; transcripts must match the single-device
+    transcriber on the same params, and indivisible batch sizes fail loudly."""
+    import jax
+
+    from speechless_tpu.parallel import mesh as pmesh
+
+    config = w2l.Wav2LetterConfig(input_size_per_time_step=128,
+                                  grapheme_set_size=len(ALPHABET) + 1)
+    params = w2l.init_params(config, jax.random.PRNGKey(2))
+    plain = Transcriber(config, params, ALPHABET, sample_buckets=(16384,))
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    sharded = Transcriber(config, params, ALPHABET, sample_buckets=(16384,),
+                          mesh=mesh)
+    rng = np.random.RandomState(8)
+    audios = [(0.3 * rng.randn(rng.randint(4000, 16000))).astype(np.float32)
+              for _ in range(10)]
+    assert sharded.transcribe_batch(audios, batch_size=8) == \
+        plain.transcribe_batch(audios, batch_size=8)
+    frames = sharded.frame_tokens_batch(audios[:8], batch_size=8)
+    expected = plain.frame_tokens_batch(audios[:8], batch_size=8)
+    for got, want in zip(frames, expected):
+        np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="does not divide"):
+        sharded.transcribe_batch(audios[:3], batch_size=3)
