@@ -73,9 +73,11 @@ def main() -> None:
     archives = SMOKE_ARCHIVES if args.smoke else ARCHIVES
     t_stage = time.time()
     for name, utterances, seed in archives:
-        archive = stage_librispeech_archive(
-            work, name, utterances, seed,
-            difficulty="standard" if args.smoke else args.difficulty)
+        # Non-standard tiers hash the generation signature into the chapter field,
+        # which keeps example ids unique ACROSS archives (standard-tier corpora all
+        # use chapter "1", so a multi-archive ComposedCorpus would see duplicates).
+        archive = stage_librispeech_archive(work, name, utterances, seed,
+                                            difficulty=args.difficulty)
         print("staged {} ({} KiB)".format(archive, archive.stat().st_size // 1024),
               flush=True)
     stage_wall = time.time() - t_stage
