@@ -37,7 +37,8 @@ from speechless_tpu.text.charsets import english_frequent_characters
 def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
                     max_batch: int, window_s: float, margin_s: float,
                     partial_decode: str = "greedy",
-                    post_rows: str = "default") -> dict:
+                    post_rows: str = "default",
+                    beam_engine: str = "auto") -> dict:
     """Device-resident windows (`serving_device_stream.DeviceStreamingPool`): each
     feed uploads only the chunk — the window never re-crosses the link. This is the
     mode that should escape the link-bandwidth wall the other two hit (both the
@@ -54,7 +55,8 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
                                max_sessions=max(streams, max_batch),
                                beam_partials=partial_decode != "greedy",
                                post_rows=(None if post_rows == "full"
-                                          else DEFAULT_POST_ROWS))
+                                          else DEFAULT_POST_ROWS),
+                               beam_engine=beam_engine)
     pool.start()
     try:
         pool.warm_up()  # one compile, outside the timed region
@@ -87,11 +89,13 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
 
 def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,
              batched: bool, max_batch: int, window_s: float,
-             margin_s: float, partial_decode: str = "greedy") -> dict:
+             margin_s: float, partial_decode: str = "greedy",
+             beam_engine: str = "auto") -> dict:
     texts = [None] * streams
     if batched:
         pool = StreamingSessionPool(transcriber, window_s=window_s, margin_s=margin_s,
-                                    max_batch=max_batch, max_wait_ms=20.0)
+                                    max_batch=max_batch, max_wait_ms=20.0,
+                                    beam_engine=beam_engine)
         pool.start()
         try:
             if partial_decode != "greedy":
@@ -181,6 +185,11 @@ def main() -> None:
                              "MEDIAN-aggregate_xrt run, with every sample and the "
                              "spread recorded alongside (flagship numbers need n>=5 "
                              "on an idle host — round-4 verdict)")
+    parser.add_argument("--beam-engine", choices=("auto", "xla", "pallas"),
+                        default="auto",
+                        help="incremental beam device step for the beam modes "
+                             "(auto = Pallas kernel on real TPUs; xla = the "
+                             "round-4 vmapped XLA step, the ablation baseline)")
     parser.add_argument("--full-posteriors", action="store_true",
                         help="ablation: device beam modes fetch the FULL window "
                              "posterior block per feed (post_rows=None) instead of "
@@ -266,11 +275,15 @@ def main() -> None:
                                       args.max_batch, args.window_s, args.margin_s,
                                       partial_decode=partial,
                                       post_rows=("full" if args.full_posteriors
-                                                 else "default"))
+                                                 else "default"),
+                                      beam_engine=args.beam_engine)
             else:
                 row = run_load(transcriber, args.streams, clips, chunk, batched,
                                args.max_batch, args.window_s, args.margin_s,
-                               partial_decode=partial)
+                               partial_decode=partial,
+                               beam_engine=args.beam_engine)
+            if partial != "greedy":
+                row["beam_engine"] = args.beam_engine
             runs.append(row)
             print("{:16s} rep {}/{}: {:6.1f}x realtime over {} streams, "
                   "{} windows in {} batches (mean {:.1f})".format(

@@ -272,6 +272,11 @@ def main(argv=None) -> None:
                               "binding — deployments expecting beam/beam_pipelined "
                               "sessions avoid a minutes-long cold compile stalling "
                               "the first coalesced beam feeds")
+    p_serve.add_argument("--beam-engine", choices=("auto", "xla", "pallas"),
+                         default="auto",
+                         help="streaming beam-advance device step: 'auto' picks "
+                              "the Pallas kernel on real TPUs when the decode "
+                              "configuration is kernel-expressible, XLA otherwise")
     p_serve.add_argument("--device-streams", action="store_true",
                          help="keep streaming-session windows in device HBM (each "
                               "feed uploads only the new chunk; needs a live --run "
@@ -453,7 +458,8 @@ def main(argv=None) -> None:
                                      max_batch=args.max_batch,
                                      max_wait_ms=args.max_wait_ms,
                                      device_streams=args.device_streams,
-                                     max_queue=args.max_queue)
+                                     max_queue=args.max_queue,
+                                     beam_engine=args.beam_engine)
         if args.device_streams and not args.no_warm_up:
             server.streams.warm_up()  # the fused feed program compiles before binding
         if args.warm_beam:

@@ -260,6 +260,32 @@ class BeamStreamDecoder:
                                   bos=self._bos) + (
             -jnp.ones((self.beam_width, self.max_decoded_length), jnp.int32),)
 
+    def _step(self, beam: tuple, piece: np.ndarray, valid: int):
+        """One-piece device advance for ONE stream: ``(new_beam, best_row_tokens
+        (max_len,), scalars (3,))``. The single overridable device-dispatch seam —
+        `PallasBeamStreamDecoder` swaps the program, `feed` keeps the piece loop,
+        rollover, and fetch-coalescing logic."""
+        jnp = self._jnp
+        return _stream_step_impl(
+            beam, jnp.asarray(piece), jnp.asarray(valid, jnp.int32),
+            self.blank, self.beam_width, self.max_decoded_length,
+            self.lm_table, self.lm_weight, self._word_arrays, self._word_static,
+            self.word_count_weight, self.valid_word_count_weight,
+            self.prune_classes, self.lexicon_constrained)
+
+    def _step_batch(self, beams: list, batch_lp: np.ndarray, valid: np.ndarray):
+        """One-piece device advance for N streams: ``(new_beams (N tuples), best
+        rows (N, max_len), scalars (N, 3))`` — the batched seam `feed_batch` routes
+        through (see `_step`)."""
+        jnp = self._jnp
+        return _stream_step_batch_impl(
+            tuple(beams), jnp.asarray(batch_lp), jnp.asarray(valid),
+            self.blank, self.beam_width, self.max_decoded_length,
+            self.lm_table, self.lm_weight, self._word_arrays,
+            self._word_static, self.word_count_weight,
+            self.valid_word_count_weight, self.prune_classes,
+            self.lexicon_constrained)
+
     def feed(self, state: BeamStreamState,
              log_probs: np.ndarray) -> Tuple[BeamStreamState, BeamStreamResult]:
         """Advance the beam over ``log_probs`` (t, classes) — frames are consumed
@@ -267,7 +293,6 @@ class BeamStreamDecoder:
         tokens are the committed prefix plus the live beam's current best; an empty
         feed returns the current best from the carried buffer (one cheap step with
         count=0)."""
-        jnp = self._jnp
         log_probs = np.asarray(log_probs, np.float32)
         if log_probs.ndim != 2:
             raise ValueError("log_probs must be (frames, classes), got shape {}".format(
@@ -282,12 +307,7 @@ class BeamStreamDecoder:
             valid = piece.shape[0]
             if valid < self.chunk_frames:
                 piece = np.pad(piece, ((0, self.chunk_frames - valid), (0, 0)))
-            beam, tokens, scalars = _stream_step_impl(
-                beam, jnp.asarray(piece), jnp.asarray(valid, jnp.int32),
-                self.blank, self.beam_width, self.max_decoded_length,
-                self.lm_table, self.lm_weight, self._word_arrays, self._word_static,
-                self.word_count_weight, self.valid_word_count_weight,
-                self.prune_classes, self.lexicon_constrained)
+            beam, tokens, scalars = self._step(beam, piece, valid)
             if p == pieces - 1:
                 # The live token row is always consumed after the loop — fetch it
                 # WITH the scalars as one blocking transfer instead of syncing
@@ -331,7 +351,6 @@ class BeamStreamDecoder:
         no-op on its stream's state. Rollover (see class docstring) is handled
         per row between piece rounds.
         """
-        jnp = self._jnp
         if len(states) != len(log_probs_list):
             raise ValueError("states and log_probs_list lengths differ")
         if not states:
@@ -366,13 +385,7 @@ class BeamStreamDecoder:
                 piece = lp[p * cf:(p + 1) * cf]
                 batch_lp[i, : piece.shape[0]] = piece
                 valid[i] = piece.shape[0]
-            new_beams, rows, scalars = _stream_step_batch_impl(
-                tuple(beams), jnp.asarray(batch_lp), jnp.asarray(valid),
-                self.blank, self.beam_width, self.max_decoded_length,
-                self.lm_table, self.lm_weight, self._word_arrays,
-                self._word_static, self.word_count_weight,
-                self.valid_word_count_weight, self.prune_classes,
-                self.lexicon_constrained)
+            new_beams, rows, scalars = self._step_batch(beams, batch_lp, valid)
             beams = list(new_beams)
             if p == pieces - 1:
                 # The live token rows are always consumed after the loop — one

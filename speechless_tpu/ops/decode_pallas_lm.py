@@ -221,29 +221,12 @@ def _lm_step_kernel(frame_ref, pb_ref, pnb_ref, hash_ref, last_ref, len_ref,
     oidx_ref[:] = jnp.where(in_beam, f_idx, lane_r * (ext_count + 1))
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "beam_width",
-                                             "max_decoded_length", "lm_weight",
-                                             "word_count_weight",
-                                             "valid_word_count_weight",
-                                             "word_lm_static", "prune_classes"))
-def _pallas_lm_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
-                    word_arrays, word_lm_static, lm_weight, word_count_weight,
-                    valid_word_count_weight, prune_classes):
-    from ..lm.device_lm import DeviceWordLm
-    from .decode_jax import _word_bonuses, backtrace_tokens
-
-    use_lm = word_arrays is not None
-    if use_lm:
-        word_lm = DeviceWordLm(*word_arrays, *word_lm_static)
-        space_index = int(word_lm_static[3])
-    else:
-        space_index = -2  # never matches an extension char: cand_lm stays 0
+def _pack_frames(log_probs, k, b_pad):
+    """(B, T, C) log posteriors -> (T, b_pad, FRAME_LANES) kernel frame rows: per
+    frame the top-``k`` pruned extension scores, their class ids (as f32 lanes),
+    the full class row (for blank/stay lookups), NEG_INF lane padding, and NEG_INF
+    batch-padding rows."""
     batch, t_max, class_count = log_probs.shape
-    k = min(prune_classes, class_count)
-    r = _next_pow2(max(beam_width, 8))
-    n_pad = _next_pow2((k + 1) * r)
-    b_pad = ((batch + SUBLANES - 1) // SUBLANES) * SUBLANES
-
     log_probs = log_probs.astype(jnp.float32)
     frame_scores, frame_chars = jax.lax.top_k(log_probs, k)
     packed = jnp.concatenate(
@@ -251,16 +234,21 @@ def _pallas_lm_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
          jnp.full((batch, t_max, FRAME_LANES - class_count - 2 * k), NEG_INF)], axis=2)
     packed = jnp.pad(packed, ((0, b_pad - batch), (0, 0), (0, 0)),
                      constant_values=NEG_INF)
-    frames_t = packed.transpose(1, 0, 2)                  # (T, B_pad, FRAME_LANES)
-    lengths_pad = jnp.pad(lengths.astype(jnp.int32), (0, b_pad - batch))
+    return packed.transpose(1, 0, 2)
 
+
+def _build_step(b_pad, r, k, n_pad, class_count, blank, beam_width,
+                max_decoded_length, space_index):
+    """The one-frame beam kernel as a callable: ``step(frame_row, pb, pnb, hash,
+    last, len, lm, bonus) -> (pb, pnb, hash, last, len, lm, selected_idx)``, each
+    state block (b_pad, r)."""
     kernel = functools.partial(
         _lm_step_kernel, beam_width=beam_width, r_pad=r, ext_count=k, n_pad=n_pad,
         class_count=class_count, blank=blank, max_decoded_length=max_decoded_length,
         space_index=space_index)
     grid = (b_pad // SUBLANES,)
     state_spec = pl.BlockSpec((SUBLANES, r), lambda g: (g, 0))
-    step = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((SUBLANES, FRAME_LANES), lambda g: (g, 0))]
@@ -278,6 +266,11 @@ def _pallas_lm_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
         interpret=jax.default_backend() != "tpu",
     )
 
+
+def _fresh_carry(b_pad, r, word_lm):
+    """The scan carry at stream start: one live empty prefix per row (lane 0,
+    log P(blank)=0, EMPTY_HASH), everything else dead — the sublane-batched analog
+    of `decode_jax.initial_beam_state`."""
     lane0 = jnp.arange(r)[None, :] == 0
     init = (
         jnp.where(lane0, 0.0, NEG_INF) * jnp.ones((b_pad, 1)),        # pb
@@ -287,11 +280,25 @@ def _pallas_lm_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
         jnp.zeros((b_pad, r), jnp.int32),                             # len
         jnp.zeros((b_pad, r)),                                        # lm score
     )
-    if use_lm:
+    if word_lm is not None:
         init = init + (
             jnp.zeros((b_pad, r), jnp.int32),                         # trie node
             jnp.full((b_pad, r, 2), word_lm.bos_id, jnp.int32),       # word context
         )
+    return init
+
+
+def _make_scan_body(step, word_lm, b_pad, r, k, counts, lm_weight,
+                    word_count_weight, valid_word_count_weight):
+    """The per-frame scan body around the kernel: the word-LM trie walk + hashed
+    n-gram probes as vectorized XLA gathers, the per-row ``t < counts`` active mask
+    (inactive frames are exact no-ops, emitting identity backpointers), and the
+    (parent, emitted char) backpointer record. Shared by the offline decode
+    (``counts`` = utterance lengths) and the incremental advance (``counts`` =
+    per-chunk valid frame counts, `decode_incremental_pallas.py`)."""
+    from .decode_jax import _word_bonuses
+
+    use_lm = word_lm is not None
 
     def beam_lane(x):
         return jnp.broadcast_to(jnp.arange(r)[None, :], (b_pad, r))
@@ -314,7 +321,7 @@ def _pallas_lm_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
 
         parent = idx // (k + 1)
         emitted = (idx % (k + 1)) > 0
-        active = (t < lengths_pad)[:, None]
+        active = (t < counts)[:, None]
 
         def sel(new, old):
             return jnp.where(active if new.ndim == 2 else active[..., None], new, old)
@@ -341,6 +348,42 @@ def _pallas_lm_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
         bp_parent = jnp.where(active, parent, beam_lane(parent))
         bp_char = jnp.where(active & emitted, nlast, -1)
         return new_carry, (bp_parent, bp_char)
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "beam_width",
+                                             "max_decoded_length", "lm_weight",
+                                             "word_count_weight",
+                                             "valid_word_count_weight",
+                                             "word_lm_static", "prune_classes"))
+def _pallas_lm_impl(log_probs, lengths, blank, beam_width, max_decoded_length,
+                    word_arrays, word_lm_static, lm_weight, word_count_weight,
+                    valid_word_count_weight, prune_classes):
+    from ..lm.device_lm import DeviceWordLm
+    from .decode_jax import _word_bonuses, backtrace_tokens
+
+    use_lm = word_arrays is not None
+    if use_lm:
+        word_lm = DeviceWordLm(*word_arrays, *word_lm_static)
+        space_index = int(word_lm_static[3])
+    else:
+        word_lm = None
+        space_index = -2  # never matches an extension char: cand_lm stays 0
+    batch, t_max, class_count = log_probs.shape
+    k = min(prune_classes, class_count)
+    r = _next_pow2(max(beam_width, 8))
+    n_pad = _next_pow2((k + 1) * r)
+    b_pad = ((batch + SUBLANES - 1) // SUBLANES) * SUBLANES
+
+    frames_t = _pack_frames(log_probs, k, b_pad)          # (T, B_pad, FRAME_LANES)
+    lengths_pad = jnp.pad(lengths.astype(jnp.int32), (0, b_pad - batch))
+
+    step = _build_step(b_pad, r, k, n_pad, class_count, blank, beam_width,
+                       max_decoded_length, space_index)
+    init = _fresh_carry(b_pad, r, word_lm)
+    body = _make_scan_body(step, word_lm, b_pad, r, k, lengths_pad, lm_weight,
+                           word_count_weight, valid_word_count_weight)
 
     carry, (parents, chars) = jax.lax.scan(body, init, (frames_t, jnp.arange(t_max)))
     pb, pnb, _, _, lens, lm = carry[:6]

@@ -642,7 +642,8 @@ class DeviceStreamingPool:
                  max_batch: int = 16, max_wait_ms: float = 20.0,
                  chunk_cap_s: float = 1.0, idle_timeout_s: float = 300.0,
                  max_sessions: int = 64, beam_partials: Optional[bool] = None,
-                 post_rows: Optional[int] = DEFAULT_POST_ROWS):
+                 post_rows: Optional[int] = DEFAULT_POST_ROWS,
+                 beam_engine: str = "auto"):
         """``beam_partials``: let sessions opt into live BEAM partials
         (``create(partial_decode="beam")``) — the fused feed program additionally
         emits per-frame log posteriors, which beam sessions run through the shared
@@ -656,7 +657,11 @@ class DeviceStreamingPool:
         `_build_feed_fn`) — the feed fetches only the ~chunk of newly finalized
         rows the beam advance consumes instead of the full window's, cutting beam
         feeds' link traffic ~12x at the defaults. ``None`` restores the full
-        -window posterior output. AOT backends use whatever the bundle baked in."""
+        -window posterior output. AOT backends use whatever the bundle baked in.
+
+        ``beam_engine``: the incremental-beam device step — ``"auto"`` (Pallas
+        kernel on real TPUs when expressible, XLA otherwise), ``"xla"``,
+        ``"pallas"`` (see `serving_streaming.beam_decoder_for`)."""
         import jax
         import jax.numpy as jnp
 
@@ -734,6 +739,7 @@ class DeviceStreamingPool:
         self._lock = threading.Lock()
         self._beam_decoder = None
         self._beam_batcher = None
+        self._beam_engine = beam_engine
         self._beam_decoder_lock = threading.Lock()
         self.batcher = _DeviceFeedBatcher(self, max_batch=max_batch,
                                           max_wait_ms=max_wait_ms)
@@ -820,7 +826,8 @@ class DeviceStreamingPool:
                 # carries the cadence-sized chunk_frames default.
                 from .serving_streaming import beam_decoder_for
 
-                self._beam_decoder = beam_decoder_for(self._transcriber)
+                self._beam_decoder = beam_decoder_for(self._transcriber,
+                                                      engine=self._beam_engine)
             return self._beam_decoder
 
     def warm_up_beam(self) -> None:

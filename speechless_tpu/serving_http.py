@@ -208,7 +208,8 @@ class TranscriptionServer:
     def __init__(self, backend, host: str = "127.0.0.1", port: int = 8000,
                  max_batch: int = 16, max_wait_ms: float = 10.0,
                  stream_window_s: float = 8.0, stream_margin_s: float = 2.0,
-                 device_streams: bool = False, max_queue: Optional[int] = None):
+                 device_streams: bool = False, max_queue: Optional[int] = None,
+                 beam_engine: str = "auto"):
         self.backend = backend
         # Bounded backlog (default 8 dispatches deep): past it the server sheds
         # load with 503 + Retry-After instead of queueing requests into a latency
@@ -229,13 +230,15 @@ class TranscriptionServer:
             self.streams = DeviceStreamingPool(backend, window_s=stream_window_s,
                                                margin_s=stream_margin_s,
                                                max_batch=max_batch,
-                                               max_wait_ms=max_wait_ms)
+                                               max_wait_ms=max_wait_ms,
+                                               beam_engine=beam_engine)
         else:
             from .serving_streaming import StreamingSessionPool
             self.streams = StreamingSessionPool(backend, window_s=stream_window_s,
                                                 margin_s=stream_margin_s,
                                                 max_batch=max_batch,
-                                                max_wait_ms=max_wait_ms)
+                                                max_wait_ms=max_wait_ms,
+                                                beam_engine=beam_engine)
         self.started_at = time.time()
         self.httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self.httpd.daemon_threads = True

@@ -147,11 +147,19 @@ def _check_window(window_s: float, margin_s: float) -> None:
 
 
 def beam_decoder_for(transcriber, chunk_frames: int = 32,
-                     max_decoded_length: int = 512):
+                     max_decoded_length: int = 512, engine: str = "auto"):
     """Build the incremental prefix-beam decoder matching ``transcriber``'s decode
     configuration (fusion weights, word LM, lexicon constraint). The decoder is
     stateless across streams — per-stream state lives in `BeamStreamState` — so one
     instance (and its jitted step programs) serves any number of sessions.
+
+    ``engine`` selects the device step: ``"xla"`` = the vmapped XLA beam step,
+    ``"pallas"`` = the sublane-batched Pallas frame kernel
+    (`ops.decode_incremental_pallas` — ~an order of magnitude less device time per
+    advance at W=25, but no char-table fusion / lexicon constraint and pruned
+    extensions required). ``"auto"`` picks Pallas exactly when the backend is a
+    real TPU and the configuration is kernel-expressible — on CPU the kernel would
+    run in interpret mode (orders of magnitude slower), so auto stays on XLA there.
 
     ``chunk_frames=32`` (~0.5 s at the model's 62.5 fps) matches the live-feed
     cadence: the advance program's wall is dominated by the scan LENGTH, not the
@@ -161,8 +169,34 @@ def beam_decoder_for(transcriber, chunk_frames: int = 32,
     piece-count-invariant (pinned in tests)."""
     from .ops.decode_incremental import BeamStreamDecoder
 
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError("unknown beam engine {!r} (auto/xla/pallas)".format(engine))
     decoder = getattr(transcriber, "_decoder", {})
-    return BeamStreamDecoder(
+    lexicon_constrained = getattr(transcriber, "lexicon_constrained", False)
+    prune_classes = decoder.get("prune_classes", None)
+    if engine == "auto":
+        import jax
+
+        from .ops.device_beam import pallas_beam_supported
+
+        classes = transcriber.blank_index + 1
+        engine = ("pallas" if jax.default_backend() == "tpu"
+                  and not lexicon_constrained
+                  and pallas_beam_supported(classes, prune_classes or 8)
+                  else "xla")
+    if engine == "pallas":
+        from .ops.decode_incremental_pallas import PallasBeamStreamDecoder
+
+        if lexicon_constrained:
+            raise ValueError("lexicon_constrained decoding is XLA-only — "
+                             "use engine='xla' (or 'auto', which routes there)")
+        cls = PallasBeamStreamDecoder
+        kwargs = {"prune_classes": prune_classes or 8}
+    else:
+        cls = BeamStreamDecoder
+        kwargs = {"prune_classes": prune_classes,
+                  "lexicon_constrained": lexicon_constrained}
+    return cls(
         blank=transcriber.blank_index,
         beam_width=decoder.get("beam_width", 25),
         chunk_frames=chunk_frames,
@@ -171,8 +205,7 @@ def beam_decoder_for(transcriber, chunk_frames: int = 32,
         lm_weight=decoder.get("lm_weight", 0.8),
         word_count_weight=decoder.get("word_count_weight", 0.0),
         valid_word_count_weight=decoder.get("valid_word_count_weight", 2.3),
-        prune_classes=decoder.get("prune_classes", None),
-        lexicon_constrained=getattr(transcriber, "lexicon_constrained", False))
+        **kwargs)
 
 
 class _DeferredAdvance:
@@ -651,7 +684,8 @@ class StreamingSessionPool:
 
     def __init__(self, transcriber, window_s: float = 8.0, margin_s: float = 2.0,
                  max_batch: int = 16, max_wait_ms: float = 20.0,
-                 idle_timeout_s: float = 300.0, max_sessions: int = 256):
+                 idle_timeout_s: float = 300.0, max_sessions: int = 256,
+                 beam_engine: str = "auto"):
         # Fail at construction, not per-request: a bad window/margin pair would
         # otherwise surface as a misleading 501 on every create().
         _check_window(window_s, margin_s)
@@ -675,6 +709,7 @@ class StreamingSessionPool:
         # advances (`BeamAdvanceBatcher`); built lazily on the first beam create()
         # so greedy-only pools never pay for the decoder's device tables.
         self.beam_batcher: Optional[BeamAdvanceBatcher] = None
+        self._beam_engine = beam_engine
         self._max_batch = max_batch
         self._max_wait_ms = max_wait_ms
         self._started = False
@@ -745,7 +780,7 @@ class StreamingSessionPool:
         Caller holds `self._lock`."""
         if self.beam_batcher is None:
             self.beam_batcher = BeamAdvanceBatcher(
-                beam_decoder_for(self._transcriber),
+                beam_decoder_for(self._transcriber, engine=self._beam_engine),
                 max_batch=self._max_batch, max_wait_ms=self._max_wait_ms)
             if self._started:
                 self.beam_batcher.start()
