@@ -97,10 +97,11 @@ def encode_flac(path, channels_data, sample_rate=16000, bps=16, block_size=4096,
     # STREAMINFO metadata block (last=1, type=0, length=34)
     out += struct.pack(">BBH", 0x80, 0, 34)[0:1] + struct.pack(">I", 34)[1:4]
     info = BitWriter()
-    # STREAMINFO min/max block size: the final frame may be shorter, and strict
-    # external decoders reject a minimum larger than any frame actually written.
-    last_frame = total % block_size if total % block_size else block_size
-    info.write(min(block_size, last_frame), 16)
+    # STREAMINFO min/max block size: per the FLAC spec (RFC 9639) the final frame
+    # is EXCLUDED from min/max, and a fixed blocking strategy (every frame header
+    # below sets strategy bit 0) is declared by min == max == block_size — a
+    # shorter last frame is expected and does not make the stream variable-size.
+    info.write(block_size, 16)
     info.write(block_size, 16)
     info.write(0, 24)
     info.write(0, 24)

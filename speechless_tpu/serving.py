@@ -271,7 +271,12 @@ class Transcriber:
                     word_count_weight=word_count_weight,
                     valid_word_count_weight=valid_word_count_weight,
                     prune_classes=prune_classes,
-                    lexicon_constrained=lexicon_constrained)
+                    lexicon_constrained=lexicon_constrained,
+                    # CTC emits at most one grapheme per frame, so the frame count
+                    # is the exact cap; the default 256 silently truncates dense
+                    # speech on long buckets (the beam only stores backpointers, so
+                    # a larger cap costs one gather at backtrace time).
+                    max_decoded_length=log_probs.shape[1])
             else:
                 tokens, counts = greedy_decode(log_probs, logit_lengths,
                                                config.grapheme_set_size - 1)
@@ -686,7 +691,12 @@ class Transcriber:
                         word_count_weight=decoder["word_count_weight"],
                         valid_word_count_weight=decoder["valid_word_count_weight"],
                         prune_classes=decoder["prune_classes"],
-                        lexicon_constrained=self.lexicon_constrained)
+                        lexicon_constrained=self.lexicon_constrained,
+                        # SP decodes the WHOLE recording in one beam (no 30 s
+                        # segmentation): the default 256-grapheme cap would
+                        # silently truncate ~2 min of speech. Frame count is the
+                        # exact CTC emission bound and is static per bucket.
+                        max_decoded_length=log_probs.shape[1])
                 else:
                     tokens, counts = greedy_decode(log_probs, logit_lengths,
                                                    config.grapheme_set_size - 1)

@@ -192,7 +192,7 @@ def export_feed_program(transcriber, window_s: float = 8.0,
     if not posteriors:
         post_rows = None
     if post_rows is not None:
-        post_rows = _check_post_rows(post_rows, frames, chunk_cap, spf)
+        post_rows = _check_post_rows(post_rows, frames)
     feed = jax.jit(_build_feed_fn(transcriber.config, window, chunk_cap, spf,
                                   posteriors=posteriors, post_rows=post_rows),
                    donate_argnums=(1, 2))
@@ -218,10 +218,12 @@ def export_feed_program(transcriber, window_s: float = 8.0,
     return exported, spec
 
 
-def _check_post_rows(post_rows: int, frames: int, chunk_cap: int, spf: int) -> int:
-    """Validate/clamp the sliced-posterior block size. The block must fit in the
-    window (the slice offset is clamped to ``frames - post_rows``) and leave a few
-    frames of slack over the beam piece cap so a typical feed never splits."""
+def _check_post_rows(post_rows: int, frames: int) -> int:
+    """Validate/clamp the sliced-posterior block size: at least 12 rows, at most
+    the window's frame count (the slice offset is clamped to ``frames -
+    post_rows``). The slack over the per-dispatch beam piece is NOT checked here —
+    ``DeviceStreamingPool.beam_piece_cap`` derives the piece cap from ``post_rows``
+    (``(post_rows - 8) * spf``), so it holds by construction."""
     post_rows = int(post_rows)
     if post_rows < 12:
         raise ValueError("post_rows must be >= 12 (got {})".format(post_rows))
@@ -686,8 +688,7 @@ class DeviceStreamingPool:
             self.max_sessions = max_sessions
             self.window_frames = _window_frames(transcriber.config,
                                                 transcriber.params, self.window)
-            self.post_rows = (_check_post_rows(post_rows, self.window_frames,
-                                               self.chunk_cap, spf)
+            self.post_rows = (_check_post_rows(post_rows, self.window_frames)
                               if self.beam_partials and post_rows is not None
                               else None)
             self._feed = jax.jit(
@@ -695,6 +696,8 @@ class DeviceStreamingPool:
                                spf, posteriors=self.beam_partials,
                                post_rows=self.post_rows),
                 donate_argnums=(1, 2))
+            # Live backend: the program's arity follows the pool flag exactly.
+            self._program_posteriors = self.beam_partials
         else:
             # AOT bundle: replay the exported feed program. The pool dimensions are
             # baked into its static shapes, so the bundle's values win over the
@@ -722,6 +725,11 @@ class DeviceStreamingPool:
                     "device_streaming={'posteriors': True}")
             self.beam_partials = (baked_posteriors if beam_partials is None
                                   else beam_partials)
+            # The exported program's arity (post_starts input, posterior output) is
+            # baked into its StableHLO regardless of what this pool was constructed
+            # with — a posteriors bundle driven with beam_partials=False must still
+            # pass/unpack the baked signature or every feed fails at dispatch.
+            self._program_posteriors = baked_posteriors
         _check_window(self.window / 16000.0, margin_s)
         self.margin = int(margin_s * 16000) // spf * spf
         if self.window < self.margin + 4 * spf:
@@ -793,6 +801,11 @@ class DeviceStreamingPool:
                              "'beam_pipelined', got {!r}".format(partial_decode))
         beam = partial_decode in ("beam", "beam_pipelined")
         if beam and not self.beam_partials:
+            if self._program_posteriors:
+                raise ValueError("beam partials disabled: this pool was "
+                                 "constructed with beam_partials=False (its feed "
+                                 "program does export posteriors — reconstruct "
+                                 "the pool with beam_partials=True)")
             raise ValueError("this pool's feed program has no posterior output; "
                              "construct with beam_partials=True (live) or re-export "
                              "the bundle with device_streaming={'posteriors': True}")
@@ -975,7 +988,7 @@ class DeviceStreamingPool:
         args = (self._transcriber.params, self._buffers, self._lengths,
                 jnp.asarray(rows), jnp.asarray(chunks), jnp.asarray(chunk_lens),
                 jnp.asarray(resets))
-        if self.beam_partials and self.post_rows is not None:
+        if self._program_posteriors and self.post_rows is not None:
             args += (jnp.asarray(post_starts),)
         try:
             outs = self._feed(*args)
@@ -986,7 +999,7 @@ class DeviceStreamingPool:
             # permanent streaming outage.
             self._recover_after_failed_dispatch()
             raise
-        if self.beam_partials:
+        if self._program_posteriors:
             self._buffers, self._lengths, tokens, counts, new_lens, log_probs = outs
             # The posterior block only crosses the link when a beam session is in
             # this batch (greedy-only traffic pays nothing beyond the device-side

@@ -180,9 +180,13 @@ def beam_decoder_for(transcriber, chunk_frames: int = 32,
         from .ops.device_beam import pallas_beam_supported
 
         classes = transcriber.blank_index + 1
+        # prune_classes=None is an explicit unpruned configuration (the
+        # Transcriber default is 8): the kernel requires pruned extensions, so
+        # auto must stay on XLA rather than silently re-pruning the beam.
         engine = ("pallas" if jax.default_backend() == "tpu"
                   and not lexicon_constrained
-                  and pallas_beam_supported(classes, prune_classes or 8)
+                  and prune_classes is not None
+                  and pallas_beam_supported(classes, prune_classes)
                   else "xla")
     if engine == "pallas":
         from .ops.decode_incremental_pallas import PallasBeamStreamDecoder
@@ -190,8 +194,12 @@ def beam_decoder_for(transcriber, chunk_frames: int = 32,
         if lexicon_constrained:
             raise ValueError("lexicon_constrained decoding is XLA-only — "
                              "use engine='xla' (or 'auto', which routes there)")
+        if prune_classes is None:
+            raise ValueError("the Pallas beam requires pruned extensions "
+                             "(prune_classes); unpruned decoding is XLA-only — "
+                             "use engine='xla' (or 'auto', which routes there)")
         cls = PallasBeamStreamDecoder
-        kwargs = {"prune_classes": prune_classes or 8}
+        kwargs = {"prune_classes": prune_classes}
     else:
         cls = BeamStreamDecoder
         kwargs = {"prune_classes": prune_classes,

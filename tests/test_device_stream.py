@@ -259,6 +259,37 @@ def test_exported_bundle_serves_device_streams(transcriber, pool, tmp_path):
         bundle_pool.stop()
 
 
+def test_posteriors_bundle_serves_greedy_pool(transcriber, pool, tmp_path):
+    """A bundle whose feed program bakes the posterior output (post_starts input +
+    6 outputs) must still serve a pool constructed with ``beam_partials=False``: the
+    dispatch arity follows the program's baked signature, not the pool flag.
+    Regression — the flag used to drive the arity, so every greedy feed on a
+    posteriors bundle failed and poisoned the pool."""
+    from speechless_tpu.serving_export import (ExportedTranscriber,
+                                               export_transcriber)
+
+    export_transcriber(transcriber, tmp_path / "bundle",
+                       sample_buckets=(16384,),
+                       device_streaming={"window_s": 1.024, "chunk_cap_s": 0.5,
+                                         "max_sessions": 4, "max_batch": 4,
+                                         "posteriors": True, "post_rows": 12})
+    bundle = ExportedTranscriber(tmp_path / "bundle")
+    assert bundle.device_feed_spec["posteriors"]
+
+    audio = _audio(52000, seed=9)
+    expected = pool.create_stream().transcribe_stream(audio, 4000)
+
+    greedy_pool = DeviceStreamingPool(bundle, margin_s=0.25, beam_partials=False)
+    assert greedy_pool.beam_partials is False
+    greedy_pool.start()
+    try:
+        assert greedy_pool.create_stream().transcribe_stream(audio, 4000) == expected
+        with pytest.raises(ValueError, match="beam_partials=False"):
+            greedy_pool.create_stream(partial_decode="beam")
+    finally:
+        greedy_pool.stop()
+
+
 def test_bundle_without_feed_program_rejected(transcriber, tmp_path):
     """Bundles exported without device_streaming keep rejecting the device pool
     with an actionable message."""

@@ -187,3 +187,17 @@ class TestRouting:
 
         with pytest.raises(ValueError, match="beam engine"):
             beam_decoder_for(self.fake_transcriber(), engine="cuda")
+
+    def test_unpruned_config_is_xla_only(self):
+        """An explicit prune_classes=None (unpruned beam) must never be silently
+        re-pruned: explicit engine='pallas' rejects it, and 'auto' routes to XLA
+        on every backend (the TPU branch requires prune_classes is not None)."""
+        from speechless_tpu.serving_streaming import beam_decoder_for
+
+        fake = self.fake_transcriber(_decoder={"beam_width": W,
+                                               "prune_classes": None})
+        with pytest.raises(ValueError, match="prune_classes"):
+            beam_decoder_for(fake, engine="pallas")
+        decoder = beam_decoder_for(fake, engine="auto")
+        assert type(decoder) is BeamStreamDecoder
+        assert decoder.prune_classes is None
