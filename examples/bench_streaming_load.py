@@ -74,17 +74,36 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
 
         wall = _run_threads(run, streams)
         metrics = pool.batcher.metrics()
+        advance = None
+        if partial_decode != "greedy":
+            batcher = pool._get_beam_batcher()
+            m = batcher.metrics()
+            decoder = batcher.decoder
+            advance = {
+                "advances": m["advances"], "batches": m["batches"],
+                "mean_batch": round(m["mean_batch_size"], 2),
+                "latency_p50_s": round(m.get("latency_p50_s", 0.0), 4),
+                "latency_p95_s": round(m.get("latency_p95_s", 0.0), 4),
+                # piece_rounds > dispatched feeds means sessions fell behind the
+                # cadence and caught up in multi-piece scans (each round pays a
+                # scalar fetch + a chunk_frames-length scan).
+                "decoder_feeds": decoder.stat_feeds,
+                "piece_rounds": decoder.stat_piece_rounds,
+            }
     finally:
         pool.stop()
     audio_seconds = sum(len(a) for a in audio_clips) / 16000.0
-    return {"streams": streams, "audio_seconds": round(audio_seconds, 1),
-            "wall_s": round(wall, 2),
-            "aggregate_xrt": round(audio_seconds / wall, 2),
-            "post_rows": pool.post_rows,
-            "windows": metrics["feeds"], "batches": metrics["batches"],
-            "mean_batch_size": round(metrics["feeds"] / metrics["batches"], 2)
-            if metrics["batches"] else 0.0,
-            "transcript_sample": (texts[0] or "")[:60]}
+    out = {"streams": streams, "audio_seconds": round(audio_seconds, 1),
+           "wall_s": round(wall, 2),
+           "aggregate_xrt": round(audio_seconds / wall, 2),
+           "post_rows": pool.post_rows,
+           "windows": metrics["feeds"], "batches": metrics["batches"],
+           "mean_batch_size": round(metrics["feeds"] / metrics["batches"], 2)
+           if metrics["batches"] else 0.0,
+           "transcript_sample": (texts[0] or "")[:60]}
+    if advance is not None:
+        out["advance"] = advance
+    return out
 
 
 def run_load(transcriber, streams: int, audio_clips, chunk_samples: int,

@@ -238,6 +238,12 @@ class BeamStreamDecoder:
         self.valid_word_count_weight = float(valid_word_count_weight)
         self.prune_classes = prune_classes
         self.lexicon_constrained = lexicon_constrained
+        # Lightweight load-decomposition counters (GIL-atomic increments): how many
+        # feed/feed_batch calls ran and how many chunk_frames-piece scan rounds they
+        # cost. pieces > feeds means sessions fell behind the live cadence and
+        # caught up in multi-piece scans (each piece round pays a scalar fetch).
+        self.stat_feeds = 0
+        self.stat_piece_rounds = 0
         if word_lm is not None:
             word_lm = word_lm.as_device()
             self._word_arrays = tuple(word_lm[:9])
@@ -299,6 +305,8 @@ class BeamStreamDecoder:
                 log_probs.shape))
         beam, committed, committed_score = state
         pieces = max(1, -(-log_probs.shape[0] // self.chunk_frames))
+        self.stat_feeds += 1
+        self.stat_piece_rounds += pieces
         tokens = np.zeros(0, np.int32)
         tokens_np = None
         count, score = 0, 0.0
@@ -374,6 +382,8 @@ class BeamStreamDecoder:
         committed = [s.committed for s in states]
         committed_score = [float(s.committed_score) for s in states]
         pieces = max(1, max(-(-lp.shape[0] // cf) for lp in arrays))
+        self.stat_feeds += 1
+        self.stat_piece_rounds += pieces
         counts = np.zeros(n, np.int64)
         scores = np.zeros(n, np.float64)
         rolled_in_final_piece = [False] * n
