@@ -292,6 +292,38 @@ class BeamStreamDecoder:
             self.valid_word_count_weight, self.prune_classes,
             self.lexicon_constrained)
 
+    def advance_in_program(self, stacked_state, log_probs, counts):
+        """TRACEABLE batched advance over STACKED beam leaves — the seam for
+        embedding the beam inside a larger jitted program (the device streaming
+        pool's resident-beam fused feed, `serving_device_stream._build_feed_fn`).
+
+        ``stacked_state`` is one pytree whose leaves carry a leading batch dim
+        (``(N,) + leaf.shape`` of `_fresh_beam`), ``log_probs`` ``(N, chunk_frames,
+        classes)``, ``counts`` ``(N,)`` valid-row counts (count=0 rows are exact
+        no-ops). Returns ``(stacked_state, best_rows (N, max_len), scalars
+        (N, 3))``. Must be called under an enclosing jit/trace — it dispatches
+        nothing itself."""
+        import jax
+
+        def one(state, row_log_probs, count):
+            return _stream_step_core(
+                state, row_log_probs, count, self.blank, self.beam_width,
+                self.max_decoded_length, self.lm_table, self.lm_weight,
+                self._word_arrays, self._word_static, self.word_count_weight,
+                self.valid_word_count_weight, self.prune_classes,
+                self.lexicon_constrained)
+
+        return jax.vmap(one)(stacked_state, log_probs, counts)
+
+    def stacked_fresh_state(self, n: int):
+        """``n`` fresh beam carries as ONE stacked pytree (leading dim ``n``) —
+        the device pool's resident-beam HBM state layout (`advance_in_program`'s
+        input), every row bit-identical to `_fresh_beam()`."""
+        jnp = self._jnp
+        return jax.tree.map(
+            lambda leaf: jnp.broadcast_to(leaf[None], (n,) + leaf.shape),
+            self._fresh_beam())
+
     def feed(self, state: BeamStreamState,
              log_probs: np.ndarray) -> Tuple[BeamStreamState, BeamStreamResult]:
         """Advance the beam over ``log_probs`` (t, classes) — frames are consumed

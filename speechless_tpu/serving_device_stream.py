@@ -54,7 +54,8 @@ _POISONED_MESSAGE = ("stream lost: a device dispatch failed and the pool state w
 
 
 def _build_feed_fn(config, window: int, chunk_cap: int, spf: int,
-                   posteriors: bool = False, post_rows: Optional[int] = None):
+                   posteriors: bool = False, post_rows: Optional[int] = None,
+                   beam_decoder=None, beam_cf: int = 32):
     """The fused append+decode program over the pooled session windows.
 
     ``(params, buffers (S+1, W), lengths (S+1,), rows (B,), chunks (B, cap),
@@ -111,7 +112,80 @@ def _build_feed_fn(config, window: int, chunk_cap: int, spf: int,
         return (buffers, lengths, tokens,
                 w2l.prediction_lengths(config, frame_counts), new_lens), logits
 
-    if posteriors and post_rows is not None:
+    if beam_decoder is not None:
+        # RESIDENT-BEAM mode: the incremental prefix beam's carry lives in pooled
+        # HBM (one stacked pytree, a row per session) and advances INSIDE this
+        # program over the rows the emission rule newly finalizes — no posterior
+        # block, no separate advance dispatch: the per-feed link traffic is the
+        # chunk up and (tokens, beam best row, 3 scalars) down, in the SAME
+        # round-trip greedy pays. The separate-advance path costs ~2 extra tunnel
+        # RPCs per wave (dispatch + fetch), which measured as the entire
+        # beam-vs-greedy aggregate gap on tunneled backends.
+        #
+        # The advance row range is computed ON DEVICE from host-passed integers:
+        # ``totals`` (stream samples after this feed), ``emit_samples`` (the
+        # emission horizon BEFORE this feed), ``emit_limits`` (the capped
+        # margin/flush boundary) — `collapse_new_frames`' qualifying set is the
+        # contiguous frame range [f_lo, f_hi) and depends only on these lengths,
+        # never on token content, so host and device stay in lockstep (the host
+        # asserts it per feed). Sample positions ride int32: streams are bounded
+        # to 2**31 samples (~37 h at 16 kHz), matching the int32 window lengths.
+        fresh = beam_decoder._fresh_beam()
+        max_len = beam_decoder.max_decoded_length
+
+        def feed_fn(params, buffers, lengths, beam_state, rows, chunks,
+                    chunk_lens, resets, totals, emit_samples, emit_limits,
+                    beam_resets):
+            out, logits = feed_core(params, buffers, lengths, rows, chunks,
+                                    chunk_lens, resets)
+            new_buffers, new_lengths, tokens, counts, new_lens = out
+            frames = logits.shape[1]
+            log_post = jax.nn.log_softmax(logits, axis=-1)
+            buffer_start = totals - new_lens
+            f_lo = jnp.maximum(0, (emit_samples - buffer_start) // spf)
+            f_hi = jnp.minimum(counts,
+                               jnp.maximum(0, (emit_limits - buffer_start) // spf))
+            valid = jnp.maximum(0, f_hi - f_lo).astype(jnp.int32)
+            # The static beam_cf-row block must start inside the window; when the
+            # horizon rides the window tail (flush drains) the start clamps and the
+            # block is rolled so the first valid row is index 0 — a plain clamped
+            # dynamic_slice would silently misalign rows.
+            start = jnp.clip(f_lo, 0, frames - beam_cf).astype(jnp.int32)
+            shift = (f_lo - start).astype(jnp.int32)
+
+            def slice_roll(row_post, s, sh):
+                block = jax.lax.dynamic_slice(
+                    row_post, (s, 0), (beam_cf, row_post.shape[-1]))
+                return block[(jnp.arange(beam_cf) + sh) % beam_cf]
+
+            blocks = jax.vmap(slice_roll)(log_post, start, shift)
+            row_state = jax.tree.map(lambda pool: pool[rows], beam_state)
+            row_state = jax.tree.map(
+                lambda cur, fr: jnp.where(
+                    beam_resets.reshape((-1,) + (1,) * (cur.ndim - 1)),
+                    fr[None], cur),
+                row_state, fresh)
+
+            def run_advance(rs):
+                return beam_decoder.advance_in_program(rs, blocks, valid)
+
+            def skip_advance(rs):
+                b = valid.shape[0]
+                return (rs, jnp.full((b, max_len), -1, jnp.int32),
+                        jnp.zeros((b, 3), jnp.float32))
+
+            # Greedy-only dispatches skip the beam exec entirely (lax.cond on a
+            # runtime scalar); sessions ignore the dummy row/scalars whenever
+            # their own valid count is 0 (host recomputes it from the fetched
+            # frame count), which exactly mirrors the separate-advance path's
+            # "no rows finalized -> no advance" behavior.
+            new_state, beam_rows, beam_scalars = jax.lax.cond(
+                jnp.any(valid > 0), run_advance, skip_advance, row_state)
+            beam_state = jax.tree.map(lambda pool, ns: pool.at[rows].set(ns),
+                                      beam_state, new_state)
+            return (new_buffers, new_lengths, beam_state, tokens, counts,
+                    new_lens, beam_rows, beam_scalars)
+    elif posteriors and post_rows is not None:
         def feed_fn(params, buffers, lengths, rows, chunks, chunk_lens, resets,
                     post_starts):
             out, logits = feed_core(params, buffers, lengths, rows, chunks,
@@ -165,6 +239,11 @@ def quantize_pool_dims(samples_per_frame: int, window_s: float,
 
 
 DEFAULT_POST_ROWS = 40
+
+# Advance-range limit for non-beam rows in a resident-beam dispatch: hugely
+# negative so (limit - buffer_start) // spf can never reach a valid frame, while
+# staying far from int32 overflow when window-sized starts are subtracted.
+_NO_EMIT_LIMIT = -(2 ** 30)
 
 
 def export_feed_program(transcriber, window_s: float = 8.0,
@@ -288,7 +367,19 @@ class DeviceStreamingSession:
         self._final_decode = final_decode
         self._partial_beam = partial_beam
         self._beam_pipelined = beam_pipelined
-        if partial_beam:
+        self._beam_resident = partial_beam and pool.beam_mode == "resident"
+        if self._beam_resident:
+            # The beam carry lives in the pool's HBM state and advances inside the
+            # fused feed program; the host keeps only the committed prefix (tokens
+            # rolled out on buffer saturation), the fetched live best, and the
+            # pending reset flag the next dispatch applies to this row.
+            self._committed = np.zeros(0, np.int32)
+            self._committed_score = 0.0
+            self._live_tokens = np.zeros(0, np.int32)
+            self._live_score = 0.0
+            self._pending_beam_reset = True  # a reused row starts from fresh state
+            self._beam_tokens = np.zeros(0, np.int32)
+        elif partial_beam:
             # Shared jitted step program (pool-level decoder), per-session state —
             # exactly the host pool's arrangement (`serving_streaming`). Advances
             # of concurrent sessions coalesce through the pool's BeamAdvanceBatcher
@@ -387,10 +478,12 @@ class DeviceStreamingSession:
             self._audio_parts.append(chunk)
         emitted: List[str] = []
         cap = self._pool.chunk_cap
-        if self._partial_beam and self._pool.post_rows is not None:
-            # Sliced posteriors: pieces hug the static slice so a dispatch's newly
-            # finalized rows always fit it (the emission cap in `_emit` is then a
-            # never-hit safety net at steady state).
+        if self._partial_beam and (self._beam_resident
+                                   or self._pool.post_rows is not None):
+            # Sliced posteriors / resident beam: pieces hug the static per-dispatch
+            # block so a dispatch's newly finalized rows always fit it (the
+            # emission cap in `_emit` is then a never-hit safety net at steady
+            # state).
             cap = min(cap, self._pool.beam_piece_cap)
         for start in range(0, max(len(chunk), 1), cap):
             piece = chunk[start:start + cap]
@@ -438,16 +531,18 @@ class DeviceStreamingSession:
             while True:
                 before = self._emit_sample
                 tokens, count, log_probs, post_start = self._dispatch(
-                    np.zeros(0, np.float32))
+                    np.zeros(0, np.float32), flush=True)
                 out += self._emit(tokens, count, flush=True, log_probs=log_probs,
                                   post_start=post_start)
-                if not (self._partial_beam and self._pool.post_rows is not None):
+                if not (self._partial_beam
+                        and (self._beam_resident
+                             or self._pool.post_rows is not None)):
                     break
-                # Sliced posteriors: one flush dispatch drains at most `post_rows`
-                # frames of the withheld margin, so loop zero-length dispatches
-                # until the emission horizon catches the model's frame horizon
-                # (`buffer_start + count*spf`) — typically ceil(margin/post_rows)
-                # ~= 4 extra round-trips, once per stream.
+                # Sliced posteriors / resident beam: one flush dispatch drains at
+                # most one advance block of the withheld margin, so loop
+                # zero-length dispatches until the emission horizon catches the
+                # model's frame horizon (`buffer_start + count*spf`) — typically
+                # ceil(margin/block) ~= 4 extra round-trips, once per stream.
                 horizon = (self._total - self._length) + count * self._spf
                 if self._emit_sample <= before or self._emit_sample >= horizon:
                     break
@@ -486,11 +581,28 @@ class DeviceStreamingSession:
         if self._finished:
             raise RuntimeError("session is finished")
 
-    def _dispatch(self, piece: np.ndarray):
+    def _dispatch(self, piece: np.ndarray, flush: bool = False):
         mirrored, _ = mirror_append(self._length, len(piece), self._pool.window,
                                     self._spf)
         post_start = 0
-        if self._partial_beam and self._pool.post_rows is not None:
+        info = 0
+        if self._beam_resident:
+            # The fused program advances this row's HBM-resident beam over the
+            # rows the emission rule will finalize — the whole range is integer
+            # arithmetic over lengths (`mirror_append` is deterministic and
+            # `collapse_new_frames`' horizon never depends on token content), so
+            # it is computed HERE, before dispatch, and passed as scalars.
+            total_after = self._total + len(piece)
+            buffer_start = total_after - mirrored
+            f_lo = max(0, (self._emit_sample - buffer_start) // self._spf)
+            raw_limit = (total_after + self._spf if flush
+                         else total_after - self._pool.margin)
+            emit_limit = min(raw_limit,
+                             buffer_start
+                             + (f_lo + self._pool._beam_cf) * self._spf)
+            info = (total_after, self._emit_sample, emit_limit,
+                    self._pending_beam_reset)
+        elif self._partial_beam and self._pool.post_rows is not None:
             # The slice offset is computable BEFORE dispatch: the post-append
             # buffer start is deterministic (`mirror_append`), and newly finalized
             # rows always begin at the current emission horizon. Clamped so the
@@ -501,23 +613,33 @@ class DeviceStreamingSession:
             post_start = max(0, min(row_from,
                                     self._pool.window_frames
                                     - self._pool.post_rows))
-        tokens, count, new_length, log_probs = self._pool.batcher.submit(
-            (self._row, piece, self._pending_reset, self._partial_beam,
-             post_start))
+            info = post_start
+        tokens, count, new_length, extra = self._pool.batcher.submit(
+            (self._row, piece, self._pending_reset, self._partial_beam, info))
         self._pending_reset = False
+        if self._beam_resident:
+            self._pending_beam_reset = False
         self._total += len(piece)
         self._length = int(new_length)
         if self._length != mirrored:
             raise AssertionError(
                 "device window length {} diverged from host mirror {}"
                 .format(self._length, mirrored))
-        return np.asarray(tokens), int(count), log_probs, post_start
+        return np.asarray(tokens), int(count), extra, post_start
 
     def _emit(self, tokens: np.ndarray, count: int, flush: bool,
               log_probs: Optional[np.ndarray] = None, post_start: int = 0) -> str:
         buffer_start = self._total - self._length  # spf-aligned by construction
         emit_limit = self._total + self._spf if flush else self._total - self._pool.margin
-        if self._partial_beam and self._pool.post_rows is not None:
+        if self._beam_resident:
+            # Mirror of the cap `_dispatch` passed to the device — recomputed from
+            # the SAME pre-advance horizon (`_emit` runs before `_emit_sample`
+            # moves), so host emission and the in-program advance stay in lockstep.
+            f_lo = max(0, (self._emit_sample - buffer_start) // self._spf)
+            emit_limit = min(emit_limit,
+                             buffer_start
+                             + (f_lo + self._pool._beam_cf) * self._spf)
+        elif self._partial_beam and self._pool.post_rows is not None:
             # Never finalize past the fetched posterior slice — the beam can only
             # consume rows it has. At steady state the piece cap keeps this
             # inactive; flushes drain the margin via `_finish_locked`'s loop.
@@ -528,7 +650,41 @@ class DeviceStreamingSession:
         emissions, self._emit_sample, self._carry = collapse_new_frames(
             tokens, count, buffer_start, self._spf, self._emit_sample,
             self._carry, emit_limit, self._blank)
-        if self._partial_beam and self._emit_sample > finalized_from:
+        if self._beam_resident:
+            # The advance already ran inside the feed dispatch; adopt its result.
+            # Lockstep assertion: the device computed its advance range with the
+            # same integers — the horizon it implied must equal the one the host
+            # emission rule just produced.
+            f_hi = min(count, max(0, (emit_limit - buffer_start) // self._spf))
+            f_lo = max(0, (finalized_from - buffer_start) // self._spf)
+            expected = (buffer_start + f_hi * self._spf if f_hi > f_lo
+                        else finalized_from)
+            if self._emit_sample != expected:
+                raise AssertionError(
+                    "host emission horizon {} diverged from the device advance "
+                    "range [{}, {}) (expected {})".format(
+                        self._emit_sample, f_lo, f_hi, expected))
+            if f_hi > f_lo and log_probs is not None:
+                beam_row, scalars = log_probs
+                count_live = int(scalars[0])
+                self._live_tokens = np.asarray(beam_row[:count_live], np.int32)
+                self._live_score = float(scalars[1])
+                if (int(scalars[2]) + self._pool._beam_cf
+                        > self._pool._resident_decoder.max_decoded_length):
+                    # Rollover, identical to `BeamStreamDecoder.feed`'s per-piece
+                    # rule: ANY live prefix could saturate within the next piece —
+                    # commit the best and restart from fresh state (applied by the
+                    # NEXT dispatch via the reset flag).
+                    self._committed = np.concatenate(
+                        [self._committed, self._live_tokens])
+                    self._committed_score += self._live_score
+                    self._live_tokens = np.zeros(0, np.int32)
+                    self._live_score = 0.0
+                    self._pending_beam_reset = True
+            self._beam_tokens = (np.concatenate([self._committed,
+                                                 self._live_tokens])
+                                 if self._committed.size else self._live_tokens)
+        elif self._partial_beam and self._emit_sample > finalized_from:
             # Advance the carried beam over exactly the rows the greedy rule just
             # finalized — identical bookkeeping to the host-window beam path
             # (`serving_streaming.StreamingTranscriber._drain`); the emitted audio
@@ -645,7 +801,8 @@ class DeviceStreamingPool:
                  chunk_cap_s: float = 1.0, idle_timeout_s: float = 300.0,
                  max_sessions: int = 64, beam_partials: Optional[bool] = None,
                  post_rows: Optional[int] = DEFAULT_POST_ROWS,
-                 beam_engine: str = "auto"):
+                 beam_engine: str = "auto", beam_mode: str = "posterior",
+                 beam_opts: Optional[dict] = None):
         """``beam_partials``: let sessions opt into live BEAM partials
         (``create(partial_decode="beam")``) — the fused feed program additionally
         emits per-frame log posteriors, which beam sessions run through the shared
@@ -663,11 +820,23 @@ class DeviceStreamingPool:
 
         ``beam_engine``: the incremental-beam device step — ``"auto"`` (Pallas
         kernel on real TPUs when expressible, XLA otherwise), ``"xla"``,
-        ``"pallas"`` (see `serving_streaming.beam_decoder_for`)."""
+        ``"pallas"`` (see `serving_streaming.beam_decoder_for`).
+
+        ``beam_mode``: how beam-partial sessions advance. ``"posterior"`` — the
+        feed program exports a posterior block and a separate coalesced advance
+        dispatch runs the beam (`BeamAdvanceBatcher`; supports
+        ``partial_decode="beam_pipelined"``). ``"resident"`` (live backends only)
+        — the beam carry lives in pooled HBM and advances INSIDE the feed program:
+        zero extra round-trips per feed, partials never lag, finish is
+        byte-identical to the posterior sync beam (pinned in tests)."""
         import jax
         import jax.numpy as jnp
 
         from .utils.tools import log
+
+        if beam_mode not in ("posterior", "resident"):
+            raise ValueError("beam_mode must be 'posterior' or 'resident', "
+                             "got {!r}".format(beam_mode))
 
         spec = getattr(transcriber, "device_feed_spec", None)
         if not hasattr(transcriber, "config") and spec is None:
@@ -688,20 +857,61 @@ class DeviceStreamingPool:
             self.max_sessions = max_sessions
             self.window_frames = _window_frames(transcriber.config,
                                                 transcriber.params, self.window)
-            self.post_rows = (_check_post_rows(post_rows, self.window_frames)
-                              if self.beam_partials and post_rows is not None
-                              else None)
-            self._feed = jax.jit(
-                _build_feed_fn(transcriber.config, self.window, self.chunk_cap,
-                               spf, posteriors=self.beam_partials,
-                               post_rows=self.post_rows),
-                donate_argnums=(1, 2))
-            # Live backend: the program's arity follows the pool flag exactly.
-            self._program_posteriors = self.beam_partials
+            if beam_mode == "resident":
+                if not self.beam_partials:
+                    raise ValueError("beam_mode='resident' builds the beam into "
+                                     "the feed program — it cannot be combined "
+                                     "with beam_partials=False")
+                from .serving_streaming import beam_decoder_for
+
+                self.beam_mode = "resident"
+                # 40 rows = DEFAULT_POST_ROWS: the piece cap (cf-8 frames of
+                # slack, `beam_piece_cap`) then slices feeds exactly like the
+                # sliced-posterior mode — one dispatch per ~0.5 s chunk. The
+                # rollover guard scales with this block (`max_live + cf >
+                # max_decoded_length`), so posterior-mode parity at the rollover
+                # boundary needs matching ``chunk_frames`` on both pools.
+                opts = dict(beam_opts or {})
+                self._beam_cf = max(12, min(int(opts.pop("chunk_frames", 40)),
+                                            self.window_frames))
+                self._resident_decoder = beam_decoder_for(
+                    transcriber, chunk_frames=self._beam_cf, engine=beam_engine,
+                    **opts)
+                self.post_rows = None
+                self._beam_pool = self._resident_decoder.stacked_fresh_state(
+                    max_sessions + 1)
+                self._feed = jax.jit(
+                    _build_feed_fn(transcriber.config, self.window,
+                                   self.chunk_cap, spf,
+                                   beam_decoder=self._resident_decoder,
+                                   beam_cf=self._beam_cf),
+                    donate_argnums=(1, 2, 3))
+                self._program_posteriors = False
+            else:
+                self.beam_mode = "posterior"
+                self._resident_decoder = None
+                self.post_rows = (_check_post_rows(post_rows, self.window_frames)
+                                  if self.beam_partials and post_rows is not None
+                                  else None)
+                self._feed = jax.jit(
+                    _build_feed_fn(transcriber.config, self.window,
+                                   self.chunk_cap, spf,
+                                   posteriors=self.beam_partials,
+                                   post_rows=self.post_rows),
+                    donate_argnums=(1, 2))
+                # Live backend: the program's arity follows the pool flag exactly.
+                self._program_posteriors = self.beam_partials
         else:
             # AOT bundle: replay the exported feed program. The pool dimensions are
             # baked into its static shapes, so the bundle's values win over the
             # constructor's (loudly, if they differ).
+            if beam_mode == "resident":
+                raise ValueError(
+                    "beam_mode='resident' needs a live serving.Transcriber (the "
+                    "beam carry is jitted into the feed program); exported "
+                    "bundles serve beam partials via beam_mode='posterior'")
+            self.beam_mode = "posterior"
+            self._resident_decoder = None
             requested = quantize_pool_dims(spf, window_s, chunk_cap_s)
             baked = (spec["window"], spec["chunk_cap"])
             if requested != baked or (max_sessions, max_batch) != (
@@ -748,6 +958,7 @@ class DeviceStreamingPool:
         self._beam_decoder = None
         self._beam_batcher = None
         self._beam_engine = beam_engine
+        self._beam_opts = beam_opts
         self._beam_decoder_lock = threading.Lock()
         self.batcher = _DeviceFeedBatcher(self, max_batch=max_batch,
                                           max_wait_ms=max_wait_ms)
@@ -799,6 +1010,11 @@ class DeviceStreamingPool:
         if partial_decode not in ("greedy", "beam", "beam_pipelined"):
             raise ValueError("partial_decode must be 'greedy', 'beam', or "
                              "'beam_pipelined', got {!r}".format(partial_decode))
+        if partial_decode == "beam_pipelined" and self.beam_mode == "resident":
+            raise ValueError(
+                "beam_mode='resident' pools have no separate advance to pipeline "
+                "— the beam rides the feed dispatch itself; use "
+                "partial_decode='beam' (partials are already lag-free)")
         beam = partial_decode in ("beam", "beam_pipelined")
         if beam and not self.beam_partials:
             if self._program_posteriors:
@@ -840,13 +1056,19 @@ class DeviceStreamingPool:
                 from .serving_streaming import beam_decoder_for
 
                 self._beam_decoder = beam_decoder_for(self._transcriber,
-                                                      engine=self._beam_engine)
+                                                      engine=self._beam_engine,
+                                                      **(self._beam_opts or {}))
             return self._beam_decoder
 
     def warm_up_beam(self) -> None:
         """Compile the shared beam-advance programs (single-stream path + every
         batch-size bucket) before beam traffic — same contract as
         `StreamingSessionPool.warm_up_beam`."""
+        if self.beam_mode == "resident":
+            # The advance is jitted into the feed program — `warm_up()` compiles
+            # everything (both lax.cond branches compile with the program).
+            self.warm_up()
+            return
         if not self.beam_partials:
             raise ValueError("this pool's feed program has no posterior output; "
                              "construct with beam_partials=True (live) or re-export "
@@ -920,8 +1142,11 @@ class DeviceStreamingPool:
         pools: a few frames under ``post_rows`` so one dispatch's newly finalized
         rows (piece frames + one carry/quantization frame) always fit the static
         slice. 40 rows at the defaults → 32-frame pieces — exactly the beam
-        advance's ``chunk_frames`` bucket, so a typical piece is one scan chunk."""
-        return min(self.chunk_cap, max(4, self.post_rows - 8) * self.spf)
+        advance's ``chunk_frames`` bucket, so a typical piece is one scan chunk.
+        Resident-beam pools use the in-program advance block (``_beam_cf``, same
+        40-row default) instead of ``post_rows`` — identical slicing."""
+        rows = self._beam_cf if self.beam_mode == "resident" else self.post_rows
+        return min(self.chunk_cap, max(4, rows - 8) * self.spf)
 
     # -- internals -----------------------------------------------------------------
 
@@ -960,6 +1185,10 @@ class DeviceStreamingPool:
         jnp = self._jnp
         self._buffers = jnp.zeros((self.max_sessions + 1, self.window), jnp.float32)
         self._lengths = jnp.zeros((self.max_sessions + 1,), jnp.int32)
+        if self.beam_mode == "resident":
+            # The resident beam carry was donated into the failed dispatch too.
+            self._beam_pool = self._resident_decoder.stacked_fresh_state(
+                self.max_sessions + 1)
         with self._lock:
             for session in self._sessions.values():
                 session._poisoned = session._finished = True
@@ -968,27 +1197,51 @@ class DeviceStreamingPool:
 
     def _dispatch(self, group: List[PendingItem]) -> None:
         """Serve one conflict-free group with a single fused device call. Runs only
-        on the batcher thread (single owner of the donated device state)."""
+        on the batcher thread (single owner of the donated device state). All
+        outputs come back in ONE blocking transfer — every extra fetch is a full
+        round-trip on tunneled backends."""
+        import jax
+
         jnp = self._jnp
         batch = self.batcher.max_batch
+        resident = self.beam_mode == "resident"
         rows = np.full((batch,), self.max_sessions, np.int32)  # padding sink row
         chunks = np.zeros((batch, self.chunk_cap), np.float32)
         chunk_lens = np.zeros((batch,), np.int32)
         resets = np.ones((batch,), bool)
-        post_starts = np.zeros((batch,), np.int32)
+        if resident:
+            totals = np.zeros((batch,), np.int32)
+            emit_samples = np.zeros((batch,), np.int32)
+            # Non-beam rows must never qualify a frame for the in-program advance:
+            # a hugely negative limit forces their advance range empty regardless
+            # of the row's window length.
+            emit_limits = np.full((batch,), _NO_EMIT_LIMIT, np.int32)
+            beam_resets = np.ones((batch,), bool)
+        else:
+            post_starts = np.zeros((batch,), np.int32)
         any_beam = False
         for i, item in enumerate(group):
-            row, piece, reset, want_posteriors, post_start = item.payload
+            row, piece, reset, want_beam, info = item.payload
             rows[i] = row
             chunks[i, :len(piece)] = piece
             chunk_lens[i] = len(piece)
             resets[i] = reset
-            post_starts[i] = post_start
-            any_beam = any_beam or want_posteriors
-        args = (self._transcriber.params, self._buffers, self._lengths,
-                jnp.asarray(rows), jnp.asarray(chunks), jnp.asarray(chunk_lens),
-                jnp.asarray(resets))
-        if self._program_posteriors and self.post_rows is not None:
+            if resident:
+                if want_beam:
+                    (totals[i], emit_samples[i], emit_limits[i],
+                     beam_resets[i]) = info
+            else:
+                post_starts[i] = info
+            any_beam = any_beam or want_beam
+        args = (self._transcriber.params, self._buffers, self._lengths)
+        if resident:
+            args += (self._beam_pool,)
+        args += (jnp.asarray(rows), jnp.asarray(chunks), jnp.asarray(chunk_lens),
+                 jnp.asarray(resets))
+        if resident:
+            args += (jnp.asarray(totals), jnp.asarray(emit_samples),
+                     jnp.asarray(emit_limits), jnp.asarray(beam_resets))
+        elif self._program_posteriors and self.post_rows is not None:
             args += (jnp.asarray(post_starts),)
         try:
             outs = self._feed(*args)
@@ -999,19 +1252,36 @@ class DeviceStreamingPool:
             # permanent streaming outage.
             self._recover_after_failed_dispatch()
             raise
-        if self._program_posteriors:
+        beam_rows = beam_scalars = log_probs = None
+        if resident:
+            (self._buffers, self._lengths, self._beam_pool, tokens, counts,
+             new_lens, beam_rows, beam_scalars) = outs
+            if any_beam:
+                tokens, counts, new_lens, beam_rows, beam_scalars = \
+                    jax.device_get((tokens, counts, new_lens, beam_rows,
+                                    beam_scalars))
+            else:
+                tokens, counts, new_lens = jax.device_get(
+                    (tokens, counts, new_lens))
+                beam_rows = beam_scalars = None
+        elif self._program_posteriors:
             self._buffers, self._lengths, tokens, counts, new_lens, log_probs = outs
             # The posterior block only crosses the link when a beam session is in
             # this batch (greedy-only traffic pays nothing beyond the device-side
             # softmax); one bulk fetch for the whole batch, not one per row.
-            log_probs = np.asarray(log_probs) if any_beam else None
+            if any_beam:
+                tokens, counts, new_lens, log_probs = jax.device_get(
+                    (tokens, counts, new_lens, log_probs))
+            else:
+                tokens, counts, new_lens = jax.device_get(
+                    (tokens, counts, new_lens))
+                log_probs = None
         else:
             self._buffers, self._lengths, tokens, counts, new_lens = outs
-            log_probs = None
-        tokens = np.asarray(tokens)
-        counts = np.asarray(counts)
-        new_lens = np.asarray(new_lens)
+            tokens, counts, new_lens = jax.device_get((tokens, counts, new_lens))
         for i, item in enumerate(group):
-            item.result = (tokens[i], int(counts[i]), int(new_lens[i]),
-                           log_probs[i] if (log_probs is not None
-                                            and item.payload[3]) else None)
+            extra = None
+            if item.payload[3]:
+                extra = ((beam_rows[i], beam_scalars[i]) if resident
+                         else (log_probs[i] if log_probs is not None else None))
+            item.result = (tokens[i], int(counts[i]), int(new_lens[i]), extra)

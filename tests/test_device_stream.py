@@ -648,3 +648,171 @@ def test_device_pipelined_backlog_coalesces_advances(transcriber):
     assert finals["beam"]  # non-degenerate
     assert len(submitted) <= 3  # queued rows drained in coalesced advances
     assert submitted[-1].shape[0] > max(r.shape[0] for r in submitted[:-1])
+
+
+class TestResidentBeam:
+    """beam_mode='resident': the incremental beam's carry lives in the pool's HBM
+    state and advances INSIDE the fused feed program — zero extra dispatches per
+    feed (the separate-advance path pays ~2 tunnel round-trips per wave), partials
+    never lag, and every transcript must be byte-identical to the posterior-mode
+    sync beam."""
+
+    def _pool(self, transcriber, beam_mode="posterior", **kwargs):
+        kwargs.setdefault("max_sessions", 4)
+        pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                                   max_batch=4, chunk_cap_s=0.5,
+                                   beam_mode=beam_mode, beam_engine="xla"
+                                   if beam_mode == "resident" else "auto",
+                                   **kwargs)
+        pool.start()
+        return pool
+
+    def test_matches_posterior_sync_beam(self, transcriber):
+        """Final transcripts byte-identical to the posterior sync beam across
+        multiple chunk sizes, including a last-partial comparison and the word
+        timestamps (driven by the same greedy emissions in both modes)."""
+        audio = _audio(52000, seed=21)
+        for chunk in (4000, 7000):
+            ref_pool = self._pool(transcriber)
+            try:
+                ref = ref_pool.create_stream(partial_decode="beam")
+                for start in range(0, len(audio), chunk):
+                    ref.feed(audio[start:start + chunk])
+                ref_state = ref.finish_with_state()
+            finally:
+                ref_pool.stop()
+
+            res_pool = self._pool(transcriber, beam_mode="resident")
+            try:
+                assert res_pool.beam_mode == "resident"
+                assert res_pool.post_rows is None
+                session = res_pool.create_stream(partial_decode="beam")
+                for start in range(0, len(audio), chunk):
+                    session.feed(audio[start:start + chunk])
+                state = session.finish_with_state()
+            finally:
+                res_pool.stop()
+            assert state["text"] == ref_state["text"]
+            assert state["words"] == ref_state["words"]
+
+    def test_greedy_sessions_unaffected(self, transcriber, pool):
+        """Greedy sessions on a resident pool transcribe exactly like on a normal
+        pool (the in-program advance is skipped for greedy-only dispatches), and
+        coexist with beam sessions in the same batches."""
+        audio = _audio(40000, seed=22)
+        expected = pool.create_stream().transcribe_stream(audio, 4000)
+
+        res_pool = self._pool(transcriber, beam_mode="resident")
+        try:
+            assert res_pool.create_stream().transcribe_stream(audio, 4000) \
+                == expected
+            greedy = res_pool.create_stream()
+            beam = res_pool.create_stream(partial_decode="beam")
+            out = ""
+            for start in range(0, len(audio), 4000):
+                beam.feed(audio[start:start + 4000])
+                out += greedy.feed(audio[start:start + 4000])
+            out += greedy.finish()
+            beam.finish()
+            assert out == expected
+            assert beam.text  # non-degenerate
+        finally:
+            res_pool.stop()
+
+    def test_rollover_commits_and_matches(self, transcriber):
+        """A live prefix outgrowing max_decoded_length rolls the committed tokens
+        to the host and restarts the device row from fresh state (the reset rides
+        the NEXT dispatch) — byte-identical to the posterior path's per-piece
+        rollover, and the committed prefix is actually exercised."""
+        audio = _audio(60000, seed=23)
+        # chunk_frames must match across modes: the rollover guard fires when a
+        # prefix could saturate within the NEXT advance block (max_live + cf >
+        # max_decoded_length), so the block size is part of its semantics.
+        opts = {"max_decoded_length": 48, "chunk_frames": 40}
+        ref_pool = self._pool(transcriber, beam_opts=opts)
+        try:
+            ref = ref_pool.create_stream(partial_decode="beam")
+            expected = ref.transcribe_stream(audio, 4000)
+        finally:
+            ref_pool.stop()
+
+        res_pool = self._pool(transcriber, beam_mode="resident", beam_opts=opts)
+        try:
+            session = res_pool.create_stream(partial_decode="beam")
+            got = session.transcribe_stream(audio, 4000)
+            assert session._committed.size > 0  # rollover actually fired
+        finally:
+            res_pool.stop()
+        assert got == expected
+
+    def test_session_row_reuse_resets_beam_state(self, transcriber):
+        """A session on a reused HBM row starts from fresh beam state: its
+        transcript equals a first-use session's on the same audio."""
+        audio = _audio(30000, seed=24)
+        res_pool = self._pool(transcriber, beam_mode="resident", max_sessions=1)
+        try:
+            first = res_pool.create_stream(partial_decode="beam")
+            a = first.transcribe_stream(audio, 4000)
+            second = res_pool.create_stream(partial_decode="beam")
+            assert second._row == first._row  # the single row was reused
+            assert second.transcribe_stream(audio, 4000) == a
+        finally:
+            res_pool.stop()
+
+    def test_partials_do_not_lag(self, transcriber):
+        """Resident partials reflect every finalized row of THIS feed (no
+        one-feed pipeline lag): feeding the same prefix to a fresh posterior sync
+        session yields the same partial after each aligned feed."""
+        audio = _audio(24000, seed=25)
+        res_pool = self._pool(transcriber, beam_mode="resident")
+        post_pool = self._pool(transcriber)
+        try:
+            res = res_pool.create_stream(partial_decode="beam")
+            ref = post_pool.create_stream(partial_decode="beam")
+            for start in range(0, len(audio), 4000):
+                p_res = res.feed(audio[start:start + 4000])
+                p_ref = ref.feed(audio[start:start + 4000])
+                assert p_res == p_ref
+        finally:
+            res_pool.stop()
+            post_pool.stop()
+
+    def test_mode_validation(self, transcriber, pool, tmp_path):
+        """resident rejects: beam_pipelined sessions, beam_partials=False,
+        unknown modes, and AOT bundles (the advance is jitted into the live feed
+        program)."""
+        from speechless_tpu.serving_export import (ExportedTranscriber,
+                                                   export_transcriber)
+
+        with pytest.raises(ValueError, match="beam_mode"):
+            DeviceStreamingPool(transcriber, beam_mode="fused")
+        with pytest.raises(ValueError, match="beam_partials=False"):
+            DeviceStreamingPool(transcriber, beam_mode="resident",
+                                beam_partials=False)
+        res_pool = self._pool(transcriber, beam_mode="resident")
+        try:
+            with pytest.raises(ValueError, match="pipeline"):
+                res_pool.create(partial_decode="beam_pipelined")
+        finally:
+            res_pool.stop()
+
+        export_transcriber(transcriber, tmp_path / "bundle",
+                           sample_buckets=(16384,),
+                           device_streaming={"window_s": 1.024,
+                                             "chunk_cap_s": 0.5,
+                                             "max_sessions": 4, "max_batch": 4})
+        bundle = ExportedTranscriber(tmp_path / "bundle")
+        with pytest.raises(ValueError, match="live serving.Transcriber"):
+            DeviceStreamingPool(bundle, beam_mode="resident")
+
+    def test_warm_up_beam_is_the_feed_warm_up(self, transcriber):
+        """warm_up_beam on a resident pool compiles the (single) fused program and
+        beam sessions serve right after."""
+        res_pool = self._pool(transcriber, beam_mode="resident")
+        try:
+            res_pool.warm_up_beam()
+            audio = _audio(20000, seed=26)
+            session = res_pool.create_stream(partial_decode="beam")
+            assert session.transcribe_stream(audio, 4000) == session.text
+        finally:
+            res_pool.stop()
