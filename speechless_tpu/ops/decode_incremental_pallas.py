@@ -64,6 +64,27 @@ def _pallas_stream_step_impl(states, log_probs, counts, blank, beam_width, max_l
     """
     import jax.numpy as jnp
 
+    n = len(states)
+    stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *states)
+    new_stacked, rows_best, scalars = _pallas_stream_core(
+        stacked, log_probs, counts, blank, beam_width, max_len, word_arrays,
+        word_lm_static, lm_weight, word_count_weight, valid_word_count_weight,
+        prune_classes)
+    new_states = tuple(jax.tree.map(lambda leaf, i=i: leaf[i], new_stacked)
+                       for i in range(n))
+    return new_states, rows_best, scalars
+
+
+def _pallas_stream_core(stacked, log_probs, counts, blank, beam_width, max_len,
+                        word_arrays, word_lm_static, lm_weight,
+                        word_count_weight, valid_word_count_weight,
+                        prune_classes):
+    """`_pallas_stream_step_impl` on STACKED leaves (leading batch dim) — the
+    traceable core shared with `PallasBeamStreamDecoder.advance_in_program`, which
+    embeds the kernel inside the device streaming pool's resident-beam fused feed
+    program. Returns ``(stacked_state, best rows (N, max_len), scalars (N, 3))``."""
+    import jax.numpy as jnp
+
     from .decode_jax import _word_bonuses
 
     use_lm = word_arrays is not None
@@ -75,14 +96,12 @@ def _pallas_stream_step_impl(states, log_probs, counts, blank, beam_width, max_l
     else:
         word_lm = None
         space_index = -2  # never matches an extension char: lm stays 0
-    n = len(states)
-    _, cf, class_count = log_probs.shape
+    n, cf, class_count = log_probs.shape
     k = min(prune_classes, class_count)
     r = _next_pow2(max(beam_width, 8))
     n_pad = _next_pow2((k + 1) * r)
     b_pad = ((n + SUBLANES - 1) // SUBLANES) * SUBLANES
 
-    stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *states)
     core, tokens = stacked[:-1], stacked[-1]
     pad = b_pad - n
     if pad:
@@ -158,10 +177,8 @@ def _pallas_stream_step_impl(states, log_probs, counts, blank, beam_width, max_l
                          best_score.astype(jnp.float32),
                          jnp.max(new_len, axis=1).astype(jnp.float32)], axis=1)
 
-    new_stacked = carry + (rows_all,)
-    new_states = tuple(jax.tree.map(lambda leaf, i=i: leaf[i], new_stacked)
-                       for i in range(n))
-    return new_states, rows_best[:n], scalars[:n]
+    new_stacked = jax.tree.map(lambda leaf: leaf[:n], carry + (rows_all,))
+    return new_stacked, rows_best[:n], scalars[:n]
 
 
 class PallasBeamStreamDecoder(BeamStreamDecoder):
@@ -237,6 +254,18 @@ class PallasBeamStreamDecoder(BeamStreamDecoder):
         return _pallas_stream_step_impl(
             states, jnp.asarray(batch_lp, jnp.float32),
             jnp.asarray(valid, jnp.int32), self.blank, self.beam_width,
+            self.max_decoded_length, self._word_arrays, self._word_static,
+            self.lm_weight, self.word_count_weight, self.valid_word_count_weight,
+            self.prune_classes)
+
+    def advance_in_program(self, stacked_state, log_probs, counts):
+        """Traceable batched advance on stacked kernel-layout leaves — overrides
+        the XLA base (whose `_stream_step_core` would misread this decoder's
+        padded-row carry). Embeds the Pallas kernel inside the caller's program
+        (the resident-beam fused feed); same contract as the base method."""
+        self._check_classes(log_probs.shape[2])
+        return _pallas_stream_core(
+            stacked_state, log_probs, counts, self.blank, self.beam_width,
             self.max_decoded_length, self._word_arrays, self._word_static,
             self.lm_weight, self.word_count_weight, self.valid_word_count_weight,
             self.prune_classes)

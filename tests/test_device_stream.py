@@ -816,3 +816,24 @@ class TestResidentBeam:
             assert session.transcribe_stream(audio, 4000) == session.text
         finally:
             res_pool.stop()
+
+    def test_pallas_engine_parity(self, transcriber):
+        """beam_engine='pallas' embeds the sublane-batched kernel (its OWN carry
+        layout — the XLA advance would misread it) inside the fused feed program;
+        transcripts match the XLA resident engine byte-for-byte. Interpret mode on
+        CPU: short audio keeps this test bounded."""
+        audio = _audio(24000, seed=27)
+        out = {}
+        for engine in ("xla", "pallas"):
+            pool = DeviceStreamingPool(transcriber, window_s=1.024, margin_s=0.25,
+                                       max_batch=4, chunk_cap_s=0.5,
+                                       max_sessions=4, beam_mode="resident",
+                                       beam_engine=engine)
+            pool.start()
+            try:
+                out[engine] = pool.create_stream(
+                    partial_decode="beam").transcribe_stream(audio, 4000)
+            finally:
+                pool.stop()
+        assert out["pallas"] == out["xla"]
+        assert out["xla"]  # non-degenerate
