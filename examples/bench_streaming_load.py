@@ -50,23 +50,26 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
                                                       DeviceStreamingPool)
 
     texts = [None] * streams
+    resident = partial_decode == "beam_resident"
+    session_decode = "beam" if resident else partial_decode
     pool = DeviceStreamingPool(transcriber, window_s=window_s, margin_s=margin_s,
                                max_batch=max_batch, max_wait_ms=20.0,
                                max_sessions=max(streams, max_batch),
                                beam_partials=partial_decode != "greedy",
                                post_rows=(None if post_rows == "full"
                                           else DEFAULT_POST_ROWS),
-                               beam_engine=beam_engine)
+                               beam_engine=beam_engine,
+                               beam_mode="resident" if resident else "posterior")
     pool.start()
     try:
         pool.warm_up()  # one compile, outside the timed region
         if partial_decode != "greedy":
             # Compile the advance programs (single + bucketed batch sizes) outside
-            # the timed region too.
+            # the timed region too (resident: the advance is in the feed program).
             pool.warm_up_beam()
 
         def run(i):
-            sid = pool.create(partial_decode=partial_decode)
+            sid = pool.create(partial_decode=session_decode)
             audio = audio_clips[i]
             for start in range(0, len(audio), chunk_samples):
                 pool.feed(sid, audio[start:start + chunk_samples])
@@ -75,7 +78,9 @@ def run_device_load(transcriber, streams: int, audio_clips, chunk_samples: int,
         wall = _run_threads(run, streams)
         metrics = pool.batcher.metrics()
         advance = None
-        if partial_decode != "greedy":
+        if resident:
+            advance = {"mode": "resident (in-program, zero extra dispatches)"}
+        elif partial_decode != "greedy":
             batcher = pool._get_beam_batcher()
             m = batcher.metrics()
             decoder = batcher.decoder
@@ -275,7 +280,10 @@ def main() -> None:
         # serving_streaming.StreamingTranscriber partial_decode='beam_pipelined').
         modes += [("device-beam", None, "beam"), ("batched-beam", True, "beam"),
                   ("device-beam-pipe", None, "beam_pipelined"),
-                  ("batched-beam-pipe", True, "beam_pipelined")]
+                  ("batched-beam-pipe", True, "beam_pipelined"),
+                  # Round-5 flagship: HBM-resident beam carry, advanced INSIDE
+                  # the fused feed program (zero extra dispatches per feed).
+                  ("device-beam-resident", None, "beam_resident")]
     if args.only:
         known = {m[0] for m in modes}
         unknown = [name for name in args.only if name not in known]

@@ -282,6 +282,13 @@ def main(argv=None) -> None:
                               "feed uploads only the new chunk; needs a live --run "
                               "backend or a bundle exported with "
                               "--device-streaming)")
+    p_serve.add_argument("--beam-mode", choices=("posterior", "resident"),
+                         default="posterior",
+                         help="with --device-streams: 'resident' pools the "
+                              "incremental beam's carry in HBM and advances it "
+                              "inside the feed program — zero extra round-trips "
+                              "per feed, lag-free partials (live --run backends "
+                              "only)")
 
     p_transcribe = sub.add_parser(
         "transcribe", help="transcribe audio files offline (wav/flac)")
@@ -454,12 +461,16 @@ def main(argv=None) -> None:
         backend = _serving_backend(args, "serve")
         if args.bundle is None and not args.no_warm_up:
             backend.warm_up()
+        if args.beam_mode == "resident" and not args.device_streams:
+            raise SystemExit("--beam-mode resident needs --device-streams (the "
+                             "beam carry lives in the pooled HBM state)")
         server = TranscriptionServer(backend, host=args.host, port=args.port,
                                      max_batch=args.max_batch,
                                      max_wait_ms=args.max_wait_ms,
                                      device_streams=args.device_streams,
                                      max_queue=args.max_queue,
-                                     beam_engine=args.beam_engine)
+                                     beam_engine=args.beam_engine,
+                                     beam_mode=args.beam_mode)
         if args.device_streams and not args.no_warm_up:
             server.streams.warm_up()  # the fused feed program compiles before binding
         if args.warm_beam:

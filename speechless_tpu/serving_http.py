@@ -209,7 +209,7 @@ class TranscriptionServer:
                  max_batch: int = 16, max_wait_ms: float = 10.0,
                  stream_window_s: float = 8.0, stream_margin_s: float = 2.0,
                  device_streams: bool = False, max_queue: Optional[int] = None,
-                 beam_engine: str = "auto"):
+                 beam_engine: str = "auto", beam_mode: str = "posterior"):
         self.backend = backend
         # Bounded backlog (default 8 dispatches deep): past it the server sheds
         # load with 503 + Retry-After instead of queueing requests into a latency
@@ -231,8 +231,12 @@ class TranscriptionServer:
                                                margin_s=stream_margin_s,
                                                max_batch=max_batch,
                                                max_wait_ms=max_wait_ms,
-                                               beam_engine=beam_engine)
+                                               beam_engine=beam_engine,
+                                               beam_mode=beam_mode)
         else:
+            if beam_mode == "resident":
+                raise ValueError("beam_mode='resident' needs device_streams=True "
+                                 "(the beam carry lives in the pooled HBM state)")
             from .serving_streaming import StreamingSessionPool
             self.streams = StreamingSessionPool(backend, window_s=stream_window_s,
                                                 margin_s=stream_margin_s,

@@ -383,3 +383,53 @@ def test_transcribe_octet_stream_fast_path(server, transcriber):
     status, error = _request(server, "/v1/transcribe", bad,
                              content_type="application/octet-stream; rate=16000")
     assert status == 400  # non-finite samples rejected before they poison a batch
+
+
+def test_resident_beam_streams_over_http(transcriber):
+    """TranscriptionServer(device_streams=True, beam_mode='resident'): beam
+    sessions over /v1/stream ride the in-program advance and their finals equal a
+    posterior-mode server's byte-for-byte; beam_pipelined requests 501 on the
+    resident pool (the handler maps create-time ValueErrors to Not Implemented —
+    apt: this pool has no separate advance to pipeline); beam_mode='resident'
+    without device_streams is rejected at construction."""
+    audio = (np.random.RandomState(31).randn(24000) * 0.3).astype(np.float32)
+
+    def final_over(srv):
+        status, payload = _request(srv, "/v1/stream",
+                                   json.dumps({"partial_decode": "beam"}).encode())
+        assert status == 200
+        sid = payload["session"]
+        for start in range(0, len(audio), 4000):
+            status, reply = _request(srv, "/v1/stream/{}".format(sid),
+                                     _pcm_body(audio[start:start + 4000]))
+            assert status == 200 and reply["partial"] == reply["text"]
+        status, final = _request(srv, "/v1/stream/{}/finish".format(sid), b"{}")
+        assert status == 200
+        return final["text"]
+
+    ref_srv = TranscriptionServer(transcriber, port=0, max_batch=4,
+                                  max_wait_ms=30.0, stream_window_s=1.024,
+                                  stream_margin_s=0.25, device_streams=True)
+    ref_srv.start()
+    try:
+        expected = final_over(ref_srv)
+    finally:
+        ref_srv.stop()
+
+    srv = TranscriptionServer(transcriber, port=0, max_batch=4, max_wait_ms=30.0,
+                              stream_window_s=1.024, stream_margin_s=0.25,
+                              device_streams=True, beam_mode="resident",
+                              beam_engine="xla")
+    srv.start()
+    try:
+        assert srv.streams.beam_mode == "resident"
+        assert final_over(srv) == expected
+        status, _ = _request(
+            srv, "/v1/stream",
+            json.dumps({"partial_decode": "beam_pipelined"}).encode())
+        assert status == 501
+    finally:
+        srv.stop()
+
+    with pytest.raises(ValueError, match="device_streams"):
+        TranscriptionServer(transcriber, port=0, beam_mode="resident")
